@@ -1,0 +1,156 @@
+"""Pull-based encoding context.
+
+Counterpart of the reference's ``src/api/context.rs`` (``Context``) and
+``src/api/internal.rs`` (``ContextInner`` scheduler): frames go in via
+``send_frame``, packets come out via ``receive_packet``; flushing drains the
+queue; frame reordering follows the inter pyramid configuration.
+
+Round-1 scope: intra frames and low-latency inter ordering (no B-pyramid
+reordering yet — output order == input order).  The frame-queue /
+frame-data-map structure already mirrors the reference so the pyramid
+scheduler drops in later without API change.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from rav1e_tpu.api.util import EncoderStatus, FrameType, Packet
+from rav1e_tpu.frame import Frame, FrameParameters
+
+
+class Context:
+    """Encoding context created by :meth:`rav1e_tpu.Config.new_context`."""
+
+    def __init__(self, config):
+        from rav1e_tpu.encoder.pipeline import FramePipeline
+
+        self.config = config
+        self.is_flushing = False
+        self.inner = ContextInner(config)
+        self.pipeline = FramePipeline(config)
+
+    # ---- frame ingestion ---------------------------------------------------
+
+    def new_frame(self) -> Frame:
+        e = self.config.enc
+        return Frame.new(e.width, e.height, e.chroma_sampling, e.bit_depth)
+
+    def send_frame(
+        self, frame: Optional[Frame], params: Optional[FrameParameters] = None
+    ) -> None:
+        """Queue a frame for encoding; ``None`` initiates a flush.
+
+        Raises :class:`EncoderStatus.EnoughData` if the queue is full and
+        packets must be drained first (mirrors ``api/context.rs:108-137``).
+        """
+        if frame is None:
+            if not self.is_flushing:
+                self.is_flushing = True
+                self.inner.limit = self.inner.next_frameno
+        elif self.is_flushing:
+            raise EncoderStatus.EnoughData()
+        else:
+            inner = self.inner
+            if (
+                inner.config.enc.still_picture
+                and inner.next_frameno > 0
+            ):
+                raise EncoderStatus.EnoughData()
+            inner.send_frame(frame, params)
+
+    # ---- packet retrieval --------------------------------------------------
+
+    def receive_packet(self) -> Packet:
+        """Encode and return the next packet in output order.
+
+        Raises ``EncoderStatus.NeedMoreData`` when more input is required,
+        ``EncoderStatus.LimitReached`` when flushing completes.
+        """
+        return self.inner.receive_packet(self.pipeline, self.is_flushing)
+
+    def flush(self) -> None:
+        self.send_frame(None)
+
+    # ---- stream metadata ---------------------------------------------------
+
+    def container_sequence_header(self) -> bytes:
+        """AV1CodecConfigurationRecord for container muxing
+        (reference: ``api/context.rs:341``)."""
+        from rav1e_tpu.encoder.obu import av1_codec_configuration_record
+
+        return av1_codec_configuration_record(self.config.enc)
+
+    # ---- two-pass rate control (round-2+ surface) --------------------------
+
+    def twopass_out(self) -> Optional[bytes]:
+        return self.inner.rc_state.twopass_out() if self.inner.rc_state else None
+
+    def twopass_in(self, data: bytes) -> int:
+        if self.inner.rc_state:
+            return self.inner.rc_state.twopass_in(data)
+        return 0
+
+
+class ContextInner:
+    """Frame scheduler: owns the input frame queue and encode ordering.
+
+    Mirrors the structure of the reference's ``ContextInner``
+    (``api/internal.rs:221-234``): ``frame_q`` maps input_frameno -> Frame;
+    encoded state is tracked per output_frameno.
+    """
+
+    def __init__(self, config):
+        self.config = config
+        self.frame_q: Dict[int, Optional[Frame]] = {}
+        self.frame_params: Dict[int, Optional[FrameParameters]] = {}
+        self.next_frameno = 0  # next input frameno to accept
+        self.next_output_frameno = 0
+        self.frames_processed = 0
+        self.limit: Optional[int] = None
+        self.keyframes = {0}
+        self.keyframe_detector = None  # scene-change detector, wired later
+        self.rc_state = None
+        self.packet_count = 0
+
+    def send_frame(self, frame: Frame, params: Optional[FrameParameters]) -> None:
+        frame.pad()
+        self.frame_q[self.next_frameno] = frame
+        self.frame_params[self.next_frameno] = params
+        self._detect_keyframe(self.next_frameno, frame, params)
+        self.next_frameno += 1
+
+    def _detect_keyframe(self, frameno: int, frame: Frame, params) -> None:
+        e = self.config.enc
+        if params is not None and params.frame_type_override == "key":
+            self.keyframes.add(frameno)
+            return
+        # max keyint enforcement; scene-change detection hooks in here later.
+        last_kf = max(k for k in self.keyframes if k <= frameno) if frameno else 0
+        if frameno - last_kf >= e.max_key_frame_interval:
+            self.keyframes.add(frameno)
+
+    def receive_packet(self, pipeline, is_flushing: bool) -> Packet:
+        out_no = self.next_output_frameno
+        if self.limit is not None and out_no >= self.limit:
+            raise EncoderStatus.LimitReached()
+        if out_no not in self.frame_q:
+            raise EncoderStatus.NeedMoreData()
+        frame = self.frame_q[out_no]
+        params = self.frame_params[out_no]
+        frame_type = FrameType.KEY if out_no in self.keyframes else FrameType.INTER
+        packet = pipeline.encode_frame(
+            frame,
+            input_frameno=out_no,
+            frame_type=frame_type,
+            params=params,
+            is_first=(self.packet_count == 0),
+        )
+        # garbage-collect consumed input (reference: internal.rs:1564)
+        del self.frame_q[out_no]
+        del self.frame_params[out_no]
+        self.next_output_frameno += 1
+        self.packet_count += 1
+        return packet

@@ -1,0 +1,136 @@
+"""Speed/quality trade-off settings.
+
+Behavioral counterpart of the reference's
+``src/api/config/speedsettings.rs`` — same presets 0..=10, same knobs, so a
+rav1e user finds the identical speed surface (``SpeedSettings.from_preset``
+mirrors ``speedsettings.rs:115-198``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from enum import IntEnum
+
+
+class SceneDetectionSpeed(IntEnum):
+    """How precisely to detect scene changes."""
+
+    Fast = 0  # pixel-difference heuristic only
+    Standard = 1  # inter/intra cost comparison
+    NoDetection = 2
+
+
+class PredictionModesSetting(IntEnum):
+    Simple = 0
+    ComplexKeyframes = 1
+    ComplexAll = 2
+
+
+class SGRComplexityLevel(IntEnum):
+    Full = 0
+    Reduced = 1
+
+
+class SegmentationLevel(IntEnum):
+    Disabled = 0
+    Simple = 1
+    Complex = 2
+    Full = 3
+
+
+# Block size names as strings keep this module free of a dependency on the
+# partition module; PartitionRange stores log2 sizes.
+@dataclass(frozen=True)
+class PartitionRange:
+    """Inclusive range of square partition sizes searched, as log2 side."""
+
+    min_log2: int = 2  # 4x4
+    max_log2: int = 6  # 64x64
+
+    def __post_init__(self):
+        assert 2 <= self.min_log2 <= self.max_log2 <= 6
+
+
+@dataclass
+class TransformSpeedSettings:
+    reduced_tx_set: bool = False
+    tx_domain_distortion: bool = True
+    tx_domain_rate: bool = False
+    rdo_tx_decision: bool = True
+    enable_inter_tx_split: bool = False
+
+
+@dataclass
+class PartitionSpeedSettings:
+    encode_bottomup: bool = True
+    non_square_partition_max_threshold_log2: int = 6  # 64x64 == allow everywhere
+    partition_range: PartitionRange = field(default_factory=PartitionRange)
+
+
+@dataclass
+class MotionSpeedSettings:
+    use_satd_subpel: bool = True
+    include_near_mvs: bool = True
+    me_allow_full_search: bool = True
+
+
+@dataclass
+class PredictionSpeedSettings:
+    prediction_modes: PredictionModesSetting = PredictionModesSetting.ComplexAll
+    fine_directional_intra: bool = True
+
+
+@dataclass
+class SpeedSettings:
+    multiref: bool = True
+    fast_deblock: bool = False
+    rdo_lookahead_frames: int = 40
+    scene_detection_mode: SceneDetectionSpeed = SceneDetectionSpeed.Standard
+    cdef: bool = True
+    lrf: bool = True
+    lru_on_skip: bool = True
+    sgr_complexity: SGRComplexityLevel = SGRComplexityLevel.Full
+    segmentation: SegmentationLevel = SegmentationLevel.Full
+    partition: PartitionSpeedSettings = field(default_factory=PartitionSpeedSettings)
+    transform: TransformSpeedSettings = field(default_factory=TransformSpeedSettings)
+    prediction: PredictionSpeedSettings = field(default_factory=PredictionSpeedSettings)
+    motion: MotionSpeedSettings = field(default_factory=MotionSpeedSettings)
+
+    @classmethod
+    def from_preset(cls, speed: int) -> "SpeedSettings":
+        """Speed presets 0 (slowest/best) .. 10 (fastest). >10 behaves as 10."""
+        s = cls()
+        if speed >= 1:
+            s.lru_on_skip = False
+            s.segmentation = SegmentationLevel.Simple
+        if speed >= 2:
+            s.partition.non_square_partition_max_threshold_log2 = 3  # 8x8
+            s.prediction.prediction_modes = PredictionModesSetting.ComplexKeyframes
+        if speed >= 3:
+            s.rdo_lookahead_frames = 30
+            s.partition.partition_range = PartitionRange(3, 6)  # 8x8..64x64
+        if speed >= 4:
+            s.partition.encode_bottomup = False
+        if speed >= 5:
+            s.sgr_complexity = SGRComplexityLevel.Reduced
+            s.motion.include_near_mvs = False
+        if speed >= 6:
+            s.rdo_lookahead_frames = 20
+            s.transform.rdo_tx_decision = False
+            s.transform.reduced_tx_set = True
+            s.motion.me_allow_full_search = False
+        if speed >= 7:
+            s.prediction.prediction_modes = PredictionModesSetting.Simple
+            s.multiref = False
+            s.fast_deblock = True
+        if speed >= 8:
+            s.rdo_lookahead_frames = 10
+            s.lrf = False
+        if speed >= 9:
+            s.partition.partition_range = PartitionRange(4, 5)  # 16x16..32x32
+            s.transform.enable_inter_tx_split = True
+        if speed >= 10:
+            s.scene_detection_mode = SceneDetectionSpeed.Fast
+            s.partition.partition_range = PartitionRange(5, 5)  # 32x32 only
+            s.motion.use_satd_subpel = False
+        return s
