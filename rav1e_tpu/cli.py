@@ -1,0 +1,130 @@
+"""Command-line encoder: y4m in -> IVF out.
+
+Counterpart of the reference's ``rav1e`` binary (src/bin/rav1e.rs,
+src/bin/common.rs): same core flags (--speed, --quantizer, --bitrate,
+--keyint, --low-latency, --tiles, --verbose, --psnr).
+
+Usage: python -m rav1e_tpu.cli input.y4m -o output.ivf [--speed 6] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from rav1e_tpu import Config, EncoderConfig, EncoderStatus
+from rav1e_tpu.config.encoder import Rational
+from rav1e_tpu.io import IvfWriter, Y4MReader
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rav1e-tpu", description=__doc__)
+    p.add_argument("input", help="input file (y4m)")
+    p.add_argument("-o", "--output", required=True, help="output file (ivf)")
+    p.add_argument("-s", "--speed", type=int, default=6, help="speed preset 0-10")
+    p.add_argument("-q", "--quantizer", type=int, default=100, help="quantizer 0-255")
+    p.add_argument("-b", "--bitrate", type=int, default=0, help="target bitrate (kbps)")
+    p.add_argument("-i", "--min-keyint", type=int, default=12)
+    p.add_argument("-I", "--keyint", type=int, default=240)
+    p.add_argument("--low-latency", action="store_true")
+    p.add_argument("--still-picture", action="store_true")
+    p.add_argument("--tiles", type=int, default=0)
+    p.add_argument("--tile-rows", type=int, default=0)
+    p.add_argument("--tile-cols", type=int, default=0)
+    p.add_argument("-l", "--limit", type=int, default=0, help="max frames to encode")
+    p.add_argument("--psnr", action="store_true", help="print per-frame PSNR")
+    p.add_argument("--benchmark", action="store_true", help="print fps at end")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    with open(args.input, "rb") as fin:
+        y4m = Y4MReader(fin)
+        enc = EncoderConfig(
+            width=y4m.width,
+            height=y4m.height,
+            bit_depth=y4m.bit_depth,
+            chroma_sampling=y4m.chroma_sampling,
+            time_base=Rational(y4m.fps_den, y4m.fps_num),
+            quantizer=args.quantizer,
+            bitrate=args.bitrate * 1000,
+            low_latency=args.low_latency,
+            still_picture=args.still_picture,
+            tiles=args.tiles,
+            tile_rows=args.tile_rows,
+            tile_cols=args.tile_cols,
+        )
+        enc.set_key_frame_interval(args.min_keyint, args.keyint)
+        cfg = Config(enc=enc).with_speed_preset(args.speed)
+        ctx = cfg.new_context()
+
+        t0 = time.monotonic()
+        nframes = 0
+        sources = {}
+        with open(args.output, "wb") as fout:
+            ivf = IvfWriter(fout, y4m.width, y4m.height, y4m.fps_num, y4m.fps_den)
+            for planes in y4m:
+                if args.limit and nframes >= args.limit:
+                    break
+                f = ctx.new_frame()
+                for plane, arr in zip(f.planes, planes):
+                    plane.copy_from(arr)
+                ctx.send_frame(f)
+                if args.psnr:
+                    sources[nframes] = planes
+                nframes += 1
+                _drain(ctx, ivf, args, sources)
+                if args.still_picture:
+                    break
+            ctx.flush()
+            _drain(ctx, ivf, args, sources, flushing=True)
+            ivf.close()
+        dt = time.monotonic() - t0
+        if args.benchmark or args.verbose:
+            print(
+                f"encoded {nframes} frames in {dt:.2f}s ({nframes / dt:.3f} fps)",
+                file=sys.stderr,
+            )
+    return 0
+
+
+def _drain(ctx, ivf, args, sources, flushing=False) -> None:
+    while True:
+        try:
+            pkt = ctx.receive_packet()
+        except EncoderStatus.NeedMoreData:
+            return
+        except EncoderStatus.LimitReached:
+            return
+        ivf.write_frame(pkt.data, pkt.input_frameno)
+        if args.verbose:
+            print(
+                f"frame {pkt.input_frameno} {pkt.frame_type.name} qp={pkt.qp} "
+                f"{len(pkt.data)} bytes",
+                file=sys.stderr,
+            )
+        if args.psnr and pkt.rec is not None:
+            src = sources.pop(pkt.input_frameno, None)
+            if src is not None:
+                vals = []
+                peak = (1 << ctx.config.enc.bit_depth) - 1
+                for plane, arr in zip(pkt.rec.planes, src):
+                    mse = np.mean(
+                        (plane.as_array().astype(np.float64) - arr.astype(np.float64)) ** 2
+                    )
+                    vals.append(10 * np.log10(peak * peak / mse) if mse > 0 else 99.0)
+                print(
+                    f"frame {pkt.input_frameno} PSNR: "
+                    + " ".join(f"{v:.2f}" for v in vals),
+                    file=sys.stderr,
+                )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,423 @@
+"""ContextWriter: the symbol layer binding CDFs + block context to a Writer.
+
+Counterpart of the reference's ``ContextWriter`` (``src/context/*.rs``):
+every ``write_*`` method codes one syntax element with its derived context
+and adapts the CDF through the undo log so RDO can roll back.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from rav1e_tpu.context import lvmap
+from rav1e_tpu.context.block import (
+    COEFF_CONTEXT_BITS,
+    COEFF_CONTEXT_MASK,
+    BlockContext,
+)
+from rav1e_tpu.context.cdf import CDFContext, CDFContextLog
+from rav1e_tpu.ec import WriterBase, update_cdf
+from rav1e_tpu.partition import BlockSize, PartitionType, PredictionMode
+from rav1e_tpu.tables import scan_order
+from rav1e_tpu.tx import TxSize, TxType
+from rav1e_tpu.quantize import _scan_kind
+
+MAX_ANGLE_DELTA = 3
+
+# block size groups for y_mode_cdf (spec Size_Group lookup)
+SIZE_GROUP_LOOKUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 1, 1, 2, 2, 3, 3]
+
+# intra mode -> context bucket (block_unit.rs:683)
+INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
+
+# max_txsize_rect_lookup / sub_tx_size_map (transform_unit.rs:60-105)
+MAX_TXSIZE_RECT = [
+    TxSize.TX_4X4, TxSize.TX_4X8, TxSize.TX_8X4, TxSize.TX_8X8, TxSize.TX_8X16,
+    TxSize.TX_16X8, TxSize.TX_16X16, TxSize.TX_16X32, TxSize.TX_32X16,
+    TxSize.TX_32X32, TxSize.TX_32X64, TxSize.TX_64X32, TxSize.TX_64X64,
+    TxSize.TX_64X64, TxSize.TX_64X64, TxSize.TX_64X64, TxSize.TX_4X16,
+    TxSize.TX_16X4, TxSize.TX_8X32, TxSize.TX_32X8, TxSize.TX_16X64,
+    TxSize.TX_64X16,
+]
+SUB_TX_SIZE_MAP = [
+    TxSize.TX_4X4, TxSize.TX_4X4, TxSize.TX_8X8, TxSize.TX_16X16,
+    TxSize.TX_32X32, TxSize.TX_4X4, TxSize.TX_4X4, TxSize.TX_8X8,
+    TxSize.TX_8X8, TxSize.TX_16X16, TxSize.TX_16X16, TxSize.TX_32X32,
+    TxSize.TX_32X32, TxSize.TX_4X8, TxSize.TX_8X4, TxSize.TX_8X16,
+    TxSize.TX_16X8, TxSize.TX_16X32, TxSize.TX_32X16,
+]
+MAX_TX_DEPTH = 2
+
+# tx set signaling tables (transform_unit.rs:36-58)
+NUM_TX_SET = [1, 2, 5, 7, 12, 16]
+TX_SET_INDEX_INTRA = [0, -1, 2, 1, -1, -1]
+TX_SET_INDEX_INTER = [0, 3, -1, -1, 2, 1]
+AV1_TX_IND = [
+    [0] * 16,
+    [1] + [0] * 15,
+    [1, 3, 4, 2] + [0] * 12,
+    [1, 5, 6, 4, 0, 0, 0, 0, 0, 0, 2, 3, 0, 0, 0, 0],
+    [3, 4, 5, 8, 6, 7, 9, 10, 11, 0, 1, 2, 0, 0, 0, 0],
+    [7, 8, 9, 12, 10, 11, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6],
+]
+
+# intra mode -> preferred uv tx type context (transform_unit.rs:162-197)
+INTRA_MODE_TO_TX_TYPE = [
+    TxType.DCT_DCT, TxType.ADST_DCT, TxType.DCT_ADST, TxType.DCT_DCT,
+    TxType.ADST_ADST, TxType.ADST_DCT, TxType.DCT_ADST, TxType.DCT_ADST,
+    TxType.ADST_DCT, TxType.ADST_ADST, TxType.ADST_DCT, TxType.DCT_ADST,
+    TxType.ADST_ADST, TxType.DCT_DCT,  # CFL behaves as DC
+]
+
+
+def uv_intra_mode_to_tx_type_context(uv_mode: PredictionMode) -> TxType:
+    return INTRA_MODE_TO_TX_TYPE[int(uv_mode)]
+
+
+class ContextWriter:
+    """fc = CDFContext, bc = BlockContext, log = CDF undo log."""
+
+    def __init__(self, fc: CDFContext, bc: BlockContext):
+        self.fc = fc
+        self.bc = bc
+        self.log = CDFContextLog()
+
+    # --- checkpointing -------------------------------------------------
+
+    def checkpoint(self, sb_x_mi: int = 0):
+        return (self.log.checkpoint(), self.bc.checkpoint(sb_x_mi))
+
+    def rollback(self, ckpt) -> None:
+        self.log.rollback(ckpt[0])
+        self.bc.rollback(ckpt[1])
+
+    # --- core symbol op ------------------------------------------------
+
+    def _sym(self, w: WriterBase, s: int, arr: np.ndarray, *idx) -> None:
+        """Code s against arr[idx] with adaptation + undo logging."""
+        row = self.log.push(arr, idx)
+        cdf = row.tolist()
+        w.symbol(s, cdf)
+        update_cdf(cdf, s)
+        arr[idx] = cdf
+
+    # --- partitions (partition_unit.rs:267-357) -------------------------
+
+    def write_partition(
+        self, w: WriterBase, x: int, y: int, p: PartitionType, bsize: BlockSize
+    ) -> None:
+        assert bsize.is_sqr() and bsize >= BlockSize.BLOCK_8X8
+        hbs = bsize.width_mi // 2
+        has_cols = (x + hbs) < self.bc.blocks.cols
+        has_rows = (y + hbs) < self.bc.blocks.rows
+        ctx = self.bc.partition_plane_context(x, y, bsize)
+        if not has_rows and not has_cols:
+            return
+        if ctx < 4:
+            arr, aidx = self.fc.partition_w8_cdf, ctx
+        elif ctx < 16:
+            arr, aidx = self.fc.partition_cdf, ctx - 4
+        else:
+            arr, aidx = self.fc.partition_w128_cdf, ctx - 16
+        if has_rows and has_cols:
+            self._sym(w, int(p), arr, aidx)
+        else:
+            # only the split-vs-forced direction bool is coded, from a CDF
+            # gathered over the partition distribution (no adaptation)
+            cdf_in = arr[aidx].tolist()
+            split = p == PartitionType.PARTITION_SPLIT
+            if not has_rows:
+                if p not in (PartitionType.PARTITION_SPLIT, PartitionType.PARTITION_HORZ):
+                    raise ValueError(f"illegal partition {p} without rows")
+                gathered = self._gather_split_prob(cdf_in, vert_alike=True)
+            else:
+                if p not in (PartitionType.PARTITION_SPLIT, PartitionType.PARTITION_VERT):
+                    raise ValueError(f"illegal partition {p} without cols")
+                gathered = self._gather_split_prob(cdf_in, vert_alike=False)
+            w.symbol(1 if split else 0, gathered)
+
+    @staticmethod
+    def _gather_split_prob(cdf_in, vert_alike: bool):
+        """partition_gather_{vert,horz}_alike (partition_unit.rs:131-193)."""
+
+        def elem_prob(s):
+            prev = cdf_in[s - 1] if s > 0 else 32768
+            cur = cdf_in[s] if s < len(cdf_in) - 1 else 0
+            return prev - cur
+
+        if vert_alike:
+            members = [
+                PartitionType.PARTITION_VERT,
+                PartitionType.PARTITION_SPLIT,
+                PartitionType.PARTITION_HORZ_A,
+                PartitionType.PARTITION_VERT_A,
+                PartitionType.PARTITION_VERT_B,
+                PartitionType.PARTITION_VERT_4,
+            ]
+        else:
+            members = [
+                PartitionType.PARTITION_HORZ,
+                PartitionType.PARTITION_SPLIT,
+                PartitionType.PARTITION_HORZ_A,
+                PartitionType.PARTITION_HORZ_B,
+                PartitionType.PARTITION_VERT_A,
+                PartitionType.PARTITION_HORZ_4,
+            ]
+        out0 = 32768
+        for m in members:
+            if int(m) < len(cdf_in):
+                out0 -= elem_prob(int(m))
+        out0 = 32768 - out0
+        return (out0, 0)
+
+    # --- modes ----------------------------------------------------------
+
+    def write_skip(self, w: WriterBase, x: int, y: int, skip: bool) -> None:
+        ctx = self.bc.skip_context(x, y)
+        self._sym(w, int(skip), self.fc.skip_cdfs, ctx)
+
+    def write_intra_mode_kf(self, w: WriterBase, x: int, y: int, mode: PredictionMode) -> None:
+        above = int(self.bc.blocks.mode[y - 1, x]) if y > 0 else int(PredictionMode.DC_PRED)
+        left = int(self.bc.blocks.mode[y, x - 1]) if x > 0 else int(PredictionMode.DC_PRED)
+        self._sym(w, int(mode), self.fc.kf_y_cdf, INTRA_MODE_CONTEXT[above], INTRA_MODE_CONTEXT[left])
+
+    def write_intra_mode(self, w: WriterBase, bsize: BlockSize, mode: PredictionMode) -> None:
+        self._sym(w, int(mode), self.fc.y_mode_cdf, SIZE_GROUP_LOOKUP[int(bsize)])
+
+    def write_intra_uv_mode(
+        self, w: WriterBase, uv_mode: PredictionMode, y_mode: PredictionMode, bsize: BlockSize
+    ) -> None:
+        if cfl_allowed(bsize):
+            self._sym(w, int(uv_mode), self.fc.uv_mode_cfl_cdf, int(y_mode))
+        else:
+            self._sym(w, int(uv_mode), self.fc.uv_mode_cdf, int(y_mode))
+
+    def write_angle_delta(self, w: WriterBase, angle: int, mode: PredictionMode) -> None:
+        self._sym(
+            w,
+            angle + MAX_ANGLE_DELTA,
+            self.fc.angle_delta_cdf,
+            int(mode) - int(PredictionMode.V_PRED),
+        )
+
+    def write_cfl_alphas(self, w: WriterBase, joint_sign: int, u_idx: int, v_idx: int) -> None:
+        """joint_sign in 0..7; u_idx/v_idx = scale-1 (ignored if sign zero)."""
+        self._sym(w, joint_sign, self.fc.cfl_sign_cdf)
+        sign_u = (joint_sign + 1) // 3
+        sign_v = (joint_sign + 1) % 3
+        if sign_u != 0:
+            ctx_u = (sign_u - 1) * 3 + sign_v
+            self._sym(w, u_idx, self.fc.cfl_alpha_cdf, ctx_u)
+        if sign_v != 0:
+            ctx_v = (sign_v - 1) * 3 + sign_u
+            self._sym(w, v_idx, self.fc.cfl_alpha_cdf, ctx_v)
+
+    def write_use_filter_intra(self, w: WriterBase, enable: bool, bsize: BlockSize) -> None:
+        self._sym(w, int(enable), self.fc.filter_intra_cdfs, int(bsize))
+
+    # --- tx size (transform_unit.rs:576-667) -----------------------------
+
+    def _get_tx_size_context(self, x: int, y: int, bsize: BlockSize) -> int:
+        max_tx = MAX_TXSIZE_RECT[int(bsize)]
+        has_above, has_left = y > 0, x > 0
+        above = int(self.bc.above_tx_context[x]) >= max_tx.width
+        left = int(self.bc.left_tx_context[y & 15]) >= max_tx.height
+        if has_above and self.bc.blocks.is_inter_flag[y - 1, x]:
+            above_bs = BlockSize(int(self.bc.blocks.bsize[y - 1, x]))
+            above = above_bs.width >= max_tx.width
+        if has_left and self.bc.blocks.is_inter_flag[y, x - 1]:
+            left_bs = BlockSize(int(self.bc.blocks.bsize[y, x - 1]))
+            left = left_bs.height >= max_tx.height
+        if has_above and has_left:
+            return int(above) + int(left)
+        if has_above:
+            return int(above)
+        if has_left:
+            return int(left)
+        return 0
+
+    def write_tx_size_intra(self, w: WriterBase, x: int, y: int, bsize: BlockSize, tx_size: TxSize) -> None:
+        def tx_size_to_depth(t, bs):
+            ctx_size = MAX_TXSIZE_RECT[int(bs)]
+            depth = 0
+            while t != ctx_size:
+                depth += 1
+                ctx_size = SUB_TX_SIZE_MAP[int(ctx_size)]
+            return depth
+
+        def bsize_to_tx_size_cat(bs):
+            t = MAX_TXSIZE_RECT[int(bs)]
+            depth = 0
+            while t != TxSize.TX_4X4:
+                depth += 1
+                t = SUB_TX_SIZE_MAP[int(t)]
+            return depth - 1
+
+        tx_size_ctx = self._get_tx_size_context(x, y, bsize)
+        depth = tx_size_to_depth(tx_size, bsize)
+        cat = bsize_to_tx_size_cat(bsize)
+        if cat > 0:
+            self._sym(w, depth, self.fc.tx_size_cdf, cat - 1, tx_size_ctx)
+        else:
+            self._sym(w, depth, self.fc.tx_size_8x8_cdf, tx_size_ctx)
+
+    # --- tx type (transform_unit.rs:530-574) ------------------------------
+
+    def write_tx_type(
+        self,
+        w: WriterBase,
+        tx_size: TxSize,
+        tx_type: TxType,
+        y_mode: PredictionMode,
+        is_inter: bool,
+        use_reduced_tx_set: bool,
+    ) -> None:
+        from rav1e_tpu.tx import get_tx_set
+
+        tx_set = get_tx_set(tx_size, is_inter, use_reduced_tx_set)
+        if NUM_TX_SET[int(tx_set)] <= 1:
+            return
+        square = int(tx_size.sqr())
+        s = AV1_TX_IND[int(tx_set)][int(tx_type)]
+        if is_inter:
+            idx = TX_SET_INDEX_INTER[int(tx_set)]
+            if idx == 1:
+                self._sym(w, s, self.fc.inter_tx_1_cdf, square)
+            elif idx == 2:
+                self._sym(w, s, self.fc.inter_tx_2_cdf, square)
+            else:
+                self._sym(w, s, self.fc.inter_tx_3_cdf, square)
+        else:
+            idx = TX_SET_INDEX_INTRA[int(tx_set)]
+            if idx == 1:
+                self._sym(w, s, self.fc.intra_tx_1_cdf, square, int(y_mode))
+            else:
+                self._sym(w, s, self.fc.intra_tx_2_cdf, square, int(y_mode))
+
+    # --- coefficients (block_unit.rs:1783-2016) ---------------------------
+
+    def write_coeffs_lv_map(
+        self,
+        w: WriterBase,
+        plane: int,
+        x: int,
+        y: int,
+        qcoeffs: np.ndarray,
+        eob: int,
+        pred_mode: PredictionMode,
+        tx_size: TxSize,
+        tx_type: TxType,
+        plane_bsize: BlockSize,
+        xdec: int,
+        ydec: int,
+        use_reduced_tx_set: bool,
+        frame_clipped_txw: int,
+        frame_clipped_txh: int,
+    ) -> bool:
+        is_inter = not pred_mode.is_intra()
+        cw, ch = lvmap.coded_dims(tx_size)
+        scan = scan_order(cw, ch, _scan_kind(tx_type))[:eob]
+        sub = qcoeffs[:ch, :cw].reshape(-1)
+        coeffs = sub[scan].astype(np.int64)
+
+        txs_ctx = lvmap.txsize_entropy_ctx(tx_size)
+        txb_skip_ctx, dc_sign_ctx = self.bc.get_txb_ctx(
+            plane_bsize, tx_size, plane, x, y, xdec, ydec,
+            frame_clipped_txw, frame_clipped_txh,
+        )
+        plane_type = int(plane != 0)
+
+        self._sym(w, int(eob == 0), self.fc.txb_skip_cdf, txs_ctx, txb_skip_ctx)
+        if eob == 0:
+            self.bc.store_coeff_context(plane, x, y, tx_size, xdec, ydec, 0)
+            return False
+
+        levels = lvmap.init_levels(qcoeffs, cw, ch)
+        cls = lvmap.tx_class(tx_type)
+
+        if plane == 0:
+            self.write_tx_type(w, tx_size, tx_type, pred_mode, is_inter, use_reduced_tx_set)
+
+        # EOB position
+        eob_pt, eob_extra = lvmap.get_eob_pos_token(eob)
+        eob_multi_size = tx_size.width_log2 + tx_size.height_log2 - 4
+        eob_multi_ctx = int(cls != lvmap.TX_CLASS_2D)
+        eob_cdf_arr = [
+            self.fc.eob_flag_cdf16, self.fc.eob_flag_cdf32, self.fc.eob_flag_cdf64,
+            self.fc.eob_flag_cdf128, self.fc.eob_flag_cdf256, self.fc.eob_flag_cdf512,
+            self.fc.eob_flag_cdf1024,
+        ][min(eob_multi_size, 6)]
+        self._sym(w, eob_pt - 1, eob_cdf_arr, plane_type, eob_multi_ctx)
+
+        offset_bits = lvmap.K_EOB_OFFSET_BITS[eob_pt]
+        if offset_bits > 0:
+            eob_shift = offset_bits - 1
+            bit = int((eob_extra & (1 << eob_shift)) != 0)
+            self._sym(w, bit, self.fc.eob_extra_cdf, txs_ctx, plane_type, eob_pt - 3)
+            for i in range(1, offset_bits):
+                eob_shift = offset_bits - 1 - i
+                w.bit(int((eob_extra & (1 << eob_shift)) != 0))
+
+        # base + br levels, reverse scan order
+        area = cw * ch
+        for c in range(eob - 1, -1, -1):
+            pos = int(scan[c])
+            row, col = pos // cw, pos % cw
+            level = int(abs(coeffs[c]))
+            if c == eob - 1:
+                ctx = lvmap.coeff_base_eob_ctx(c, eob, area)
+                self._sym(
+                    w, min(level, 3) - 1,
+                    self.fc.coeff_base_eob_cdf, txs_ctx, plane_type, ctx,
+                )
+            else:
+                ctx = lvmap.coeff_base_ctx(levels, row, col, cw, ch, cls)
+                self._sym(
+                    w, min(level, 3),
+                    self.fc.coeff_base_cdf, txs_ctx, plane_type, ctx,
+                )
+            if level > lvmap.NUM_BASE_LEVELS:
+                base_range = level - 1 - lvmap.NUM_BASE_LEVELS
+                bctx = lvmap.br_ctx(levels, row, col, cls)
+                idx = 0
+                while idx < lvmap.COEFF_BASE_RANGE:
+                    k = min(base_range - idx, lvmap.BR_CDF_SIZE - 1)
+                    self._sym(
+                        w, k,
+                        self.fc.coeff_br_cdf,
+                        min(txs_ctx, int(TxSize.TX_32X32)), plane_type, bctx,
+                    )
+                    if k < lvmap.BR_CDF_SIZE - 1:
+                        break
+                    idx += lvmap.BR_CDF_SIZE - 1
+
+        # signs + golomb residue (in forward scan order)
+        cul_level = int(np.abs(coeffs).sum())
+        for c in range(eob):
+            v = int(coeffs[c])
+            if v == 0:
+                continue
+            level = abs(v)
+            sign = int(v < 0)
+            if c == 0:
+                self._sym(w, sign, self.fc.dc_sign_cdf, plane_type, dc_sign_ctx)
+            else:
+                w.bit(sign)
+            if level > lvmap.COEFF_BASE_RANGE + lvmap.NUM_BASE_LEVELS:
+                w.write_golomb(level - lvmap.COEFF_BASE_RANGE - lvmap.NUM_BASE_LEVELS - 1)
+
+        cul_level = min(COEFF_CONTEXT_MASK, cul_level)
+        dc_val = int(coeffs[0])
+        if dc_val < 0:
+            cul_level |= 1 << COEFF_CONTEXT_BITS
+        elif dc_val > 0:
+            cul_level += 2 << COEFF_CONTEXT_BITS
+        self.bc.store_coeff_context(plane, x, y, tx_size, xdec, ydec, cul_level)
+        return True
+
+
+def cfl_allowed(bsize: BlockSize) -> bool:
+    """CFL allowed for blocks <= 32x32 (spec)."""
+    return bsize.width <= 32 and bsize.height <= 32

@@ -1,0 +1,303 @@
+"""Frame decoding driver for the bundled verification decoder.
+
+Mirrors the encoder pipeline (rav1e_tpu/encoder/pipeline.py) using the same
+prediction / transform / context code; this is the self-hosted stand-in for
+the reference's dav1d round-trip gate (src/test_encode_decode/) in an
+environment without an external AV1 decoder.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from rav1e_tpu.api.util import FrameType
+from rav1e_tpu.config import ChromaSampling
+from rav1e_tpu.context import BlockContext, CDFContext, FrameBlocks
+from rav1e_tpu.context.writer import MAX_TXSIZE_RECT, SUB_TX_SIZE_MAP, uv_intra_mode_to_tx_type_context
+from rav1e_tpu.decoder.headers import (
+    DecodeError,
+    FrameHeader,
+    parse_frame_header,
+    parse_obus,
+    parse_sequence_header,
+)
+from rav1e_tpu.decoder.reader import ContextReader
+from rav1e_tpu.ec import Reader
+from rav1e_tpu.encoder.obu import ObuType
+from rav1e_tpu.encoder.pipeline import MIB_SIZE, has_chroma, largest_chroma_tx_size
+from rav1e_tpu.frame import Frame
+from rav1e_tpu.ops import transforms as T
+from rav1e_tpu.ops.intra import predict_intra
+from rav1e_tpu.ops.intra_edges import build_intra_edge
+from rav1e_tpu.partition import BlockSize, MI_SIZE_LOG2, PartitionType, PredictionMode
+from rav1e_tpu.quantize import dequantize
+from rav1e_tpu.tx import TxSize, TxType
+
+
+def decode_packet(data: bytes, seq=None):
+    """Decode one temporal unit -> (Frame, Sequence). Raises DecodeError."""
+    obus = parse_obus(data)
+    fh: Optional[FrameHeader] = None
+    frame: Optional[Frame] = None
+    for obu_type, payload in obus:
+        if obu_type == ObuType.OBU_TEMPORAL_DELIMITER:
+            continue
+        elif obu_type == ObuType.OBU_SEQUENCE_HEADER:
+            seq = parse_sequence_header(payload)
+        elif obu_type == ObuType.OBU_FRAME_HEADER:
+            if seq is None:
+                raise DecodeError("frame header before sequence header")
+            fh = parse_frame_header(payload, seq)
+        elif obu_type == ObuType.OBU_TILE_GROUP:
+            if fh is None:
+                raise DecodeError("tile group before frame header")
+            frame = _decode_tile_group(payload, seq, fh)
+        else:
+            raise DecodeError(f"unsupported OBU {obu_type}")
+    return frame, seq
+
+
+def _decode_tile_group(payload: bytes, seq, fh: FrameHeader) -> Frame:
+    if not fh.intra_only:
+        raise DecodeError("inter decoding not implemented yet")
+    frame = Frame.new(fh.width, fh.height, seq.chroma_sampling, seq.bit_depth)
+    mi_cols = (fh.width + 3) >> 2
+    mi_rows = (fh.height + 3) >> 2
+    ti = fh.tiling
+    n_tiles = ti.cols * ti.rows
+
+    # split tile payloads
+    tile_data: List[bytes] = []
+    if n_tiles == 1:
+        tile_data.append(payload)
+    else:
+        from rav1e_tpu.encoder.bitio import BitReader
+
+        br = BitReader(payload)
+        if br.read_bit():
+            raise DecodeError("partial tile groups unsupported")
+        br.byte_align()
+        pos = br.bytes_consumed()
+        for i in range(n_tiles):
+            if i < n_tiles - 1:
+                size = int.from_bytes(payload[pos : pos + fh.tile_size_bytes], "little") + 1
+                pos += fh.tile_size_bytes
+                tile_data.append(payload[pos : pos + size])
+                pos += size
+            else:
+                tile_data.append(payload[pos:])
+
+    idx = 0
+    for tr in range(ti.rows):
+        for tc in range(ti.cols):
+            tx, ty, tw, th = ti.tile_rect_mi(tc, tr, mi_cols, mi_rows)
+            td = TileDecoder(seq, fh, frame, tx, ty, tw, th, mi_cols, mi_rows)
+            td.decode(tile_data[idx])
+            idx += 1
+    frame.pad()
+    return frame
+
+
+class TileDecoder:
+    def __init__(self, seq, fh: FrameHeader, frame: Frame, mi_x0, mi_y0, mi_w, mi_h, mi_cols, mi_rows):
+        self.seq = seq
+        self.fh = fh
+        self.frame = frame
+        self.mi_x0, self.mi_y0 = mi_x0, mi_y0
+        self.mi_w, self.mi_h = mi_w, mi_h
+        self.mi_cols, self.mi_rows = mi_cols, mi_rows
+        self.fc = CDFContext(fh.base_q_idx)
+        self.blocks = FrameBlocks(mi_w, mi_h)
+        self.bc = BlockContext(self.blocks)
+        self.cr = ContextReader(self.fc, self.bc)
+        cs = seq.chroma_sampling
+        self.xdec, self.ydec = (0, 0) if cs == ChromaSampling.Cs400 else cs.decimation()
+        self.rec_views = []
+        self.plane_rect = []
+        for pi, p in enumerate(frame.planes):
+            xd = 0 if pi == 0 else self.xdec
+            yd = 0 if pi == 0 else self.ydec
+            px = (mi_x0 << MI_SIZE_LOG2) >> xd
+            py = (mi_y0 << MI_SIZE_LOG2) >> yd
+            pad = p.cfg.pad
+            self.rec_views.append(p.data[pad + py :, pad + px :])
+            rect_w = min(((mi_w << MI_SIZE_LOG2) >> xd), p.cfg.width - px)
+            rect_h = min(((mi_h << MI_SIZE_LOG2) >> yd), p.cfg.height - py)
+            self.plane_rect.append((rect_w, rect_h))
+
+    def decode(self, data: bytes) -> None:
+        self.r = Reader(data)
+        sb_cols = (self.mi_w + MIB_SIZE - 1) // MIB_SIZE
+        sb_rows = (self.mi_h + MIB_SIZE - 1) // MIB_SIZE
+        for sby in range(sb_rows):
+            self.bc.reset_left_contexts()
+            for sbx in range(sb_cols):
+                self.decode_partition(sbx * MIB_SIZE, sby * MIB_SIZE, BlockSize.BLOCK_64X64)
+
+    def decode_partition(self, x: int, y: int, bsize: BlockSize) -> None:
+        if x >= self.mi_w or y >= self.mi_h:
+            return
+        if bsize >= BlockSize.BLOCK_8X8:
+            partition = self.cr.read_partition(self.r, x, y, bsize)
+        else:
+            partition = PartitionType.PARTITION_NONE
+        if partition == PartitionType.PARTITION_NONE:
+            self.decode_block(x, y, bsize)
+            self.bc.update_partition_context(x, y, bsize, bsize)
+        elif partition == PartitionType.PARTITION_SPLIT:
+            sub = bsize.subsize(PartitionType.PARTITION_SPLIT)
+            sw, sh = sub.width_mi, sub.height_mi
+            self.decode_partition(x, y, sub)
+            self.decode_partition(x + sw, y, sub)
+            self.decode_partition(x, y + sh, sub)
+            self.decode_partition(x + sw, y + sh, sub)
+        else:
+            raise DecodeError(f"partition {partition} not supported yet")
+
+    def decode_block(self, x: int, y: int, bsize: BlockSize) -> None:
+        fh = self.fh
+        cs = self.seq.chroma_sampling
+        skip = self.cr.read_skip(self.r, x, y)
+        self.blocks.set_rect("skip", x, y, bsize, skip)
+        self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
+
+        if fh.frame_type == FrameType.KEY:
+            luma_mode = self.cr.read_intra_mode_kf(self.r, x, y)
+        else:
+            luma_mode = self.cr.read_intra_mode(self.r, bsize)
+        self.blocks.set_rect("mode", x, y, bsize, int(luma_mode))
+
+        angle_delta_y = angle_delta_uv = 0
+        if luma_mode.is_directional() and bsize >= BlockSize.BLOCK_8X8:
+            angle_delta_y = self.cr.read_angle_delta(self.r, luma_mode)
+
+        do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, cs)
+        chroma_mode = PredictionMode.DC_PRED
+        cfl = (0, 0)
+        if do_chroma:
+            chroma_mode = self.cr.read_intra_uv_mode(self.r, luma_mode, bsize)
+            if chroma_mode.is_cfl():
+                cfl = self.cr.read_cfl_alphas(self.r)
+            if chroma_mode.is_directional() and bsize >= BlockSize.BLOCK_8X8:
+                angle_delta_uv = self.cr.read_angle_delta(self.r, chroma_mode)
+            self.blocks.set_rect("uv_mode", x, y, bsize, int(chroma_mode))
+
+        if (
+            self.seq.enable_filter_intra
+            and luma_mode == PredictionMode.DC_PRED
+            and bsize.width <= 32
+            and bsize.height <= 32
+        ):
+            if self.cr.read_use_filter_intra(self.r, bsize):
+                raise DecodeError("filter intra unsupported")
+
+        if fh.tx_mode_select and bsize > BlockSize.BLOCK_4X4:
+            tx_size = self.cr.read_tx_size_intra(self.r, x, y, bsize)
+        else:
+            tx_size = MAX_TXSIZE_RECT[int(bsize)]
+        self.bc.update_tx_size_context(x, y, bsize, tx_size, False)
+        self.blocks.set_rect("tx_size", x, y, bsize, int(tx_size))
+
+        if skip:
+            self.bc.reset_skip_context(
+                x, y, bsize, self.xdec, self.ydec,
+                cs == ChromaSampling.Cs400, do_chroma,
+            )
+
+        self._decode_tx_blocks(
+            x, y, bsize, luma_mode, chroma_mode, tx_size, angle_delta_y,
+            angle_delta_uv, skip, do_chroma, cfl,
+        )
+
+    def _decode_tx_blocks(
+        self, x, y, bsize, luma_mode, chroma_mode, tx_size, angle_delta_y,
+        angle_delta_uv, skip, do_chroma, cfl,
+    ):
+        bw = max(bsize.width_mi // max(tx_size.width >> MI_SIZE_LOG2, 1), 1)
+        bh = max(bsize.height_mi // max(tx_size.height >> MI_SIZE_LOG2, 1), 1)
+        for by in range(bh):
+            for bx in range(bw):
+                tx_x = x + bx * (tx_size.width >> MI_SIZE_LOG2)
+                tx_y = y + by * (tx_size.height >> MI_SIZE_LOG2)
+                if tx_x >= self.mi_w or tx_y >= self.mi_h:
+                    continue
+                self._decode_tx_block(
+                    0, x, y, bx, by, tx_x, tx_y, luma_mode, tx_size,
+                    None, bsize, skip, angle_delta_y,
+                )
+        if not do_chroma or self.seq.chroma_sampling == ChromaSampling.Cs400:
+            return
+        uv_tx_size = largest_chroma_tx_size(bsize, self.xdec, self.ydec)
+        if uv_tx_size.width >= 32 or uv_tx_size.height >= 32:
+            uv_tx_type = TxType.DCT_DCT
+        else:
+            uv_tx_type = uv_intra_mode_to_tx_type_context(chroma_mode)
+        bw_uv = max((bw * (tx_size.width >> MI_SIZE_LOG2)) >> self.xdec, 1) // max(
+            uv_tx_size.width >> MI_SIZE_LOG2, 1
+        )
+        bh_uv = max((bh * (tx_size.height >> MI_SIZE_LOG2)) >> self.ydec, 1) // max(
+            uv_tx_size.height >> MI_SIZE_LOG2, 1
+        )
+        bw_uv = max(bw_uv, 1)
+        bh_uv = max(bh_uv, 1)
+        for p in (1, 2):
+            for by in range(bh_uv):
+                for bx in range(bw_uv):
+                    tx_x = x + ((bx * (uv_tx_size.width >> MI_SIZE_LOG2)) << self.xdec) - (
+                        int(bw * (tx_size.width >> MI_SIZE_LOG2) == 1) * self.xdec
+                    )
+                    tx_y = y + ((by * (uv_tx_size.height >> MI_SIZE_LOG2)) << self.ydec) - (
+                        int(bh * (tx_size.height >> MI_SIZE_LOG2) == 1) * self.ydec
+                    )
+                    self._decode_tx_block(
+                        p, x, y, bx, by, tx_x, tx_y, chroma_mode, uv_tx_size,
+                        uv_tx_type, bsize, skip, angle_delta_uv,
+                    )
+
+    def _decode_tx_block(
+        self, p, part_x, part_y, bx, by, tx_x, tx_y, mode, tx_size,
+        uv_tx_type, bsize, skip, angle_delta,
+    ):
+        fh = self.fh
+        xd = 0 if p == 0 else self.xdec
+        yd = 0 if p == 0 else self.ydec
+        if tx_x >= self.mi_w or tx_y >= self.mi_h:
+            return
+        w_px, h_px = tx_size.width, tx_size.height
+        if p == 0:
+            px = tx_x << MI_SIZE_LOG2
+            py = tx_y << MI_SIZE_LOG2
+        else:
+            px = ((part_x << MI_SIZE_LOG2) >> xd) + bx * w_px
+            py = ((part_y << MI_SIZE_LOG2) >> yd) + by * h_px
+        rec = self.rec_views[p]
+        rect_w, rect_h = self.plane_rect[p]
+        plane_bsize = bsize.chroma_block_size(xd, yd) if p else bsize
+
+        edge = build_intra_edge(
+            rec, rect_w, rect_h, px, py, tx_size, part_x, part_y, bx, by,
+            bsize, xd, yd, self.seq.bit_depth, mode, angle_delta,
+        )
+        pred = predict_intra(mode, edge, w_px, h_px, self.seq.bit_depth, angle_delta)
+        rec[py : py + h_px, px : px + w_px] = pred
+        if skip:
+            return
+
+        frame_clipped_txw = min(((self.mi_cols - (self.mi_x0 + tx_x)) << MI_SIZE_LOG2) >> xd, w_px)
+        frame_clipped_txh = min(((self.mi_rows - (self.mi_y0 + tx_y)) << MI_SIZE_LOG2) >> yd, h_px)
+
+        qcoeffs, eob, tx_type = self.cr.read_coeffs_lv_map(
+            self.r, p, tx_x, tx_y, mode, tx_size, uv_tx_type, plane_bsize,
+            xd, yd, fh.use_reduced_tx_set, frame_clipped_txw, frame_clipped_txh,
+        )
+        if eob > 0:
+            rcoeffs = dequantize(
+                fh.base_q_idx, qcoeffs, tx_size, self.seq.bit_depth,
+                fh.dc_delta_q[p], fh.ac_delta_q[p],
+            )
+            recon = T.inverse_transform_add(
+                rcoeffs[None], pred[None], tx_size, tx_type, self.seq.bit_depth
+            )[0]
+            rec[py : py + h_px, px : px + w_px] = recon

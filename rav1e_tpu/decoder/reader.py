@@ -1,0 +1,317 @@
+"""ContextReader: symbol-decoding mirror of ContextWriter.
+
+Shares every context derivation with the encoder (BlockContext, lvmap,
+scans, CDFContext) — only the direction of the symbol coder differs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rav1e_tpu.context import lvmap
+from rav1e_tpu.context.block import (
+    COEFF_CONTEXT_BITS,
+    COEFF_CONTEXT_MASK,
+    BlockContext,
+)
+from rav1e_tpu.context.cdf import CDFContext
+from rav1e_tpu.context.writer import (
+    AV1_TX_IND,
+    INTRA_MODE_CONTEXT,
+    MAX_TXSIZE_RECT,
+    NUM_TX_SET,
+    SIZE_GROUP_LOOKUP,
+    SUB_TX_SIZE_MAP,
+    TX_SET_INDEX_INTER,
+    TX_SET_INDEX_INTRA,
+    MAX_ANGLE_DELTA,
+    cfl_allowed,
+)
+from rav1e_tpu.ec import Reader, update_cdf
+from rav1e_tpu.partition import BlockSize, PartitionType, PredictionMode
+from rav1e_tpu.quantize import _scan_kind
+from rav1e_tpu.tables import scan_order
+from rav1e_tpu.tx import TxSize, TxType, get_tx_set
+
+
+class ContextReader:
+    def __init__(self, fc: CDFContext, bc: BlockContext):
+        self.fc = fc
+        self.bc = bc
+
+    def _sym(self, r: Reader, arr: np.ndarray, *idx) -> int:
+        cdf = arr[idx].tolist()
+        s = r.read_symbol(cdf)
+        update_cdf(cdf, s)
+        arr[idx] = cdf
+        return s
+
+    # --- partitions ------------------------------------------------------
+
+    def read_partition(self, r: Reader, x: int, y: int, bsize: BlockSize) -> PartitionType:
+        from rav1e_tpu.context.writer import ContextWriter
+
+        hbs = bsize.width_mi // 2
+        has_cols = (x + hbs) < self.bc.blocks.cols
+        has_rows = (y + hbs) < self.bc.blocks.rows
+        ctx = self.bc.partition_plane_context(x, y, bsize)
+        if not has_rows and not has_cols:
+            return PartitionType.PARTITION_SPLIT
+        if ctx < 4:
+            arr, aidx = self.fc.partition_w8_cdf, ctx
+        elif ctx < 16:
+            arr, aidx = self.fc.partition_cdf, ctx - 4
+        else:
+            arr, aidx = self.fc.partition_w128_cdf, ctx - 16
+        if has_rows and has_cols:
+            return PartitionType(self._sym(r, arr, aidx))
+        cdf_in = arr[aidx].tolist()
+        if not has_rows:
+            g = ContextWriter._gather_split_prob(cdf_in, vert_alike=True)
+            split = r.read_symbol(list(g)) == 1
+            return PartitionType.PARTITION_SPLIT if split else PartitionType.PARTITION_HORZ
+        else:
+            g = ContextWriter._gather_split_prob(cdf_in, vert_alike=False)
+            split = r.read_symbol(list(g)) == 1
+            return PartitionType.PARTITION_SPLIT if split else PartitionType.PARTITION_VERT
+
+    # --- modes -----------------------------------------------------------
+
+    def read_skip(self, r: Reader, x: int, y: int) -> bool:
+        ctx = self.bc.skip_context(x, y)
+        return self._sym(r, self.fc.skip_cdfs, ctx) == 1
+
+    def read_intra_mode_kf(self, r: Reader, x: int, y: int) -> PredictionMode:
+        above = int(self.bc.blocks.mode[y - 1, x]) if y > 0 else 0
+        left = int(self.bc.blocks.mode[y, x - 1]) if x > 0 else 0
+        s = self._sym(r, self.fc.kf_y_cdf, INTRA_MODE_CONTEXT[above], INTRA_MODE_CONTEXT[left])
+        return PredictionMode(s)
+
+    def read_intra_mode(self, r: Reader, bsize: BlockSize) -> PredictionMode:
+        return PredictionMode(self._sym(r, self.fc.y_mode_cdf, SIZE_GROUP_LOOKUP[int(bsize)]))
+
+    def read_intra_uv_mode(self, r: Reader, y_mode: PredictionMode, bsize: BlockSize) -> PredictionMode:
+        if cfl_allowed(bsize):
+            return PredictionMode(self._sym(r, self.fc.uv_mode_cfl_cdf, int(y_mode)))
+        return PredictionMode(self._sym(r, self.fc.uv_mode_cdf, int(y_mode)))
+
+    def read_angle_delta(self, r: Reader, mode: PredictionMode) -> int:
+        s = self._sym(
+            r, self.fc.angle_delta_cdf, int(mode) - int(PredictionMode.V_PRED)
+        )
+        return s - MAX_ANGLE_DELTA
+
+    def read_cfl_alphas(self, r: Reader):
+        joint_sign = self._sym(r, self.fc.cfl_sign_cdf)
+        sign_u = (joint_sign + 1) // 3
+        sign_v = (joint_sign + 1) % 3
+        u_idx = v_idx = 0
+        if sign_u != 0:
+            u_idx = self._sym(r, self.fc.cfl_alpha_cdf, (sign_u - 1) * 3 + sign_v)
+        if sign_v != 0:
+            v_idx = self._sym(r, self.fc.cfl_alpha_cdf, (sign_v - 1) * 3 + sign_u)
+        alpha_u = [0, -1, 1][sign_u] * (u_idx + 1)
+        alpha_v = [0, -1, 1][sign_v] * (v_idx + 1)
+        return alpha_u, alpha_v
+
+    def read_use_filter_intra(self, r: Reader, bsize: BlockSize) -> bool:
+        return self._sym(r, self.fc.filter_intra_cdfs, int(bsize)) == 1
+
+    def read_tx_size_intra(self, r: Reader, x: int, y: int, bsize: BlockSize) -> TxSize:
+        from rav1e_tpu.context.writer import ContextWriter
+
+        # share the context derivation
+        cw = ContextWriter.__new__(ContextWriter)
+        cw.fc, cw.bc = self.fc, self.bc
+        tx_size_ctx = ContextWriter._get_tx_size_context(cw, x, y, bsize)
+
+        max_tx = MAX_TXSIZE_RECT[int(bsize)]
+
+        def cat(bs):
+            t = MAX_TXSIZE_RECT[int(bs)]
+            depth = 0
+            while t != TxSize.TX_4X4:
+                depth += 1
+                t = SUB_TX_SIZE_MAP[int(t)]
+            return depth - 1
+
+        c = cat(bsize)
+        if c > 0:
+            depth = self._sym(r, self.fc.tx_size_cdf, c - 1, tx_size_ctx)
+        else:
+            depth = self._sym(r, self.fc.tx_size_8x8_cdf, tx_size_ctx)
+        t = max_tx
+        for _ in range(depth):
+            t = SUB_TX_SIZE_MAP[int(t)]
+        return t
+
+    def read_tx_type(
+        self, r: Reader, tx_size: TxSize, y_mode: PredictionMode,
+        is_inter: bool, use_reduced_tx_set: bool,
+    ) -> TxType:
+        tx_set = get_tx_set(tx_size, is_inter, use_reduced_tx_set)
+        if NUM_TX_SET[int(tx_set)] <= 1:
+            return TxType.DCT_DCT
+        square = int(tx_size.sqr())
+        if is_inter:
+            idx = TX_SET_INDEX_INTER[int(tx_set)]
+            if idx == 1:
+                s = self._sym(r, self.fc.inter_tx_1_cdf, square)
+            elif idx == 2:
+                s = self._sym(r, self.fc.inter_tx_2_cdf, square)
+            else:
+                s = self._sym(r, self.fc.inter_tx_3_cdf, square)
+        else:
+            idx = TX_SET_INDEX_INTRA[int(tx_set)]
+            if idx == 1:
+                s = self._sym(r, self.fc.intra_tx_1_cdf, square, int(y_mode))
+            else:
+                s = self._sym(r, self.fc.intra_tx_2_cdf, square, int(y_mode))
+        # invert AV1_TX_IND for this set
+        ind = AV1_TX_IND[int(tx_set)]
+        from rav1e_tpu.context.writer import ContextWriter  # noqa: F401
+
+        # members of the set are where av1_tx_used is 1; find tx with ind==s
+        from rav1e_tpu.tx import TX_SET_MEMBERS, TxSet
+
+        members = _tx_set_members(tx_set)
+        for t in members:
+            if ind[int(t)] == s:
+                return t
+        raise ValueError("invalid tx type symbol")
+
+    # --- coefficients -----------------------------------------------------
+
+    def read_coeffs_lv_map(
+        self,
+        r: Reader,
+        plane: int,
+        x: int,
+        y: int,
+        pred_mode: PredictionMode,
+        tx_size: TxSize,
+        uv_tx_type: TxType,
+        plane_bsize: BlockSize,
+        xdec: int,
+        ydec: int,
+        use_reduced_tx_set: bool,
+        frame_clipped_txw: int,
+        frame_clipped_txh: int,
+    ):
+        """Returns (qcoeffs (H,W) int32, eob, tx_type).
+
+        For chroma (plane > 0) ``uv_tx_type`` supplies the (derived, not
+        coded) transform type; for luma it is read from the stream.
+        """
+        is_inter = not pred_mode.is_intra()
+        txs_ctx = lvmap.txsize_entropy_ctx(tx_size)
+        txb_skip_ctx, dc_sign_ctx = self.bc.get_txb_ctx(
+            plane_bsize, tx_size, plane, x, y, xdec, ydec,
+            frame_clipped_txw, frame_clipped_txh,
+        )
+        plane_type = int(plane != 0)
+        qcoeffs = np.zeros((tx_size.height, tx_size.width), dtype=np.int32)
+
+        all_zero = self._sym(r, self.fc.txb_skip_cdf, txs_ctx, txb_skip_ctx) == 1
+        if all_zero:
+            self.bc.store_coeff_context(plane, x, y, tx_size, xdec, ydec, 0)
+            return qcoeffs, 0, TxType.DCT_DCT
+
+        if plane == 0:
+            tx_type = self.read_tx_type(r, tx_size, pred_mode, is_inter, use_reduced_tx_set)
+        else:
+            tx_type = uv_tx_type
+        return self._read_coeffs_rest(
+            r, plane, x, y, tx_size, tx_type, dc_sign_ctx, txs_ctx, plane_type, xdec, ydec, qcoeffs
+        )
+
+    def _read_coeffs_rest(
+        self, r, plane, x, y, tx_size, tx_type, dc_sign_ctx, txs_ctx, plane_type, xdec, ydec, qcoeffs
+    ):
+        cw, ch = lvmap.coded_dims(tx_size)
+        cls = lvmap.tx_class(tx_type)
+        scan = scan_order(cw, ch, _scan_kind(tx_type))
+        area = cw * ch
+
+        # EOB position
+        eob_multi_size = tx_size.width_log2 + tx_size.height_log2 - 4
+        eob_multi_ctx = int(cls != lvmap.TX_CLASS_2D)
+        eob_cdf_arr = [
+            self.fc.eob_flag_cdf16, self.fc.eob_flag_cdf32, self.fc.eob_flag_cdf64,
+            self.fc.eob_flag_cdf128, self.fc.eob_flag_cdf256, self.fc.eob_flag_cdf512,
+            self.fc.eob_flag_cdf1024,
+        ][min(eob_multi_size, 6)]
+        eob_pt = self._sym(r, eob_cdf_arr, plane_type, eob_multi_ctx) + 1
+        eob = lvmap.K_EOB_GROUP_START[eob_pt]
+        offset_bits = lvmap.K_EOB_OFFSET_BITS[eob_pt]
+        if offset_bits > 0:
+            bit = self._sym(r, self.fc.eob_extra_cdf, txs_ctx, plane_type, eob_pt - 3)
+            extra = bit << (offset_bits - 1)
+            for i in range(1, offset_bits):
+                extra |= r.read_bit() << (offset_bits - 1 - i)
+            eob += extra
+
+        levels = np.zeros((ch + 4, cw + 4), dtype=np.uint8)
+        flat_levels = np.zeros(area, dtype=np.int64)
+
+        for c in range(eob - 1, -1, -1):
+            pos = int(scan[c])
+            row, col = pos // cw, pos % cw
+            if c == eob - 1:
+                ctx = lvmap.coeff_base_eob_ctx(c, eob, area)
+                level = self._sym(r, self.fc.coeff_base_eob_cdf, txs_ctx, plane_type, ctx) + 1
+            else:
+                ctx = lvmap.coeff_base_ctx(levels, row, col, cw, ch, cls)
+                level = self._sym(r, self.fc.coeff_base_cdf, txs_ctx, plane_type, ctx)
+            if level > lvmap.NUM_BASE_LEVELS:
+                bctx = lvmap.br_ctx(levels, row, col, cls)
+                idx = 0
+                while idx < lvmap.COEFF_BASE_RANGE:
+                    k = self._sym(
+                        r, self.fc.coeff_br_cdf,
+                        min(txs_ctx, int(TxSize.TX_32X32)), plane_type, bctx,
+                    )
+                    level += k
+                    if k < lvmap.BR_CDF_SIZE - 1:
+                        break
+                    idx += lvmap.BR_CDF_SIZE - 1
+            levels[row, col] = min(level, 127)
+            flat_levels[pos] = level
+
+        # signs + golomb residue
+        cul_level = 0
+        signs = np.zeros(area, dtype=np.int64)
+        for c in range(eob):
+            pos = int(scan[c])
+            level = int(flat_levels[pos])
+            if level == 0:
+                continue
+            if c == 0:
+                sign = self._sym(r, self.fc.dc_sign_cdf, plane_type, dc_sign_ctx)
+            else:
+                sign = r.read_bit()
+            if level > lvmap.COEFF_BASE_RANGE + lvmap.NUM_BASE_LEVELS:
+                level = (
+                    r.read_golomb() + lvmap.COEFF_BASE_RANGE + lvmap.NUM_BASE_LEVELS + 1
+                )
+                flat_levels[pos] = level
+            signs[pos] = sign
+            cul_level += level
+
+        vals = np.where(signs == 1, -flat_levels, flat_levels)
+        qcoeffs[:ch, :cw] = vals.reshape(ch, cw).astype(np.int32)
+
+        cul_level = min(COEFF_CONTEXT_MASK, cul_level)
+        dc_val = int(qcoeffs[0, 0])
+        if dc_val < 0:
+            cul_level |= 1 << COEFF_CONTEXT_BITS
+        elif dc_val > 0:
+            cul_level += 2 << COEFF_CONTEXT_BITS
+        self.bc.store_coeff_context(plane, x, y, tx_size, xdec, ydec, cul_level)
+        return qcoeffs, eob, tx_type
+
+
+def _tx_set_members(tx_set):
+    from rav1e_tpu.tx import TX_SET_MEMBERS
+
+    return TX_SET_MEMBERS[tx_set]

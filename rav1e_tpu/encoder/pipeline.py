@@ -1,0 +1,535 @@
+"""Frame encoding pipeline.
+
+Counterpart of the reference's ``encode_frame`` / ``encode_tile_group`` /
+``encode_tile`` (encoder.rs:3237-3818): per-tile superblock raster coding
+with partition tree, intra prediction from reconstruction, transform /
+quantize / coefficient coding, and OBU packet assembly.
+
+Round-1 scope: intra frames (KEY), per-block mode selection via batched
+SATD over candidate modes (device-friendly), tile-parallel-ready structure.
+The serial entropy pass consumes per-block decisions; the compute-heavy
+pieces (prediction candidates, transforms) run as batched array ops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from rav1e_tpu import tables
+from rav1e_tpu.api.util import EncoderStats, FrameType, Packet
+from rav1e_tpu.config import ChromaSampling
+from rav1e_tpu.context import BlockContext, CDFContext, ContextWriter, FrameBlocks
+from rav1e_tpu.context.writer import (
+    MAX_TXSIZE_RECT,
+    cfl_allowed,
+    uv_intra_mode_to_tx_type_context,
+)
+from rav1e_tpu.ec import WriterEncoder
+from rav1e_tpu.encoder.obu import (
+    FrameHeaderInfo,
+    ObuType,
+    frame_header_payload,
+    sequence_header_obu,
+    temporal_delimiter,
+    wrap_obu,
+)
+from rav1e_tpu.encoder.sequence import Sequence
+from rav1e_tpu.encoder.tiling import TilingInfo
+from rav1e_tpu.frame import Frame, Plane
+from rav1e_tpu.ops import transforms as T
+from rav1e_tpu.ops.intra import IntraEdge, predict_intra
+from rav1e_tpu.ops.intra_edges import build_intra_edge
+from rav1e_tpu.partition import (
+    BlockSize,
+    MI_SIZE_LOG2,
+    PartitionType,
+    PredictionMode,
+)
+from rav1e_tpu.quantize import QuantizationContext, dequantize
+from rav1e_tpu.tx import TxSize, TxType
+
+MIB_SIZE = 16  # 64x64 superblock in mi units
+
+
+def has_chroma(mi_x: int, mi_y: int, bsize: BlockSize, xdec: int, ydec: int, cs) -> bool:
+    """transform_unit.rs:107-121."""
+    if cs == ChromaSampling.Cs400:
+        return False
+    bw, bh = bsize.width_mi, bsize.height_mi
+    return ((mi_x & 1) == 1 or (bw & 1) == 0 or xdec == 0) and (
+        (mi_y & 1) == 1 or (bh & 1) == 0 or ydec == 0
+    )
+
+
+def largest_chroma_tx_size(bsize: BlockSize, xdec: int, ydec: int) -> TxSize:
+    """Chroma tx covering the whole (subsampled) block, capped at 32x32."""
+    plane_bsize = bsize.chroma_block_size(xdec, ydec)
+    t = MAX_TXSIZE_RECT[int(plane_bsize)]
+    # chroma tx is capped at 32x32
+    while t.width > 32 or t.height > 32:
+        from rav1e_tpu.context.writer import SUB_TX_SIZE_MAP
+
+        t = SUB_TX_SIZE_MAP[int(t)]
+    return t
+
+
+@dataclass
+class FrameInvariantsLite:
+    seq: Sequence
+    width: int
+    height: int
+    frame_type: FrameType
+    base_q_idx: int
+    bit_depth: int
+    tx_mode_select: bool
+    use_reduced_tx_set: bool
+    mi_cols: int
+    mi_rows: int
+
+
+class TileEncoder:
+    """Serial symbol coding of one tile (the host half of the design)."""
+
+    def __init__(
+        self,
+        fi: FrameInvariantsLite,
+        src: Frame,
+        rec: Frame,
+        tile_mi_x: int,
+        tile_mi_y: int,
+        tile_mi_w: int,
+        tile_mi_h: int,
+        speed,
+    ):
+        self.fi = fi
+        self.src = src
+        self.rec = rec
+        self.mi_x0 = tile_mi_x
+        self.mi_y0 = tile_mi_y
+        self.mi_w = tile_mi_w
+        self.mi_h = tile_mi_h
+        self.speed = speed
+        self.fc = CDFContext(fi.base_q_idx)
+        self.blocks = FrameBlocks(tile_mi_w, tile_mi_h)
+        self.bc = BlockContext(self.blocks)
+        self.cw = ContextWriter(self.fc, self.bc)
+        self.w = WriterEncoder()
+        self.qc = QuantizationContext()
+        self.qc_uv = QuantizationContext()
+        self.stats = EncoderStats()
+        cs = fi.seq.chroma_sampling
+        self.xdec, self.ydec = (0, 0) if cs == ChromaSampling.Cs400 else cs.decimation()
+        # tile-origin views of source/recon planes (padded, so reads beyond
+        # the frame edge are defined)
+        self.src_views = [self._tile_view(p) for p in src.planes]
+        self.rec_views = [self._tile_view(p) for p in rec.planes]
+        self.plane_rect = []
+        for pi, p in enumerate(rec.planes):
+            xd = 0 if pi == 0 else self.xdec
+            yd = 0 if pi == 0 else self.ydec
+            px = (tile_mi_x << MI_SIZE_LOG2) >> xd
+            py = (tile_mi_y << MI_SIZE_LOG2) >> yd
+            rect_w = min(((tile_mi_w << MI_SIZE_LOG2) >> xd), p.cfg.width - px)
+            rect_h = min(((tile_mi_h << MI_SIZE_LOG2) >> yd), p.cfg.height - py)
+            self.plane_rect.append((rect_w, rect_h))
+
+    def _tile_view(self, plane: Plane) -> np.ndarray:
+        pi = 0 if plane.cfg.xdec == 0 and plane.cfg.ydec == 0 else 1
+        xd, yd = plane.cfg.xdec, plane.cfg.ydec
+        px = (self.mi_x0 << MI_SIZE_LOG2) >> xd
+        py = (self.mi_y0 << MI_SIZE_LOG2) >> yd
+        pad = plane.cfg.pad
+        # view with tile origin; generous extent into padding
+        return plane.data[pad + py :, pad + px :]
+
+    # ------------------------------------------------------------------
+
+    def encode(self) -> bytes:
+        sb_cols = (self.mi_w + MIB_SIZE - 1) // MIB_SIZE
+        sb_rows = (self.mi_h + MIB_SIZE - 1) // MIB_SIZE
+        for sby in range(sb_rows):
+            self.bc.reset_left_contexts()
+            for sbx in range(sb_cols):
+                self.encode_partition(
+                    sbx * MIB_SIZE, sby * MIB_SIZE, BlockSize.BLOCK_64X64
+                )
+        return self.w.done()
+
+    # --- partition tree -------------------------------------------------
+
+    def encode_partition(self, x: int, y: int, bsize: BlockSize) -> None:
+        if x >= self.mi_w or y >= self.mi_h:
+            return
+        hbs = bsize.width_mi // 2
+        has_cols = (x + hbs) < self.mi_w
+        has_rows = (y + hbs) < self.mi_h
+        pr = self.speed.partition.partition_range
+        if bsize < BlockSize.BLOCK_8X8:
+            partition = PartitionType.PARTITION_NONE
+        else:
+            must_split = not has_cols or not has_rows
+            want_split = bsize.width_log2 > pr.max_log2
+            if must_split or want_split:
+                partition = PartitionType.PARTITION_SPLIT
+            else:
+                partition = PartitionType.PARTITION_NONE
+
+        if bsize >= BlockSize.BLOCK_8X8:
+            self.cw.write_partition(self.w, x, y, partition, bsize)
+
+        if partition == PartitionType.PARTITION_NONE:
+            self.encode_block(x, y, bsize)
+            self.bc.update_partition_context(x, y, bsize, bsize)
+        else:
+            sub = bsize.subsize(PartitionType.PARTITION_SPLIT)
+            sw, sh = sub.width_mi, sub.height_mi
+            self.encode_partition(x, y, sub)
+            self.encode_partition(x + sw, y, sub)
+            self.encode_partition(x, y + sh, sub)
+            self.encode_partition(x + sw, y + sh, sub)
+
+    # --- block coding ----------------------------------------------------
+
+    def encode_block(self, x: int, y: int, bsize: BlockSize) -> None:
+        fi = self.fi
+        cs = fi.seq.chroma_sampling
+        skip = False
+        self.blocks.set_rect("skip", x, y, bsize, skip)
+
+        luma_mode = self.select_luma_mode(x, y, bsize)
+        chroma_mode = luma_mode if luma_mode < PredictionMode.UV_CFL_PRED else PredictionMode.DC_PRED
+        do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, cs)
+
+        # symbols: skip, mode info
+        self.cw.write_skip(self.w, x, y, skip)
+        self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
+        self.blocks.set_rect("tx_size", x, y, bsize, int(self._luma_tx_size(bsize)))
+
+        if fi.frame_type == FrameType.KEY:
+            self.cw.write_intra_mode_kf(self.w, x, y, luma_mode)
+        else:
+            self.cw.write_intra_mode(self.w, bsize, luma_mode)
+        # record mode AFTER kf context derivation uses neighbors
+        self.blocks.set_rect("mode", x, y, bsize, int(luma_mode))
+
+        angle_delta_y = 0
+        angle_delta_uv = 0
+        if luma_mode.is_directional() and bsize >= BlockSize.BLOCK_8X8:
+            self.cw.write_angle_delta(self.w, angle_delta_y, luma_mode)
+        if do_chroma:
+            self.cw.write_intra_uv_mode(self.w, chroma_mode, luma_mode, bsize)
+            if chroma_mode.is_directional() and bsize >= BlockSize.BLOCK_8X8:
+                self.cw.write_angle_delta(self.w, angle_delta_uv, chroma_mode)
+            self.blocks.set_rect("uv_mode", x, y, bsize, int(chroma_mode))
+
+        if fi.seq.enable_filter_intra and luma_mode == PredictionMode.DC_PRED and bsize.width <= 32 and bsize.height <= 32:
+            self.cw.write_use_filter_intra(self.w, False, bsize)
+
+        tx_size = self._luma_tx_size(bsize)
+        if fi.tx_mode_select:
+            if bsize > BlockSize.BLOCK_4X4:
+                self.cw.write_tx_size_intra(self.w, x, y, bsize, tx_size)
+                self.bc.update_tx_size_context(x, y, bsize, tx_size, False)
+            else:
+                self.bc.update_tx_size_context(x, y, bsize, tx_size, False)
+        else:
+            self.bc.update_tx_size_context(x, y, bsize, tx_size, False)
+
+        self.write_tx_blocks(x, y, bsize, luma_mode, chroma_mode, angle_delta_y, angle_delta_uv, skip, do_chroma)
+
+    def _luma_tx_size(self, bsize: BlockSize) -> TxSize:
+        return MAX_TXSIZE_RECT[int(bsize)]
+
+    def select_luma_mode(self, x: int, y: int, bsize: BlockSize) -> PredictionMode:
+        """Batched SATD-style mode pre-selection over candidate intra modes.
+
+        Uses source neighbors as prediction references (the reference's own
+        lookahead approximation precedent, api/lookahead.rs:30) so all
+        candidates evaluate without the recon wavefront; the winner is then
+        coded exactly.
+        """
+        w_px = min(bsize.width, 32)
+        h_px = min(bsize.height, 32)
+        px, py = x << MI_SIZE_LOG2, y << MI_SIZE_LOG2
+        src = self.src_views[0]
+        rect_w, rect_h = self.plane_rect[0]
+        if px >= rect_w or py >= rect_h:
+            return PredictionMode.DC_PRED
+        block = src[py : py + h_px, px : px + w_px].astype(np.int32)
+        base = 128 << (self.fi.bit_depth - 8)
+        above = src[py - 1, px : px + 2 * w_px].astype(np.int32) if py > 0 else np.full(2 * w_px, base - 1, np.int32)
+        left = src[py : py + 2 * h_px, px - 1].astype(np.int32) if px > 0 else np.full(2 * h_px, base + 1, np.int32)
+        tl = int(src[py - 1, px - 1]) if px > 0 and py > 0 else base
+        edge = IntraEdge(above=above, left=left, top_left=tl, have_above=py > 0, have_left=px > 0)
+        candidates = [
+            PredictionMode.DC_PRED,
+            PredictionMode.V_PRED,
+            PredictionMode.H_PRED,
+            PredictionMode.PAETH_PRED,
+            PredictionMode.SMOOTH_PRED,
+        ]
+        best, best_cost = PredictionMode.DC_PRED, None
+        for m in candidates:
+            pred = predict_intra(m, edge, w_px, h_px, self.fi.bit_depth)
+            cost = int(np.abs(block - pred).sum())
+            # small fixed mode-cost bias favoring DC
+            cost += 0 if m == PredictionMode.DC_PRED else w_px
+            if best_cost is None or cost < best_cost:
+                best, best_cost = m, cost
+        return best
+
+    # --- transform blocks -------------------------------------------------
+
+    def write_tx_blocks(
+        self,
+        x: int,
+        y: int,
+        bsize: BlockSize,
+        luma_mode: PredictionMode,
+        chroma_mode: PredictionMode,
+        angle_delta_y: int,
+        angle_delta_uv: int,
+        skip: bool,
+        do_chroma: bool,
+    ) -> None:
+        fi = self.fi
+        tx_size = self._luma_tx_size(bsize)
+        bw = max(bsize.width_mi // max(tx_size.width >> MI_SIZE_LOG2, 1), 1)
+        bh = max(bsize.height_mi // max(tx_size.height >> MI_SIZE_LOG2, 1), 1)
+        self.qc.update(fi.base_q_idx, tx_size, True, fi.bit_depth, 0, 0)
+
+        tx_type = TxType.DCT_DCT
+
+        for by in range(bh):
+            for bx in range(bw):
+                tx_x = x + bx * (tx_size.width >> MI_SIZE_LOG2)
+                tx_y = y + by * (tx_size.height >> MI_SIZE_LOG2)
+                if tx_x >= self.mi_w or tx_y >= self.mi_h:
+                    continue
+                self.encode_tx_block(
+                    0, x, y, bx, by, tx_x, tx_y, luma_mode, tx_size, tx_type,
+                    bsize, skip, angle_delta_y,
+                )
+
+        if not do_chroma or fi.seq.chroma_sampling == ChromaSampling.Cs400:
+            return
+        uv_tx_size = largest_chroma_tx_size(bsize, self.xdec, self.ydec)
+        bw_uv = max((bw * (tx_size.width >> MI_SIZE_LOG2)) >> self.xdec, 1) // max(
+            uv_tx_size.width >> MI_SIZE_LOG2, 1
+        )
+        bh_uv = max((bh * (tx_size.height >> MI_SIZE_LOG2)) >> self.ydec, 1) // max(
+            uv_tx_size.height >> MI_SIZE_LOG2, 1
+        )
+        bw_uv = max(bw_uv, 1)
+        bh_uv = max(bh_uv, 1)
+        if uv_tx_size.width >= 32 or uv_tx_size.height >= 32:
+            uv_tx_type = TxType.DCT_DCT
+        else:
+            uv_tx_type = uv_intra_mode_to_tx_type_context(chroma_mode)
+        for p in (1, 2):
+            self.qc_uv.update(fi.base_q_idx, uv_tx_size, True, fi.bit_depth, 0, 0)
+            for by in range(bh_uv):
+                for bx in range(bw_uv):
+                    tx_x = x + ((bx * (uv_tx_size.width >> MI_SIZE_LOG2)) << self.xdec) - (
+                        int(bw * (tx_size.width >> MI_SIZE_LOG2) == 1) * self.xdec
+                    )
+                    tx_y = y + ((by * (uv_tx_size.height >> MI_SIZE_LOG2)) << self.ydec) - (
+                        int(bh * (tx_size.height >> MI_SIZE_LOG2) == 1) * self.ydec
+                    )
+                    self.encode_tx_block(
+                        p, x, y, bx, by, tx_x, tx_y, chroma_mode, uv_tx_size,
+                        uv_tx_type, bsize, skip, angle_delta_uv,
+                    )
+
+    def encode_tx_block(
+        self,
+        p: int,
+        part_x: int,
+        part_y: int,
+        bx: int,
+        by: int,
+        tx_x: int,
+        tx_y: int,
+        mode: PredictionMode,
+        tx_size: TxSize,
+        tx_type: TxType,
+        bsize: BlockSize,
+        skip: bool,
+        angle_delta: int,
+    ) -> bool:
+        fi = self.fi
+        xd = 0 if p == 0 else self.xdec
+        yd = 0 if p == 0 else self.ydec
+        if tx_x >= self.mi_w or tx_y >= self.mi_h:
+            return False
+        w_px, h_px = tx_size.width, tx_size.height
+        # plane-space position of the tx block within the tile
+        if p == 0:
+            px = tx_x << MI_SIZE_LOG2
+            py = tx_y << MI_SIZE_LOG2
+        else:
+            px = ((part_x << MI_SIZE_LOG2) >> xd) + bx * w_px
+            py = ((part_y << MI_SIZE_LOG2) >> yd) + by * h_px
+        rec = self.rec_views[p]
+        src = self.src_views[p]
+        rect_w, rect_h = self.plane_rect[p]
+
+        plane_bsize = bsize.chroma_block_size(xd, yd) if p else bsize
+
+        # prediction (from recon, normative edges)
+        edge = build_intra_edge(
+            rec, rect_w, rect_h, px, py, tx_size, part_x, part_y, bx, by,
+            bsize, xd, yd, fi.bit_depth, mode, angle_delta,
+        )
+        pred = predict_intra(mode, edge, w_px, h_px, fi.bit_depth, angle_delta)
+        rec[py : py + h_px, px : px + w_px] = pred
+
+        if skip:
+            return False
+
+        residual = (
+            src[py : py + h_px, px : px + w_px].astype(np.int32) - pred
+        )
+        coeffs = T.forward_transform(residual[None], tx_size, tx_type, fi.bit_depth)[0]
+        qc = self.qc if p == 0 else self.qc_uv
+        qcoeffs, eob = qc.quantize_block(coeffs, tx_size, tx_type)
+
+        frame_clipped_txw = min(((fi.mi_cols - (self.mi_x0 + tx_x)) << MI_SIZE_LOG2) >> xd, w_px)
+        frame_clipped_txh = min(((fi.mi_rows - (self.mi_y0 + tx_y)) << MI_SIZE_LOG2) >> yd, h_px)
+
+        has_coeff = self.cw.write_coeffs_lv_map(
+            self.w, p, tx_x, tx_y, qcoeffs, eob, mode, tx_size, tx_type,
+            plane_bsize, xd, yd, fi.use_reduced_tx_set,
+            frame_clipped_txw, frame_clipped_txh,
+        )
+
+        if eob > 0:
+            rcoeffs = dequantize(fi.base_q_idx, qcoeffs, tx_size, fi.bit_depth)
+            recon = T.inverse_transform_add(
+                rcoeffs[None], pred[None], tx_size, tx_type, fi.bit_depth
+            )[0]
+            rec[py : py + h_px, px : px + w_px] = recon
+        return has_coeff
+
+
+class FramePipeline:
+    """Owns sequence state and encodes frames to packets."""
+
+    def __init__(self, config):
+        self.config = config
+        enc = config.enc
+        self.seq = Sequence.from_config(enc)
+        self.tiling = TilingInfo.from_target_tiles(
+            6, enc.width, enc.height, enc.frame_rate(),
+            (enc.tile_cols.bit_length() - 1) if enc.tile_cols else 0,
+            (enc.tile_rows.bit_length() - 1) if enc.tile_rows else 0,
+            enc.chroma_sampling == ChromaSampling.Cs422,
+        )
+        self.seq.tiling = self.tiling
+        self.frames_encoded = 0
+        self.rec_frame: Optional[Frame] = None
+
+    def base_q_idx(self) -> int:
+        enc = self.config.enc
+        qi = tables.select_ac_qi(enc.quantizer, enc.bit_depth)
+        return max(qi, 1)
+
+    def encode_frame(
+        self,
+        frame: Frame,
+        input_frameno: int,
+        frame_type: FrameType,
+        params=None,
+        is_first: bool = False,
+    ) -> Packet:
+        enc = self.config.enc
+        assert frame_type == FrameType.KEY or not enc.still_picture
+        # round-1: all frames coded as KEY (intra); inter lands next
+        frame_type = FrameType.KEY
+
+        mi_cols = (enc.width + 3) >> 2
+        mi_rows = (enc.height + 3) >> 2
+        fi = FrameInvariantsLite(
+            seq=self.seq,
+            width=enc.width,
+            height=enc.height,
+            frame_type=frame_type,
+            base_q_idx=self.base_q_idx(),
+            bit_depth=enc.bit_depth,
+            tx_mode_select=True,
+            use_reduced_tx_set=enc.speed_settings.transform.reduced_tx_set,
+            mi_cols=mi_cols,
+            mi_rows=mi_rows,
+        )
+
+        rec = Frame.new(enc.width, enc.height, enc.chroma_sampling, enc.bit_depth)
+
+        # encode tiles (structure ready for parallel/sharded execution)
+        tile_payloads: List[bytes] = []
+        for tr in range(self.tiling.rows):
+            for tc in range(self.tiling.cols):
+                tx, ty, tw, th = self.tiling.tile_rect_mi(tc, tr, mi_cols, mi_rows)
+                te = TileEncoder(fi, frame, rec, tx, ty, tw, th, enc.speed_settings)
+                tile_payloads.append(te.encode())
+
+        tile_group = self._build_tile_group(tile_payloads)
+
+        sb_w = (mi_cols + MIB_SIZE - 1) // MIB_SIZE
+        sb_h = (mi_rows + MIB_SIZE - 1) // MIB_SIZE
+        fh = FrameHeaderInfo(
+            width=enc.width,
+            height=enc.height,
+            frame_type=frame_type,
+            intra_only=True,
+            base_q_idx=fi.base_q_idx,
+            tx_mode_select=fi.tx_mode_select,
+            use_reduced_tx_set=fi.use_reduced_tx_set,
+            sb_width=sb_w,
+            sb_height=sb_h,
+            order_hint=input_frameno & 0xFF,
+            allow_screen_content_tools=0,
+            force_integer_mv=1,
+        )
+
+        packet_data = bytearray()
+        packet_data += temporal_delimiter()
+        if frame_type == FrameType.KEY:
+            packet_data += sequence_header_obu(self.seq)
+        fh_payload = frame_header_payload(self.seq, fh, self.tiling)
+        packet_data += wrap_obu(ObuType.OBU_FRAME_HEADER, fh_payload)
+        packet_data += wrap_obu(ObuType.OBU_TILE_GROUP, tile_group)
+
+        rec.pad()
+        self.rec_frame = rec
+        self.frames_encoded += 1
+        return Packet(
+            data=bytes(packet_data),
+            input_frameno=input_frameno,
+            frame_type=frame_type,
+            qp=fi.base_q_idx,
+            rec=rec,
+        )
+
+    def _build_tile_group(self, tile_payloads: List[bytes]) -> bytes:
+        """Tile group OBU payload (spec 5.11.1): with one tile there is no
+        header at all; with several, a zero tile_start_and_end flag then
+        little-endian tile sizes for all but the last tile."""
+        from rav1e_tpu.encoder.bitio import BitWriter
+
+        n = len(tile_payloads)
+        out = bytearray()
+        if n == 1:
+            out += tile_payloads[0]
+        else:
+            hdr = BitWriter()
+            hdr.write_bit(0)  # tile_start_and_end_present_flag (all tiles)
+            hdr.byte_align()
+            out += hdr.done()
+            for i, tp in enumerate(tile_payloads):
+                if i < n - 1:
+                    out += (len(tp) - 1).to_bytes(4, "little")  # tile_size_minus_1
+                out += tp
+        return bytes(out)

@@ -67,11 +67,11 @@ class TxSize(IntEnum):
     def sqr(self) -> "TxSize":
         """Largest square size <= this (used for context derivation)."""
         n = min(self.width_log2, self.height_log2)
-        return [TxSize.TX_4X4, TxSize.TX_4X4, TxSize.TX_8X8, TxSize.TX_16X16, TxSize.TX_32X32, TxSize.TX_64X64][n]
+        return [TxSize.TX_4X4, TxSize.TX_8X8, TxSize.TX_16X16, TxSize.TX_32X32, TxSize.TX_64X64][n - 2]
 
     def sqr_up(self) -> "TxSize":
         n = max(self.width_log2, self.height_log2)
-        return [TxSize.TX_4X4, TxSize.TX_4X4, TxSize.TX_8X8, TxSize.TX_16X16, TxSize.TX_32X32, TxSize.TX_64X64][n]
+        return [TxSize.TX_4X4, TxSize.TX_8X8, TxSize.TX_16X16, TxSize.TX_32X32, TxSize.TX_64X64][n - 2]
 
     @classmethod
     def by_dims(cls, w: int, h: int) -> "TxSize":

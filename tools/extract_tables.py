@@ -86,6 +86,24 @@ class RustLiteralParser:
                 self.i += 1
                 return out
             out.append(self.parse_value())
+            # Rust repeat syntax: [elem; N]
+            self.ws_no_comma()
+            if self.t[self.i] == ";":
+                self.i += 1
+                self.ws()
+                m = re.match(r"(\d+)", self.t[self.i :])
+                assert m
+                self.i += m.end()
+                n = int(m.group(1))
+                self.ws()
+                assert self.t[self.i] == "]"
+                self.i += 1
+                elem = out.pop()
+                return out + [elem] * n
+
+    def ws_no_comma(self):
+        while self.i < len(self.t) and self.t[self.i] in " \t\r\n":
+            self.i += 1
 
 
 def _apply_cdf(node):
