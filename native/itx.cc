@@ -1,0 +1,190 @@
+// Native inverse transform: interprets the same traced op-programs as
+// rav1e_tpu/ops/transforms.py (data from rav1e_tpu/data/inv_tx_programs.npz)
+// with identical int32 semantics, plus the normative 2-D driver
+// (spec 7.13.3).  Used by the host reconstruction path; the jax/device path
+// interprets the same tables under XLA.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+constexpr int KIND_INPUT = 0, KIND_BTF = 1, KIND_ADDCLAMP = 2, KIND_LIN = 3,
+              KIND_RSHIFT = 4;
+
+struct Node {
+  int8_t kind;
+  int32_t a, b, w0, w1, aux;
+};
+
+struct Program {
+  std::vector<Node> nodes;
+  std::vector<int32_t> out;
+};
+
+// program ids: family*8 + log2(n)-2; family 0=dct,1=adst,2=flipadst
+static Program g_programs[32];
+
+static inline int32_t round_shift(int64_t v, int bit) {
+  if (bit == 0) return (int32_t)v;
+  return (int32_t)((v + (1ll << (bit - 1))) >> bit);
+}
+
+static inline int32_t clamp_val(int64_t v, int bit) {
+  int64_t mx = (1ll << (bit - 1)) - 1;
+  int64_t mn = -(1ll << (bit - 1));
+  return (int32_t)(v < mn ? mn : (v > mx ? mx : v));
+}
+
+constexpr int32_t SQRT2 = 5793;      // 2^12 * sqrt(2)
+constexpr int32_t INV_SQRT2 = 2896;  // 2^12 / sqrt(2)
+
+// Run a 1-D program over one vector (wrapping int32 arithmetic).
+static void run_program(const Program& p, const int32_t* in, int32_t* out,
+                        int range, int32_t* vals /* scratch >= nodes */) {
+  const size_t n = p.nodes.size();
+  for (size_t i = 0; i < n; i++) {
+    const Node& nd = p.nodes[i];
+    switch (nd.kind) {
+      case KIND_INPUT:
+        vals[i] = in[nd.aux];
+        break;
+      case KIND_BTF: {
+        // wrapping i32 products + rounding, then arithmetic >> 12
+        int32_t s = (int32_t)((uint32_t)vals[nd.a] * (uint32_t)nd.w0 +
+                              (uint32_t)vals[nd.b] * (uint32_t)nd.w1);
+        int32_t rounded = (int32_t)((uint32_t)s + (1u << 11));
+        vals[i] = rounded >> 12;
+        break;
+      }
+      case KIND_ADDCLAMP: {
+        int64_t s = (int64_t)vals[nd.a] * nd.w0;
+        if (nd.b >= 0) s += (int64_t)vals[nd.b] * nd.w1;
+        vals[i] = clamp_val(s, range);
+        break;
+      }
+      case KIND_LIN: {
+        int64_t s = (int64_t)vals[nd.a] * nd.w0;
+        if (nd.b >= 0) s += (int64_t)vals[nd.b] * nd.w1;
+        vals[i] = (int32_t)s;  // wraps like i32
+        break;
+      }
+      default:  // KIND_RSHIFT
+        vals[i] = round_shift(vals[nd.a], nd.aux);
+    }
+  }
+  for (size_t i = 0; i < p.out.size(); i++) out[i] = vals[p.out[i]];
+}
+
+// identity: 0=4,1=8,2=16,3=32 (by log2-2)
+static void run_identity(int nlog2, const int32_t* in, int32_t* out, int n) {
+  switch (nlog2) {
+    case 2:
+      for (int i = 0; i < n; i++)
+        out[i] = round_shift((int64_t)in[i] * SQRT2, 12);
+      break;
+    case 3:
+      for (int i = 0; i < n; i++) out[i] = in[i] * 2;
+      break;
+    case 4:
+      for (int i = 0; i < n; i++)
+        out[i] = round_shift((int64_t)in[i] * 2 * SQRT2, 12);
+      break;
+    default:
+      for (int i = 0; i < n; i++) out[i] = in[i] * 4;
+  }
+}
+
+static void run_wht4(const int32_t* in, int32_t* out) {
+  int32_t x0 = in[0], x1 = in[1], x2 = in[2], x3 = in[3];
+  int32_t s0 = x0 + x1;
+  int32_t s2 = x2 - x3;
+  int32_t s4 = (s0 - s2) >> 1;
+  int32_t s3 = s4 - x3;
+  int32_t s1 = s4 - x1;
+  out[0] = s0 - s3;
+  out[1] = s3;
+  out[2] = s1;
+  out[3] = s2 + s1;
+}
+
+// 1-D dispatch: type 0=dct,1=adst,2=flipadst,3=identity,4=wht
+static void inv_1d(int type, int nlog2, const int32_t* in, int32_t* out, int n,
+                   int range, int32_t* scratch) {
+  if (type == 3) {
+    run_identity(nlog2, in, out, n);
+  } else if (type == 4) {
+    run_wht4(in, out);
+  } else {
+    run_program(g_programs[type * 8 + (nlog2 - 2)], in, out, range, scratch);
+  }
+}
+
+static inline int ilog2(int v) {
+  int n = 0;
+  while (v > 1) { v >>= 1; n++; }
+  return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Load one traced program. family: 0=dct,1=adst,2=flipadst; n = size.
+void itx_load_program(int family, int n, int n_nodes, const int8_t* kind,
+                      const int32_t* a, const int32_t* b, const int32_t* w0,
+                      const int32_t* w1, const int32_t* aux, int n_out,
+                      const int32_t* out) {
+  Program& p = g_programs[family * 8 + (ilog2(n) - 2)];
+  p.nodes.resize(n_nodes);
+  for (int i = 0; i < n_nodes; i++)
+    p.nodes[i] = Node{kind[i], a[i], b[i], w0[i], w1[i], aux[i]};
+  p.out.assign(out, out + n_out);
+}
+
+// Normative 2-D inverse transform + add (spec 7.13.3).
+// coeffs: (h, w) int32 row-major; pred/recon: (h, w) int32.
+// vert/horiz: 1-D types as above; lossless => WHT path.
+void itx_inverse_add(const int32_t* coeffs, const int32_t* pred, int32_t* recon,
+                     int tx_w, int tx_h, int vert_type, int horiz_type,
+                     int inter_shift, int is_rect, int is_lossless, int bd) {
+  int32_t buf[64 * 64];
+  int32_t tmp_in[64], tmp_out[64];
+  int32_t scratch[1024];
+
+  int row_range = bd + 8;
+  int col_range = std::max(bd + 6, 16);
+  int wlog2 = ilog2(tx_w), hlog2 = ilog2(tx_h);
+
+  // row pass
+  for (int r = 0; r < tx_h; r++) {
+    const int32_t* src = coeffs + r * tx_w;
+    for (int c = 0; c < tx_w; c++) {
+      int64_t v = src[c];
+      if (is_lossless) v = v >> 2;
+      else if (is_rect) v = round_shift(v * INV_SQRT2, 12);
+      tmp_in[c] = clamp_val(v, row_range);
+    }
+    inv_1d(horiz_type, wlog2, tmp_in, buf + r * tx_w, tx_w, row_range, scratch);
+  }
+
+  // intermediate shift + clamp, column pass, final shift + add + clip
+  int32_t pix_max = (1 << bd) - 1;
+  for (int c = 0; c < tx_w; c++) {
+    for (int r = 0; r < tx_h; r++) {
+      int32_t v = buf[r * tx_w + c];
+      if (!is_lossless) v = round_shift(v, inter_shift);
+      tmp_in[r] = clamp_val(v, col_range);
+    }
+    inv_1d(vert_type, hlog2, tmp_in, tmp_out, tx_h, col_range, scratch);
+    for (int r = 0; r < tx_h; r++) {
+      int32_t res = is_lossless ? tmp_out[r] : round_shift(tmp_out[r], 4);
+      int32_t v = pred[r * tx_w + c] + res;
+      recon[r * tx_w + c] = v < 0 ? 0 : (v > pix_max ? pix_max : v);
+    }
+  }
+}
+
+}  // extern "C"

@@ -95,8 +95,16 @@ class ContextWriter:
 
     # --- core symbol op ------------------------------------------------
 
-    def _sym(self, w: WriterBase, s: int, arr: np.ndarray, *idx) -> None:
-        """Code s against arr[idx] with adaptation + undo logging."""
+    def _sym(self, w, s: int, arr: np.ndarray, *idx) -> None:
+        """Code s against arr[idx] with adaptation + undo logging.
+
+        With a native encoder backend the CDF row adapts in place in C++
+        (final-emission pass needs no rollback); the Python path logs for
+        RDO rollback.
+        """
+        if getattr(w, "symbol_update_row", None) is not None:
+            w.symbol_update_row(s, arr, idx)
+            return
         row = self.log.push(arr, idx)
         cdf = row.tolist()
         w.symbol(s, cdf)
@@ -334,11 +342,37 @@ class ContextWriter:
             self.bc.store_coeff_context(plane, x, y, tx_size, xdec, ydec, 0)
             return False
 
-        levels = lvmap.init_levels(qcoeffs, cw, ch)
         cls = lvmap.tx_class(tx_type)
 
         if plane == 0:
             self.write_tx_type(w, tx_size, tx_type, pred_mode, is_inter, use_reduced_tx_set)
+
+        if getattr(w, "lib", None) is not None:
+            # native fast path: whole coefficient block coded in C++
+            eob_multi_size = tx_size.width_log2 + tx_size.height_log2 - 4
+            eob_cdf_arr = [
+                self.fc.eob_flag_cdf16, self.fc.eob_flag_cdf32, self.fc.eob_flag_cdf64,
+                self.fc.eob_flag_cdf128, self.fc.eob_flag_cdf256, self.fc.eob_flag_cdf512,
+                self.fc.eob_flag_cdf1024,
+            ][min(eob_multi_size, 6)]
+            eob_row = eob_cdf_arr[plane_type, int(cls != lvmap.TX_CLASS_2D)]
+            q = np.ascontiguousarray(qcoeffs, dtype=np.int32)
+            scan_arr = np.ascontiguousarray(scan_order(cw, ch, _scan_kind(tx_type)), dtype=np.uint16)
+            cul = w.lib.ectx_write_coeffs(
+                w.h,
+                q.ctypes.data, tx_size.width, tx_size.height, cw, ch, eob,
+                scan_arr.ctypes.data, cls, plane_type, dc_sign_ctx,
+                eob_row.ctypes.data, eob_row.shape[-1],
+                self.fc.eob_extra_cdf[txs_ctx, plane_type].ctypes.data,
+                self.fc.coeff_base_eob_cdf[txs_ctx, plane_type].ctypes.data,
+                self.fc.coeff_base_cdf[txs_ctx, plane_type].ctypes.data,
+                self.fc.coeff_br_cdf[min(txs_ctx, int(TxSize.TX_32X32)), plane_type].ctypes.data,
+                self.fc.dc_sign_cdf[plane_type, dc_sign_ctx].ctypes.data,
+            )
+            self.bc.store_coeff_context(plane, x, y, tx_size, xdec, ydec, cul)
+            return True
+
+        levels = lvmap.init_levels(qcoeffs, cw, ch)
 
         # EOB position
         eob_pt, eob_extra = lvmap.get_eob_pos_token(eob)

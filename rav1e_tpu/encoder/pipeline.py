@@ -116,7 +116,12 @@ class TileEncoder:
         self.blocks = FrameBlocks(tile_mi_w, tile_mi_h)
         self.bc = BlockContext(self.blocks)
         self.cw = ContextWriter(self.fc, self.bc)
-        self.w = WriterEncoder()
+        from rav1e_tpu import native
+
+        if native.available():
+            self.w = native.NativeWriterEncoder()
+        else:
+            self.w = WriterEncoder()
         self.qc = QuantizationContext()
         self.qc_uv = QuantizationContext()
         self.stats = EncoderStats()

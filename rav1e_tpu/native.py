@@ -1,0 +1,202 @@
+"""ctypes binding for the native host entropy coder (native/ec.cc).
+
+Builds the shared library on first use (g++ -O3; cached next to the
+source).  Falls back cleanly: callers check ``available()`` and keep the
+pure-Python path when the toolchain is missing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+_ROOT = Path(__file__).resolve().parent.parent
+_SRCS = [_ROOT / "native" / "ec.cc", _ROOT / "native" / "itx.cc"]
+_LIB = _ROOT / "native" / "librav1e_tpu_ec.so"
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC"]
+            + [str(s) for s in _SRCS]
+            + ["-o", str(_LIB)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    newest_src = max(s.stat().st_mtime for s in _SRCS)
+    if not _LIB.exists() or _LIB.stat().st_mtime < newest_src:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB))
+    except OSError:
+        return None
+    c = ctypes
+    lib.ectx_new.restype = c.c_void_p
+    lib.ectx_free.argtypes = [c.c_void_p]
+    lib.ectx_symbol_update.argtypes = [c.c_void_p, c.c_int, c.c_void_p, c.c_int]
+    lib.ectx_symbol.argtypes = [c.c_void_p, c.c_int, c.c_void_p, c.c_int]
+    lib.ectx_bit.argtypes = [c.c_void_p, c.c_int]
+    lib.ectx_literal.argtypes = [c.c_void_p, c.c_int, c.c_uint32]
+    lib.ectx_golomb.argtypes = [c.c_void_p, c.c_uint32]
+    lib.ectx_stream_bytes.argtypes = [c.c_void_p]
+    lib.ectx_stream_bytes.restype = c.c_long
+    lib.ectx_rng.argtypes = [c.c_void_p]
+    lib.ectx_cnt.argtypes = [c.c_void_p]
+    lib.ectx_checkpoint.argtypes = [c.c_void_p, c.POINTER(c.c_long)]
+    lib.ectx_rollback.argtypes = [c.c_void_p, c.POINTER(c.c_long)]
+    lib.ectx_done.argtypes = [c.c_void_p, c.c_void_p, c.c_long]
+    lib.ectx_done.restype = c.c_long
+    lib.ectx_write_coeffs.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
+        c.c_void_p, c.c_int, c.c_int, c.c_int,
+        c.c_void_p, c.c_int, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p,
+    ]
+    lib.ectx_write_coeffs.restype = c.c_int
+    lib.itx_load_program.argtypes = [
+        c.c_int, c.c_int, c.c_int, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_int, c.c_void_p,
+    ]
+    lib.itx_inverse_add.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_int, c.c_int, c.c_int,
+        c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
+    ]
+    _load_itx_programs(lib)
+    _lib = lib
+    return _lib
+
+
+def _load_itx_programs(lib) -> None:
+    import numpy as np
+
+    from rav1e_tpu import tables
+    from rav1e_tpu.tx import TxType1D
+
+    families = {
+        TxType1D.DCT: ("dct", [4, 8, 16, 32, 64], 0),
+        TxType1D.ADST: ("adst", [4, 8, 16], 1),
+        TxType1D.FLIPADST: ("flipadst", [4, 8, 16], 2),
+    }
+    for _, (name, sizes, fam_id) in families.items():
+        for n in sizes:
+            p = tables.inv_tx_program(f"{name}{n}")
+            kind = np.ascontiguousarray(p["kind"], dtype=np.int8)
+            a = np.ascontiguousarray(p["a"], dtype=np.int32)
+            b = np.ascontiguousarray(p["b"], dtype=np.int32)
+            w0 = np.ascontiguousarray(p["w0"], dtype=np.int32)
+            w1 = np.ascontiguousarray(p["w1"], dtype=np.int32)
+            aux = np.ascontiguousarray(p["aux"], dtype=np.int32)
+            out = np.ascontiguousarray(p["out"], dtype=np.int32)
+            lib.itx_load_program(
+                fam_id, n, len(kind), kind.ctypes.data, a.ctypes.data,
+                b.ctypes.data, w0.ctypes.data, w1.ctypes.data,
+                aux.ctypes.data, len(out), out.ctypes.data,
+            )
+
+
+def itx_inverse_add_native(coeffs, pred, tx_size, tx_type, bd: int):
+    """Native 2-D inverse + add for a single (H, W) numpy block."""
+    import numpy as np
+
+    from rav1e_tpu.tx import (
+        INV_INTERMEDIATE_SHIFTS,
+        TxType,
+        TxType1D,
+        get_1d_tx_types,
+    )
+
+    lib = get_lib()
+    vert, horiz = get_1d_tx_types(tx_type)
+    h, w = tx_size.height, tx_size.width
+    c = np.ascontiguousarray(coeffs, dtype=np.int32)
+    p = np.ascontiguousarray(pred, dtype=np.int32)
+    out = np.empty((h, w), dtype=np.int32)
+    lib.itx_inverse_add(
+        c.ctypes.data, p.ctypes.data, out.ctypes.data, w, h,
+        int(vert), int(horiz), INV_INTERMEDIATE_SHIFTS[tx_size],
+        int(tx_size.is_rect()), int(tx_type == TxType.WHT_WHT), bd,
+    )
+    return out
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+class NativeWriterEncoder:
+    """Drop-in for ec.WriterEncoder backed by the C++ coder.
+
+    Only the surface the final-emission pass uses (symbol_with_update via
+    ContextWriter, bit/literal/golomb, done); RDO rate counting stays on the
+    Python WriterCounter.
+    """
+
+    __slots__ = ("lib", "h")
+
+    def __init__(self):
+        self.lib = get_lib()
+        assert self.lib is not None
+        self.h = self.lib.ectx_new()
+
+    def __del__(self):
+        try:
+            if self.h:
+                self.lib.ectx_free(self.h)
+                self.h = None
+        except Exception:
+            pass
+
+    # symbol layer -----------------------------------------------------
+
+    def symbol_update_row(self, s: int, arr, idx: tuple) -> None:
+        """Code + adapt against the numpy CDF row arr[idx] in place."""
+        row = arr[idx]
+        n = row.shape[-1]
+        self.lib.ectx_symbol_update(self.h, s, row.ctypes.data, n)
+
+    def symbol(self, s: int, cdf) -> None:
+        import numpy as np
+
+        row = np.asarray(cdf, dtype=np.uint16)
+        self.lib.ectx_symbol(self.h, s, row.ctypes.data, len(row))
+
+    def bit(self, b: int) -> None:
+        self.lib.ectx_bit(self.h, b)
+
+    def literal(self, bits: int, v: int) -> None:
+        self.lib.ectx_literal(self.h, bits, v)
+
+    def write_golomb(self, level: int) -> None:
+        self.lib.ectx_golomb(self.h, level)
+
+    def stream_bits(self) -> int:
+        return int(self.lib.ectx_stream_bytes(self.h)) * 8
+
+    def tell(self) -> int:
+        return self.stream_bits() + int(ctypes.c_int16(self.lib.ectx_cnt(self.h)).value) + 10
+
+    def done(self) -> bytes:
+        cap = int(self.lib.ectx_stream_bytes(self.h)) + 64
+        buf = (ctypes.c_uint8 * cap)()
+        n = self.lib.ectx_done(self.h, buf, cap)
+        assert n >= 0
+        return bytes(bytearray(buf)[:n])

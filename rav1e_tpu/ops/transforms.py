@@ -174,6 +174,17 @@ def inverse_transform_add(coeffs, pred, tx_size: TxSize, tx_type: TxType, bd: in
     xp = _xp(coeffs)
     w, h = tx_size.width, tx_size.height
     assert coeffs.shape[-2:] == (h, w)
+    if xp is np:
+        # host fast path: native interpreter over the same op tables
+        from rav1e_tpu import native
+
+        if native.available():
+            out = np.empty(coeffs.shape, dtype=np.int32)
+            for i in range(coeffs.shape[0]):
+                out[i] = native.itx_inverse_add_native(
+                    coeffs[i], np.asarray(pred[i]), tx_size, tx_type, bd
+                )
+            return out
     vert, horiz = get_1d_tx_types(tx_type)
     lossless = tx_type == TxType.WHT_WHT
 
@@ -293,8 +304,11 @@ def forward_transform(residual, tx_size: TxSize, tx_type: TxType, bd: int):
         return _fwd_wht4(residual)
     fv, fh = _fwd_matrices(tx_size, tx_type)
     if xp is np:
-        x = residual.astype(np.float64)
-        c = np.einsum("ij,bjk,lk->bil", fv, x, fh)
+        x = residual.astype(np.float32)
+        # BLAS-backed batched matmuls (einsum would go through the slow
+        # general contraction path); fp32 is ample for the non-normative
+        # forward direction
+        c = (fv.astype(np.float32) @ x) @ fh.astype(np.float32).T
         c = np.rint(c).astype(np.int32)
     else:
         import jax.numpy as jnp
