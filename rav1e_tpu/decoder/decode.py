@@ -280,7 +280,14 @@ class TileDecoder:
             rec, rect_w, rect_h, px, py, tx_size, part_x, part_y, bx, by,
             bsize, xd, yd, self.seq.bit_depth, mode, angle_delta,
         )
-        pred = predict_intra(mode, edge, w_px, h_px, self.seq.bit_depth, angle_delta)
+        ief = None
+        if mode.is_directional() and self.seq.enable_intra_edge_filter:
+            from rav1e_tpu.encoder.pipeline import build_ief_params
+
+            ief = build_ief_params(self.blocks, part_x, part_y, p, xd, yd)
+        pred = predict_intra(
+            mode, edge, w_px, h_px, self.seq.bit_depth, angle_delta, ief_params=ief
+        )
         rec[py : py + h_px, px : px + w_px] = pred
         if skip:
             return

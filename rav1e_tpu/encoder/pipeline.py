@@ -64,6 +64,32 @@ def has_chroma(mi_x: int, mi_y: int, bsize: BlockSize, xdec: int, ydec: int, cs)
     )
 
 
+def build_ief_params(blocks, x: int, y: int, plane: int, xdec: int, ydec: int):
+    """Intra edge filter parameters from neighbor block modes
+    (reference predict.rs:543-575, tile_state.rs:229-264)."""
+    from rav1e_tpu.ops.intra import IefParams
+
+    bo_x, bo_y = x, y
+    if bo_x & 1 == 0:
+        bo_x += xdec
+    if bo_y & 1 == 1:
+        bo_y -= ydec
+    above_mode = None
+    if bo_y > 0:
+        m = blocks.mode if plane == 0 else blocks.uv_mode
+        above_mode = PredictionMode(int(m[bo_y - 1, bo_x]))
+    bo_x, bo_y = x, y
+    if bo_x & 1 == 1:
+        bo_x -= xdec
+    if bo_y & 1 == 0:
+        bo_y += ydec
+    left_mode = None
+    if bo_x > 0:
+        m = blocks.mode if plane == 0 else blocks.uv_mode
+        left_mode = PredictionMode(int(m[min(bo_y, blocks.rows - 1), bo_x - 1]))
+    return IefParams(above_mode=above_mode, left_mode=left_mode)
+
+
 def largest_chroma_tx_size(bsize: BlockSize, xdec: int, ydec: int) -> TxSize:
     """Chroma tx covering the whole (subsampled) block, capped at 32x32."""
     plane_bsize = bsize.chroma_block_size(xdec, ydec)
@@ -269,13 +295,18 @@ class TileEncoder:
         left = src[py : py + 2 * h_px, px - 1].astype(np.int32) if px > 0 else np.full(2 * h_px, base + 1, np.int32)
         tl = int(src[py - 1, px - 1]) if px > 0 and py > 0 else base
         edge = IntraEdge(above=above, left=left, top_left=tl, have_above=py > 0, have_left=px > 0)
-        candidates = [
-            PredictionMode.DC_PRED,
-            PredictionMode.V_PRED,
-            PredictionMode.H_PRED,
-            PredictionMode.PAETH_PRED,
-            PredictionMode.SMOOTH_PRED,
-        ]
+        from rav1e_tpu.config import PredictionModesSetting
+
+        if self.speed.prediction.prediction_modes >= PredictionModesSetting.ComplexKeyframes:
+            candidates = [PredictionMode(m) for m in range(13)]
+        else:
+            candidates = [
+                PredictionMode.DC_PRED,
+                PredictionMode.V_PRED,
+                PredictionMode.H_PRED,
+                PredictionMode.PAETH_PRED,
+                PredictionMode.SMOOTH_PRED,
+            ]
         best, best_cost = PredictionMode.DC_PRED, None
         for m in candidates:
             pred = predict_intra(m, edge, w_px, h_px, self.fi.bit_depth)
@@ -389,7 +420,12 @@ class TileEncoder:
             rec, rect_w, rect_h, px, py, tx_size, part_x, part_y, bx, by,
             bsize, xd, yd, fi.bit_depth, mode, angle_delta,
         )
-        pred = predict_intra(mode, edge, w_px, h_px, fi.bit_depth, angle_delta)
+        ief = None
+        if mode.is_directional() and fi.seq.enable_intra_edge_filter:
+            ief = build_ief_params(self.blocks, part_x, part_y, p, xd, yd)
+        pred = predict_intra(
+            mode, edge, w_px, h_px, fi.bit_depth, angle_delta, ief_params=ief
+        )
         rec[py : py + h_px, px : px + w_px] = pred
 
         if skip:

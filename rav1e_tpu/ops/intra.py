@@ -232,39 +232,32 @@ def _pred_cfl(dc: np.ndarray, ac: np.ndarray, alpha: int, bd: int) -> np.ndarray
 
 def select_ief_strength(w: int, h: int, smooth_filter: bool, delta: int) -> int:
     """Edge filter strength (spec 7.11.2.9 Intra_Edge_Filter_Strength;
-    reference predict.rs:1125)."""
+    reference predict.rs:1125-1185)."""
     blk_wh = w + h
     d = abs(delta)
-    if d == 0 or d >= 40:
-        return 0
     if smooth_filter:
         if blk_wh <= 8:
             if d >= 64:
                 return 2
             if d >= 40:
                 return 1
-            return 0
         elif blk_wh <= 16:
             if d >= 48:
                 return 2
             if d >= 20:
                 return 1
-            return 0
         elif blk_wh <= 24:
             if d >= 4:
                 return 3
-            return 0
         else:
             return 3
     else:
         if blk_wh <= 8:
             if d >= 56:
                 return 1
-            return 0
         elif blk_wh <= 16:
             if d >= 40:
                 return 1
-            return 0
         elif blk_wh <= 24:
             if d >= 32:
                 return 3
@@ -272,7 +265,6 @@ def select_ief_strength(w: int, h: int, smooth_filter: bool, delta: int) -> int:
                 return 2
             if d >= 8:
                 return 1
-            return 0
         elif blk_wh <= 32:
             if d >= 32:
                 return 3
@@ -281,6 +273,7 @@ def select_ief_strength(w: int, h: int, smooth_filter: bool, delta: int) -> int:
             return 1
         else:
             return 3
+    return 0
 
 
 def select_ief_upsample(w: int, h: int, smooth_filter: bool, delta: int) -> bool:
