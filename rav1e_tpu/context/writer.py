@@ -304,6 +304,177 @@ class ContextWriter:
             else:
                 self._sym(w, s, self.fc.intra_tx_2_cdf, square, int(y_mode))
 
+    # --- inter modes (frame_header.rs:67, block_unit.rs:1660-1782) --------
+
+    def write_is_inter(self, w, x: int, y: int, is_inter: bool) -> None:
+        ctx = self._intra_inter_context(x, y)
+        self._sym(w, int(is_inter), self.fc.intra_inter_cdfs, ctx)
+
+    def _intra_inter_context(self, x: int, y: int) -> int:
+        b = self.bc.blocks
+        has_above, has_left = y > 0, x > 0
+        if has_above and has_left:
+            above_intra = not bool(b.is_inter_flag[y - 1, x])
+            left_intra = not bool(b.is_inter_flag[y, x - 1])
+            return 3 if (above_intra and left_intra) else int(above_intra or left_intra)
+        if has_above:
+            return 2 if not bool(b.is_inter_flag[y - 1, x]) else 0
+        if has_left:
+            return 2 if not bool(b.is_inter_flag[y, x - 1]) else 0
+        return 0
+
+    def write_ref_frames_single(self, w, x: int, y: int, ref_frame: int, counts) -> None:
+        """Single-reference coding path (frame_header.rs:121-160)."""
+        from rav1e_tpu.context import mv as MV
+
+        def rctx(c0, c1):
+            return MV.ref_count_ctx(c0, c1)
+
+        fwd = counts[0] + counts[1] + counts[2] + counts[3]
+        bwd = counts[4] + counts[5] + counts[6]
+        b0 = MV.is_bwd_ref(ref_frame)
+        self._sym(w, int(b0), self.fc.single_ref_cdfs, rctx(fwd, bwd), 0)
+        if b0:
+            b1 = ref_frame == MV.ALTREF_FRAME
+            ctx = rctx(counts[4] + counts[5], counts[6])
+            self._sym(w, int(b1), self.fc.single_ref_cdfs, ctx, 1)
+            if not b1:
+                b5 = ref_frame == MV.ALTREF2_FRAME
+                self._sym(w, int(b5), self.fc.single_ref_cdfs, rctx(counts[4], counts[5]), 5)
+        else:
+            b2 = ref_frame in (MV.LAST3_FRAME, MV.GOLDEN_FRAME)
+            ctx = rctx(counts[0] + counts[1], counts[2] + counts[3])
+            self._sym(w, int(b2), self.fc.single_ref_cdfs, ctx, 2)
+            if not b2:
+                b3 = ref_frame != MV.LAST_FRAME
+                self._sym(w, int(b3), self.fc.single_ref_cdfs, rctx(counts[0], counts[1]), 3)
+            else:
+                b4 = ref_frame != MV.LAST3_FRAME
+                self._sym(w, int(b4), self.fc.single_ref_cdfs, rctx(counts[2], counts[3]), 4)
+
+    def write_inter_mode(self, w, mode: PredictionMode, ctx: int) -> None:
+        from rav1e_tpu.context.mv import (
+            GLOBALMV_CTX_MASK,
+            GLOBALMV_OFFSET,
+            NEWMV_CTX_MASK,
+            REFMV_CTX_MASK,
+            REFMV_OFFSET,
+        )
+
+        newmv_ctx = ctx & NEWMV_CTX_MASK
+        self._sym(w, int(mode != PredictionMode.NEWMV), self.fc.newmv_cdf, newmv_ctx)
+        if mode != PredictionMode.NEWMV:
+            zeromv_ctx = (ctx >> GLOBALMV_OFFSET) & GLOBALMV_CTX_MASK
+            self._sym(w, int(mode != PredictionMode.GLOBALMV), self.fc.zeromv_cdf, zeromv_ctx)
+            if mode != PredictionMode.GLOBALMV:
+                refmv_ctx = (ctx >> REFMV_OFFSET) & REFMV_CTX_MASK
+                self._sym(w, int(mode != PredictionMode.NEARESTMV), self.fc.refmv_cdf, refmv_ctx)
+
+    def write_drl_mode(self, w, drl: bool, ctx: int) -> None:
+        self._sym(w, int(drl), self.fc.drl_cdfs, ctx)
+
+    def write_mv(self, w, mv, ref_mv, precision: int) -> None:
+        """precision: 0=int only, 1=low (no hp bit), 2=high (context/mod.rs
+        encode_mv_component; spec assign_mv)."""
+        diff = (mv[0] - ref_mv[0], mv[1] - ref_mv[1])
+        j = (int(diff[1] != 0)) | (int(diff[0] != 0) << 1)
+        # joint: 0=zero,1=hnzvz(col only),2=hzvnz(row only),3=both
+        self._sym(w, j, self.fc.nmv_joints_cdf)
+        if diff[0] != 0:
+            self._encode_mv_component(w, diff[0], 0, precision)
+        if diff[1] != 0:
+            self._encode_mv_component(w, diff[1], 1, precision)
+
+    def _encode_mv_component(self, w, comp: int, axis: int, precision: int) -> None:
+        sign = int(comp < 0)
+        mag = -comp if sign else comp
+        z = mag - 1
+        if z >= 2 * 4096:
+            mv_class = 10
+        else:
+            mv_class = max((z >> 3).bit_length() - 1, 0)
+        base = 0 if mv_class == 0 else (2 << (mv_class + 2))
+        offset = z - base
+        d = offset >> 3
+        fr = (offset >> 1) & 3
+        hp = offset & 1
+        self._sym(w, sign, self.fc.nmv_sign_cdf, axis)
+        self._sym(w, mv_class, self.fc.nmv_classes_cdf, axis)
+        if mv_class == 0:
+            self._sym(w, d, self.fc.nmv_class0_cdf, axis)
+        else:
+            for i in range(mv_class + 1 - 1):  # CLASS0_BITS=1
+                self._sym(w, (d >> i) & 1, self.fc.nmv_bits_cdf, axis, i)
+        if precision > 0:
+            if mv_class == 0:
+                self._sym(w, fr, self.fc.nmv_class0_fp_cdf, axis, d)
+            else:
+                self._sym(w, fr, self.fc.nmv_fp_cdf, axis)
+        if precision > 1:
+            if mv_class == 0:
+                self._sym(w, hp, self.fc.nmv_class0_hp_cdf, axis)
+            else:
+                self._sym(w, hp, self.fc.nmv_hp_cdf, axis)
+
+    def write_tx_size_inter(
+        self, w, x: int, y: int, bsize: BlockSize, tx_size: TxSize,
+        txfm_split: bool, tbx: int, tby: int, depth: int,
+    ) -> None:
+        """Var-tx signaling (transform_unit.rs:727-773); we always code
+        txfm_split=False (whole-block tx) for now."""
+        if x >= self.bc.blocks.cols or y >= self.bc.blocks.rows:
+            return
+        if tx_size != TxSize.TX_4X4 and depth < 2:
+            ctx = self._txfm_partition_context(x, y, bsize, tx_size, tbx, tby)
+            self._sym(w, int(txfm_split), self.fc.txfm_partition_cdf, ctx)
+        if not txfm_split:
+            self.bc.update_tx_size_context(
+                x, y, BlockSize.from_wh(tx_size.width, tx_size.height), tx_size, False
+            )
+        else:
+            sub = SUB_TX_SIZE_MAP[int(tx_size)]
+            bw = bsize.width_mi // max(sub.width >> 2, 1)
+            bh = bsize.height_mi // max(sub.height >> 2, 1)
+            for by in range(bh):
+                for bx in range(bw):
+                    self.write_tx_size_inter(
+                        w, x + bx * (sub.width >> 2), y + by * (sub.height >> 2),
+                        bsize, sub, False, bx, by, depth + 1,
+                    )
+
+    def _txfm_partition_context(self, x, y, bsize: BlockSize, tx_size: TxSize, tbx: int, tby: int) -> int:
+        b = self.bc.blocks
+        # above tx width
+        if tby == 0:
+            if y == 0:
+                above = 64
+            else:
+                ab_inter = bool(b.is_inter_flag[y - 1, x])
+                ab_skip = bool(b.skip[y - 1, x])
+                if ab_skip and ab_inter:
+                    above = BlockSize(int(b.bsize[y - 1, x])).width
+                else:
+                    above = int(self.bc.above_tx_context[x])
+        else:
+            above = int(self.bc.above_tx_context[x])
+        if tbx == 0:
+            if x == 0:
+                left = 64
+            else:
+                l_inter = bool(b.is_inter_flag[y, x - 1])
+                l_skip = bool(b.skip[y, x - 1])
+                if l_skip and l_inter:
+                    left = BlockSize(int(b.bsize[y, x - 1])).height
+                else:
+                    left = int(self.bc.left_tx_context[y & 15])
+        else:
+            left = int(self.bc.left_tx_context[y & 15])
+        above_f = int(above < tx_size.width)
+        left_f = int(left < tx_size.height)
+        max_tx = MAX_TXSIZE_RECT[int(bsize)].sqr_up()
+        category = int(tx_size.sqr_up() != max_tx) + (5 - 1 - int(max_tx)) * 2
+        return category * 3 + above_f + left_f
+
     # --- coefficients (block_unit.rs:1783-2016) ---------------------------
 
     def write_coeffs_lv_map(

@@ -36,8 +36,24 @@ from rav1e_tpu.quantize import dequantize
 from rav1e_tpu.tx import TxSize, TxType
 
 
-def decode_packet(data: bytes, seq=None):
-    """Decode one temporal unit -> (Frame, Sequence). Raises DecodeError."""
+class DecoderState:
+    """Sequence + reference frame slots carried across packets."""
+
+    def __init__(self, seq=None):
+        self.seq = seq
+        self.refs: List[Optional[Frame]] = [None] * 8
+
+
+def decode_packet(data: bytes, state=None):
+    """Decode one temporal unit -> (Frame, DecoderState). Raises DecodeError.
+
+    ``state`` may be None (first packet), a prior DecoderState, or (for
+    backwards compatibility) a bare Sequence.
+    """
+    if state is None:
+        state = DecoderState()
+    elif not isinstance(state, DecoderState):
+        state = DecoderState(seq=state)
     obus = parse_obus(data)
     fh: Optional[FrameHeader] = None
     frame: Optional[Frame] = None
@@ -45,23 +61,25 @@ def decode_packet(data: bytes, seq=None):
         if obu_type == ObuType.OBU_TEMPORAL_DELIMITER:
             continue
         elif obu_type == ObuType.OBU_SEQUENCE_HEADER:
-            seq = parse_sequence_header(payload)
+            state.seq = parse_sequence_header(payload)
         elif obu_type == ObuType.OBU_FRAME_HEADER:
-            if seq is None:
+            if state.seq is None:
                 raise DecodeError("frame header before sequence header")
-            fh = parse_frame_header(payload, seq)
+            fh = parse_frame_header(payload, state.seq)
         elif obu_type == ObuType.OBU_TILE_GROUP:
             if fh is None:
                 raise DecodeError("tile group before frame header")
-            frame = _decode_tile_group(payload, seq, fh)
+            frame = _decode_tile_group(payload, state.seq, fh, state)
         else:
             raise DecodeError(f"unsupported OBU {obu_type}")
-    return frame, seq
+    if frame is not None and fh is not None:
+        for i in range(8):
+            if (fh.refresh_frame_flags >> i) & 1:
+                state.refs[i] = frame
+    return frame, state
 
 
-def _decode_tile_group(payload: bytes, seq, fh: FrameHeader) -> Frame:
-    if not fh.intra_only:
-        raise DecodeError("inter decoding not implemented yet")
+def _decode_tile_group(payload: bytes, seq, fh: FrameHeader, state: "DecoderState") -> Frame:
     frame = Frame.new(fh.width, fh.height, seq.chroma_sampling, seq.bit_depth)
     mi_cols = (fh.width + 3) >> 2
     mi_rows = (fh.height + 3) >> 2
@@ -89,11 +107,17 @@ def _decode_tile_group(payload: bytes, seq, fh: FrameHeader) -> Frame:
             else:
                 tile_data.append(payload[pos:])
 
+    ref_frame = None
+    if not fh.intra_only:
+        ref_frame = state.refs[fh.ref_frames[0]]
+        if ref_frame is None:
+            raise DecodeError("missing reference frame")
+
     idx = 0
     for tr in range(ti.rows):
         for tc in range(ti.cols):
             tx, ty, tw, th = ti.tile_rect_mi(tc, tr, mi_cols, mi_rows)
-            td = TileDecoder(seq, fh, frame, tx, ty, tw, th, mi_cols, mi_rows)
+            td = TileDecoder(seq, fh, frame, tx, ty, tw, th, mi_cols, mi_rows, ref_frame)
             td.decode(tile_data[idx])
             idx += 1
     frame.pad()
@@ -101,10 +125,11 @@ def _decode_tile_group(payload: bytes, seq, fh: FrameHeader) -> Frame:
 
 
 class TileDecoder:
-    def __init__(self, seq, fh: FrameHeader, frame: Frame, mi_x0, mi_y0, mi_w, mi_h, mi_cols, mi_rows):
+    def __init__(self, seq, fh: FrameHeader, frame: Frame, mi_x0, mi_y0, mi_w, mi_h, mi_cols, mi_rows, ref_frame=None):
         self.seq = seq
         self.fh = fh
         self.frame = frame
+        self.ref_frame = ref_frame
         self.mi_x0, self.mi_y0 = mi_x0, mi_y0
         self.mi_w, self.mi_h = mi_w, mi_h
         self.mi_cols, self.mi_rows = mi_cols, mi_rows
@@ -163,6 +188,15 @@ class TileDecoder:
         self.blocks.set_rect("skip", x, y, bsize, skip)
         self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
 
+        is_inter = False
+        if fh.frame_type.has_inter():
+            is_inter = self.cr.read_is_inter(self.r, x, y)
+        self.blocks.set_rect("is_inter_flag", x, y, bsize, is_inter)
+        if is_inter:
+            self.decode_block_inter(x, y, bsize, skip)
+            return
+        self.blocks.set_rect("ref_frames", x, y, bsize, 0)
+
         if fh.frame_type == FrameType.KEY:
             luma_mode = self.cr.read_intra_mode_kf(self.r, x, y)
         else:
@@ -210,6 +244,153 @@ class TileDecoder:
             x, y, bsize, luma_mode, chroma_mode, tx_size, angle_delta_y,
             angle_delta_uv, skip, do_chroma, cfl,
         )
+
+    def decode_block_inter(self, x: int, y: int, bsize: BlockSize, skip: bool) -> None:
+        from rav1e_tpu.context.mv import (
+            REF_CAT_LEVEL,
+            MvFinder,
+            fill_neighbours_ref_counts,
+        )
+        from rav1e_tpu.context.writer import MAX_TXSIZE_RECT
+
+        fh = self.fh
+        counts = fill_neighbours_ref_counts(self.blocks, x, y)
+        ref_frame = self.cr.read_ref_frames_single(self.r, counts)
+        finder = MvFinder(self.blocks, self.mi_cols, self.mi_rows, self.mi_x0, self.mi_y0)
+        stack, mode_ctx = finder.find_mvrefs(x, y, ref_frame, bsize, lambda r: 0)
+        mode = self.cr.read_inter_mode(self.r, mode_ctx)
+        num_found = len(stack)
+        ref_mv_idx = 0
+        if mode == PredictionMode.NEWMV:
+            for idx in range(2):
+                if num_found > idx + 1:
+                    ctx = int(stack[idx].weight < REF_CAT_LEVEL) + int(
+                        stack[idx + 1].weight < REF_CAT_LEVEL
+                    )
+                    if self.cr.read_drl_mode(self.r, ctx):
+                        ref_mv_idx = idx + 1
+                        continue
+                    break
+            ref_mv = tuple(stack[ref_mv_idx].this_mv) if num_found > 0 else (0, 0)
+            mv = self.cr.read_mv(self.r, ref_mv, precision=1)
+        elif mode == PredictionMode.NEARESTMV:
+            mv = tuple(stack[0].this_mv) if stack else (0, 0)
+        elif mode == PredictionMode.GLOBALMV:
+            mv = (0, 0)
+        else:  # NEARMV family
+            from rav1e_tpu.decoder.headers import DecodeError
+
+            raise DecodeError("NEARMV decoding not wired yet")
+
+        self.blocks.set_rect("mode", x, y, bsize, int(mode))
+        self.blocks.ref_frames[y : y + bsize.height_mi, x : x + bsize.width_mi, 0] = ref_frame
+        self.blocks.ref_frames[y : y + bsize.height_mi, x : x + bsize.width_mi, 1] = -1
+        self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 0, 0] = mv[0]
+        self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 0, 1] = mv[1]
+
+        tx_size = MAX_TXSIZE_RECT[int(bsize)]
+        self.blocks.set_rect("tx_size", x, y, bsize, int(tx_size))
+        if fh.tx_mode_select:
+            if bsize > BlockSize.BLOCK_4X4 and not skip:
+                self.cr.read_tx_size_inter(self.r, x, y, bsize, tx_size, 0, 0, 0)
+            else:
+                self.bc.update_tx_size_context(x, y, bsize, tx_size, skip)
+        else:
+            self.bc.update_tx_size_context(x, y, bsize, tx_size, skip)
+
+        if skip:
+            self.bc.reset_skip_context(
+                x, y, bsize, self.xdec, self.ydec,
+                self.seq.chroma_sampling == ChromaSampling.Cs400,
+                has_chroma(x, y, bsize, self.xdec, self.ydec, self.seq.chroma_sampling),
+            )
+
+        self._motion_compensate(x, y, bsize, mv)
+        do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, self.seq.chroma_sampling)
+        if not skip:
+            self._decode_inter_residual(x, y, bsize, mode, tx_size, do_chroma)
+
+    def _motion_compensate(self, x: int, y: int, bsize: BlockSize, mv) -> None:
+        from rav1e_tpu.ops.mc import REGULAR, mv_to_offsets, put_8tap
+
+        do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, self.seq.chroma_sampling)
+        nplanes = 3 if (do_chroma and self.seq.chroma_sampling != ChromaSampling.Cs400) else 1
+        for p in range(nplanes):
+            xd = 0 if p == 0 else self.xdec
+            yd = 0 if p == 0 else self.ydec
+            ref_plane = self.ref_frame.planes[p]
+            pad = ref_plane.cfg.pad
+            w_px = max(bsize.width >> xd, 4)
+            h_px = max(bsize.height >> yd, 4)
+            px = ((self.mi_x0 + x) << MI_SIZE_LOG2) >> xd
+            py = ((self.mi_y0 + y) << MI_SIZE_LOG2) >> yd
+            row_int, col_int, row_frac, col_frac = mv_to_offsets(mv[0], mv[1], xd, yd)
+            pred = put_8tap(
+                ref_plane.data, pad + px + col_int, pad + py + row_int,
+                w_px, h_px, col_frac, row_frac, REGULAR, REGULAR, self.seq.bit_depth,
+            )
+            rel_x = (x << MI_SIZE_LOG2) >> xd
+            rel_y = (y << MI_SIZE_LOG2) >> yd
+            self.rec_views[p][rel_y : rel_y + h_px, rel_x : rel_x + w_px] = pred
+
+    def _decode_inter_residual(self, x, y, bsize: BlockSize, mode, tx_size: TxSize, do_chroma) -> None:
+        fh = self.fh
+        bw = max(bsize.width_mi // max(tx_size.width >> MI_SIZE_LOG2, 1), 1)
+        bh = max(bsize.height_mi // max(tx_size.height >> MI_SIZE_LOG2, 1), 1)
+        for by in range(bh):
+            for bx in range(bw):
+                tx_x = x + bx * (tx_size.width >> MI_SIZE_LOG2)
+                tx_y = y + by * (tx_size.height >> MI_SIZE_LOG2)
+                if tx_x >= self.mi_w or tx_y >= self.mi_h:
+                    continue
+                self._decode_inter_tx_block(0, x, y, bx, by, tx_x, tx_y, mode, tx_size, bsize)
+        if not do_chroma or self.seq.chroma_sampling == ChromaSampling.Cs400:
+            return
+        uv_tx_size = largest_chroma_tx_size(bsize, self.xdec, self.ydec)
+        bw_uv = max((bw * (tx_size.width >> MI_SIZE_LOG2)) >> self.xdec, 1) // max(
+            uv_tx_size.width >> MI_SIZE_LOG2, 1
+        )
+        bh_uv = max((bh * (tx_size.height >> MI_SIZE_LOG2)) >> self.ydec, 1) // max(
+            uv_tx_size.height >> MI_SIZE_LOG2, 1
+        )
+        for p in (1, 2):
+            for by in range(max(bh_uv, 1)):
+                for bx in range(max(bw_uv, 1)):
+                    tx_x = x + ((bx * (uv_tx_size.width >> MI_SIZE_LOG2)) << self.xdec)
+                    tx_y = y + ((by * (uv_tx_size.height >> MI_SIZE_LOG2)) << self.ydec)
+                    self._decode_inter_tx_block(p, x, y, bx, by, tx_x, tx_y, mode, uv_tx_size, bsize)
+
+    def _decode_inter_tx_block(self, p, part_x, part_y, bx, by, tx_x, tx_y, mode, tx_size, bsize) -> None:
+        fh = self.fh
+        xd = 0 if p == 0 else self.xdec
+        yd = 0 if p == 0 else self.ydec
+        if tx_x >= self.mi_w or tx_y >= self.mi_h:
+            return
+        w_px, h_px = tx_size.width, tx_size.height
+        if p == 0:
+            px = tx_x << MI_SIZE_LOG2
+            py = tx_y << MI_SIZE_LOG2
+        else:
+            px = ((part_x << MI_SIZE_LOG2) >> xd) + bx * w_px
+            py = ((part_y << MI_SIZE_LOG2) >> yd) + by * h_px
+        rec = self.rec_views[p]
+        plane_bsize = bsize.chroma_block_size(xd, yd) if p else bsize
+        frame_clipped_txw = min(((self.mi_cols - (self.mi_x0 + tx_x)) << MI_SIZE_LOG2) >> xd, w_px)
+        frame_clipped_txh = min(((self.mi_rows - (self.mi_y0 + tx_y)) << MI_SIZE_LOG2) >> yd, h_px)
+        qcoeffs, eob, tx_type = self.cr.read_coeffs_lv_map(
+            self.r, p, tx_x, tx_y, mode, tx_size, TxType.DCT_DCT, plane_bsize,
+            xd, yd, fh.use_reduced_tx_set, frame_clipped_txw, frame_clipped_txh,
+        )
+        if eob > 0:
+            pred = rec[py : py + h_px, px : px + w_px].astype(np.int32)
+            rcoeffs = dequantize(
+                fh.base_q_idx, qcoeffs, tx_size, self.seq.bit_depth,
+                fh.dc_delta_q[p], fh.ac_delta_q[p],
+            )
+            recon = T.inverse_transform_add(
+                rcoeffs[None], pred[None], tx_size, tx_type, self.seq.bit_depth
+            )[0]
+            rec[py : py + h_px, px : px + w_px] = recon
 
     def _decode_tx_blocks(
         self, x, y, bsize, luma_mode, chroma_mode, tx_size, angle_delta_y,

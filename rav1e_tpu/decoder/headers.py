@@ -248,6 +248,10 @@ def parse_frame_header(payload: bytes, seq: Sequence) -> FrameHeader:
         fh.allow_screen_content_tools = seq.force_screen_content_tools
     if fh.allow_screen_content_tools > 0 and seq.force_integer_mv == 2:
         fh.force_integer_mv = br.read_bit()
+    else:
+        fh.force_integer_mv = 0
+    if fh.intra_only:
+        fh.force_integer_mv = 1
 
     frame_size_override = False
     if fh.frame_type != FrameType.SWITCH and not seq.reduced_still_picture_hdr:

@@ -180,6 +180,109 @@ class ContextReader:
                 return t
         raise ValueError("invalid tx type symbol")
 
+    # --- inter modes ------------------------------------------------------
+
+    def read_is_inter(self, r: Reader, x: int, y: int) -> bool:
+        from rav1e_tpu.context.writer import ContextWriter
+
+        cw = ContextWriter.__new__(ContextWriter)
+        cw.fc, cw.bc = self.fc, self.bc
+        ctx = ContextWriter._intra_inter_context(cw, x, y)
+        return self._sym(r, self.fc.intra_inter_cdfs, ctx) == 1
+
+    def read_ref_frames_single(self, r: Reader, counts) -> int:
+        from rav1e_tpu.context import mv as MV
+
+        rctx = MV.ref_count_ctx
+        fwd = counts[0] + counts[1] + counts[2] + counts[3]
+        bwd = counts[4] + counts[5] + counts[6]
+        b0 = self._sym(r, self.fc.single_ref_cdfs, rctx(fwd, bwd), 0) == 1
+        if b0:
+            ctx = rctx(counts[4] + counts[5], counts[6])
+            if self._sym(r, self.fc.single_ref_cdfs, ctx, 1) == 1:
+                return MV.ALTREF_FRAME
+            if self._sym(r, self.fc.single_ref_cdfs, rctx(counts[4], counts[5]), 5) == 1:
+                return MV.ALTREF2_FRAME
+            return MV.BWDREF_FRAME
+        ctx = rctx(counts[0] + counts[1], counts[2] + counts[3])
+        if self._sym(r, self.fc.single_ref_cdfs, ctx, 2) == 1:
+            if self._sym(r, self.fc.single_ref_cdfs, rctx(counts[2], counts[3]), 4) == 1:
+                return MV.GOLDEN_FRAME
+            return MV.LAST3_FRAME
+        if self._sym(r, self.fc.single_ref_cdfs, rctx(counts[0], counts[1]), 3) == 1:
+            return MV.LAST2_FRAME
+        return MV.LAST_FRAME
+
+    def read_inter_mode(self, r: Reader, ctx: int) -> PredictionMode:
+        from rav1e_tpu.context.mv import (
+            GLOBALMV_CTX_MASK,
+            GLOBALMV_OFFSET,
+            NEWMV_CTX_MASK,
+            REFMV_CTX_MASK,
+            REFMV_OFFSET,
+        )
+
+        if self._sym(r, self.fc.newmv_cdf, ctx & NEWMV_CTX_MASK) == 0:
+            return PredictionMode.NEWMV
+        if self._sym(r, self.fc.zeromv_cdf, (ctx >> GLOBALMV_OFFSET) & GLOBALMV_CTX_MASK) == 0:
+            return PredictionMode.GLOBALMV
+        if self._sym(r, self.fc.refmv_cdf, (ctx >> REFMV_OFFSET) & REFMV_CTX_MASK) == 0:
+            return PredictionMode.NEARESTMV
+        return PredictionMode.NEAR0MV
+
+    def read_drl_mode(self, r: Reader, ctx: int) -> bool:
+        return self._sym(r, self.fc.drl_cdfs, ctx) == 1
+
+    def read_mv(self, r: Reader, ref_mv, precision: int):
+        j = self._sym(r, self.fc.nmv_joints_cdf)
+        drow = self._read_mv_component(r, 0, precision) if (j >> 1) & 1 else 0
+        dcol = self._read_mv_component(r, 1, precision) if j & 1 else 0
+        return (ref_mv[0] + drow, ref_mv[1] + dcol)
+
+    def _read_mv_component(self, r: Reader, axis: int, precision: int) -> int:
+        sign = self._sym(r, self.fc.nmv_sign_cdf, axis)
+        mv_class = self._sym(r, self.fc.nmv_classes_cdf, axis)
+        if mv_class == 0:
+            d = self._sym(r, self.fc.nmv_class0_cdf, axis)
+        else:
+            d = 0
+            for i in range(mv_class):
+                d |= self._sym(r, self.fc.nmv_bits_cdf, axis, i) << i
+        if precision > 0:
+            if mv_class == 0:
+                fr = self._sym(r, self.fc.nmv_class0_fp_cdf, axis, d)
+            else:
+                fr = self._sym(r, self.fc.nmv_fp_cdf, axis)
+        else:
+            fr = 3
+        if precision > 1:
+            if mv_class == 0:
+                hp = self._sym(r, self.fc.nmv_class0_hp_cdf, axis)
+            else:
+                hp = self._sym(r, self.fc.nmv_hp_cdf, axis)
+        else:
+            hp = 1
+        base = 0 if mv_class == 0 else (2 << (mv_class + 2))
+        mag = base + (d << 3) + (fr << 1) + hp + 1
+        return -mag if sign else mag
+
+    def read_tx_size_inter(self, r: Reader, x: int, y: int, bsize: BlockSize, tx_size: TxSize, tbx: int, tby: int, depth: int) -> None:
+        """Mirror of write_tx_size_inter with txfm_split always expected 0."""
+        from rav1e_tpu.context.writer import ContextWriter
+
+        if x >= self.bc.blocks.cols or y >= self.bc.blocks.rows:
+            return
+        cw = ContextWriter.__new__(ContextWriter)
+        cw.fc, cw.bc = self.fc, self.bc
+        if tx_size != TxSize.TX_4X4 and depth < 2:
+            ctx = ContextWriter._txfm_partition_context(cw, x, y, bsize, tx_size, tbx, tby)
+            split = self._sym(r, self.fc.txfm_partition_cdf, ctx) == 1
+            if split:
+                raise ValueError("txfm split decoding not supported yet")
+        self.bc.update_tx_size_context(
+            x, y, BlockSize.from_wh(tx_size.width, tx_size.height), tx_size, False
+        )
+
     # --- coefficients -----------------------------------------------------
 
     def read_coeffs_lv_map(

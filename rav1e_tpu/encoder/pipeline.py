@@ -114,6 +114,11 @@ class FrameInvariantsLite:
     use_reduced_tx_set: bool
     mi_cols: int
     mi_rows: int
+    ref_frame: Optional[Frame] = None  # LAST reference reconstruction
+
+    @property
+    def is_inter_frame(self) -> bool:
+        return self.frame_type.has_inter() and self.ref_frame is not None
 
 
 class TileEncoder:
@@ -225,6 +230,17 @@ class TileEncoder:
     # --- block coding ----------------------------------------------------
 
     def encode_block(self, x: int, y: int, bsize: BlockSize) -> None:
+        if self.fi.is_inter_frame:
+            inter = self.select_inter(x, y, bsize)
+            if inter is not None:
+                self.encode_block_inter(x, y, bsize, *inter)
+                return
+            # fall through to intra coding within the inter frame
+            self.encode_block_intra(x, y, bsize, in_inter_frame=True)
+        else:
+            self.encode_block_intra(x, y, bsize, in_inter_frame=False)
+
+    def encode_block_intra(self, x: int, y: int, bsize: BlockSize, in_inter_frame: bool) -> None:
         fi = self.fi
         cs = fi.seq.chroma_sampling
         skip = False
@@ -238,8 +254,13 @@ class TileEncoder:
         self.cw.write_skip(self.w, x, y, skip)
         self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
         self.blocks.set_rect("tx_size", x, y, bsize, int(self._luma_tx_size(bsize)))
+        self.blocks.set_rect("is_inter_flag", x, y, bsize, False)
+        self.blocks.set_rect("ref_frames", x, y, bsize, 0)
 
-        if fi.frame_type == FrameType.KEY:
+        if in_inter_frame:
+            self.cw.write_is_inter(self.w, x, y, False)
+            self.cw.write_intra_mode(self.w, bsize, luma_mode)
+        elif fi.frame_type == FrameType.KEY:
             self.cw.write_intra_mode_kf(self.w, x, y, luma_mode)
         else:
             self.cw.write_intra_mode(self.w, bsize, luma_mode)
@@ -273,6 +294,249 @@ class TileEncoder:
 
     def _luma_tx_size(self, bsize: BlockSize) -> TxSize:
         return MAX_TXSIZE_RECT[int(bsize)]
+
+    # --- inter search / coding -------------------------------------------
+
+    def _mv_finder(self):
+        from rav1e_tpu.context.mv import MvFinder
+
+        return MvFinder(self.blocks, self.fi.mi_cols, self.fi.mi_rows, self.mi_x0, self.mi_y0)
+
+    def select_inter(self, x: int, y: int, bsize: BlockSize):
+        """Full-pel motion search vs LAST; returns (mv, mv_stack, mode_ctx)
+        or None when intra wins (reference me.rs redesigned as candidate-grid
+        evaluation; subpel refinement lands with the device ME)."""
+        from rav1e_tpu.context.mv import LAST_FRAME
+
+        fi = self.fi
+        if bsize < BlockSize.BLOCK_8X8:
+            # keep chroma MC offsets simple: sub-8x8 blocks stay intra
+            return None
+        w_px, h_px = bsize.width, bsize.height
+        px, py = x << MI_SIZE_LOG2, y << MI_SIZE_LOG2
+        src = self.src_views[0]
+        block = src[py : py + h_px, px : px + w_px].astype(np.int32)
+
+        finder = self._mv_finder()
+        stack, mode_ctx = finder.find_mvrefs(x, y, LAST_FRAME, bsize, lambda r: 0)
+
+        ref_plane = fi.ref_frame.planes[0]
+        pad = ref_plane.cfg.pad
+        ref = ref_plane.data
+        # absolute position of the block in the padded ref array
+        ax = pad + ((self.mi_x0 + x) << MI_SIZE_LOG2)
+        ay = pad + ((self.mi_y0 + y) << MI_SIZE_LOG2)
+        max_off = pad - 8  # keep the 8-tap window inside the allocation
+
+        def sad_at(mv):
+            dy, dx = mv[0] >> 3, mv[1] >> 3
+            if abs(dy) > max_off or abs(dx) > max_off:
+                return None
+            ry, rx = ay + dy, ax + dx
+            if ry < 4 or rx < 4 or ry + h_px + 4 > ref.shape[0] or rx + w_px + 4 > ref.shape[1]:
+                return None
+            pred = ref[ry : ry + h_px, rx : rx + w_px].astype(np.int32)
+            return int(np.abs(block - pred).sum())
+
+        def fullpel(mv):
+            return ((mv[0] >> 3) << 3, (mv[1] >> 3) << 3)
+
+        # candidate seeds: zero + stack predictors (full-pel rounded)
+        seeds = [(0, 0)] + [fullpel(c.this_mv) for c in stack[:2]]
+        best_mv, best_sad = None, None
+        for s in seeds:
+            c = sad_at(s)
+            if c is not None and (best_sad is None or c < best_sad):
+                best_mv, best_sad = s, c
+        if best_mv is None:
+            return None
+
+        # diamond refinement at shrinking steps
+        for step_px in (8, 4, 2, 1):
+            improved = True
+            while improved:
+                improved = False
+                for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                    cand = (best_mv[0] + dy * step_px * 8, best_mv[1] + dx * step_px * 8)
+                    c = sad_at(cand)
+                    if c is not None and c < best_sad:
+                        best_mv, best_sad = cand, c
+                        improved = True
+
+        # compare against a cheap intra proxy (DC from source neighbors)
+        base = 128 << (fi.bit_depth - 8)
+        above = src[py - 1, px : px + w_px].astype(np.int64) if py > 0 else None
+        left = src[py : py + h_px, px - 1].astype(np.int64) if px > 0 else None
+        if above is not None and left is not None:
+            dc = int((above.sum() + left.sum() + (w_px + h_px) // 2) // (w_px + h_px))
+        elif above is not None:
+            dc = int((above.sum() + w_px // 2) // w_px)
+        elif left is not None:
+            dc = int((left.sum() + h_px // 2) // h_px)
+        else:
+            dc = base
+        intra_sad = int(np.abs(block - dc).sum())
+        if intra_sad + w_px < best_sad:
+            return None
+        return best_mv, stack, mode_ctx
+
+    def encode_block_inter(self, x, y, bsize: BlockSize, mv, stack, mode_ctx) -> None:
+        from rav1e_tpu.context.mv import LAST_FRAME, fill_neighbours_ref_counts
+
+        fi = self.fi
+        skip = False
+        # choose inter mode by stack relationship (encoder.rs:2000-2080)
+        if stack and tuple(stack[0].this_mv) == mv:
+            mode = PredictionMode.NEARESTMV
+        elif not stack and mv == (0, 0):
+            mode = PredictionMode.GLOBALMV
+        else:
+            mode = PredictionMode.NEWMV
+
+        counts = fill_neighbours_ref_counts(self.blocks, x, y)
+        self.blocks.set_rect("skip", x, y, bsize, skip)
+        self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
+        tx_size = self._luma_tx_size(bsize)
+        self.blocks.set_rect("tx_size", x, y, bsize, int(tx_size))
+
+        self.cw.write_skip(self.w, x, y, skip)
+        self.cw.write_is_inter(self.w, x, y, True)
+        self.blocks.set_rect("is_inter_flag", x, y, bsize, True)
+        self.cw.write_ref_frames_single(self.w, x, y, LAST_FRAME, counts)
+        self.cw.write_inter_mode(self.w, mode, mode_ctx)
+
+        num_found = len(stack)
+        if mode == PredictionMode.NEWMV:
+            # DRL for NEWMV (encoder.rs:2004-2021); ref_mv_idx = 0
+            from rav1e_tpu.context.mv import REF_CAT_LEVEL
+
+            for idx in range(2):
+                if num_found > idx + 1:
+                    ctx = int(stack[idx].weight < REF_CAT_LEVEL) + int(
+                        stack[idx + 1].weight < REF_CAT_LEVEL
+                    )
+                    self.cw.write_drl_mode(self.w, False, ctx)
+                    break
+            ref_mv = tuple(stack[0].this_mv) if num_found > 0 else (0, 0)
+            self.cw.write_mv(self.w, mv, ref_mv, precision=1)
+
+        # record block state
+        self.blocks.set_rect("mode", x, y, bsize, int(mode))
+        self.blocks.ref_frames[y : y + bsize.height_mi, x : x + bsize.width_mi, 0] = LAST_FRAME
+        self.blocks.ref_frames[y : y + bsize.height_mi, x : x + bsize.width_mi, 1] = -1
+        self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 0, 0] = mv[0]
+        self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 0, 1] = mv[1]
+
+        # tx size signaling (encode_block_post_cdef:2132-2167)
+        if fi.tx_mode_select:
+            if bsize > BlockSize.BLOCK_4X4 and not skip:
+                self.cw.write_tx_size_inter(self.w, x, y, bsize, tx_size, False, 0, 0, 0)
+            else:
+                self.bc.update_tx_size_context(x, y, bsize, tx_size, skip)
+        else:
+            self.bc.update_tx_size_context(x, y, bsize, tx_size, skip)
+
+        # motion compensation into recon, all planes
+        self.motion_compensate(x, y, bsize, mv)
+
+        # residual coding
+        do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, fi.seq.chroma_sampling)
+        self.write_tx_blocks_inter(x, y, bsize, mode, tx_size, skip, do_chroma)
+
+    def motion_compensate(self, x: int, y: int, bsize: BlockSize, mv) -> None:
+        from rav1e_tpu.ops.mc import REGULAR, mv_to_offsets, put_8tap
+
+        fi = self.fi
+        do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, fi.seq.chroma_sampling)
+        nplanes = 3 if (do_chroma and fi.seq.chroma_sampling != ChromaSampling.Cs400) else 1
+        for p in range(nplanes):
+            xd = 0 if p == 0 else self.xdec
+            yd = 0 if p == 0 else self.ydec
+            ref_plane = fi.ref_frame.planes[p]
+            pad = ref_plane.cfg.pad
+            # chroma of small blocks covers the whole (possibly larger) area
+            w_px = max(bsize.width >> xd, 4)
+            h_px = max(bsize.height >> yd, 4)
+            px = ((self.mi_x0 + x) << MI_SIZE_LOG2) >> xd
+            py = ((self.mi_y0 + y) << MI_SIZE_LOG2) >> yd
+            row_int, col_int, row_frac, col_frac = mv_to_offsets(mv[0], mv[1], xd, yd)
+            pred = put_8tap(
+                ref_plane.data, pad + px + col_int, pad + py + row_int,
+                w_px, h_px, col_frac, row_frac, REGULAR, REGULAR, fi.bit_depth,
+            )
+            # tile-relative recon view
+            tx_rel = px - (((self.mi_x0) << MI_SIZE_LOG2) >> xd)
+            ty_rel = py - (((self.mi_y0) << MI_SIZE_LOG2) >> yd)
+            self.rec_views[p][ty_rel : ty_rel + h_px, tx_rel : tx_rel + w_px] = pred
+
+    def write_tx_blocks_inter(
+        self, x, y, bsize: BlockSize, mode, tx_size: TxSize, skip: bool, do_chroma: bool
+    ) -> None:
+        """Residual coding after whole-block MC (reference write_tx_tree)."""
+        fi = self.fi
+        if skip:
+            return
+        self.qc.update(fi.base_q_idx, tx_size, False, fi.bit_depth, 0, 0)
+        bw = max(bsize.width_mi // max(tx_size.width >> MI_SIZE_LOG2, 1), 1)
+        bh = max(bsize.height_mi // max(tx_size.height >> MI_SIZE_LOG2, 1), 1)
+        for by in range(bh):
+            for bx in range(bw):
+                tx_x = x + bx * (tx_size.width >> MI_SIZE_LOG2)
+                tx_y = y + by * (tx_size.height >> MI_SIZE_LOG2)
+                if tx_x >= self.mi_w or tx_y >= self.mi_h:
+                    continue
+                self.encode_inter_tx_block(0, x, y, bx, by, tx_x, tx_y, mode, tx_size, bsize)
+        if not do_chroma or fi.seq.chroma_sampling == ChromaSampling.Cs400:
+            return
+        uv_tx_size = largest_chroma_tx_size(bsize, self.xdec, self.ydec)
+        self.qc_uv.update(fi.base_q_idx, uv_tx_size, False, fi.bit_depth, 0, 0)
+        bw_uv = max((bw * (tx_size.width >> MI_SIZE_LOG2)) >> self.xdec, 1) // max(
+            uv_tx_size.width >> MI_SIZE_LOG2, 1
+        )
+        bh_uv = max((bh * (tx_size.height >> MI_SIZE_LOG2)) >> self.ydec, 1) // max(
+            uv_tx_size.height >> MI_SIZE_LOG2, 1
+        )
+        for p in (1, 2):
+            for by in range(max(bh_uv, 1)):
+                for bx in range(max(bw_uv, 1)):
+                    tx_x = x + ((bx * (uv_tx_size.width >> MI_SIZE_LOG2)) << self.xdec)
+                    tx_y = y + ((by * (uv_tx_size.height >> MI_SIZE_LOG2)) << self.ydec)
+                    self.encode_inter_tx_block(p, x, y, bx, by, tx_x, tx_y, mode, uv_tx_size, bsize)
+
+    def encode_inter_tx_block(self, p, part_x, part_y, bx, by, tx_x, tx_y, mode, tx_size, bsize) -> None:
+        fi = self.fi
+        xd = 0 if p == 0 else self.xdec
+        yd = 0 if p == 0 else self.ydec
+        if tx_x >= self.mi_w or tx_y >= self.mi_h:
+            return
+        w_px, h_px = tx_size.width, tx_size.height
+        if p == 0:
+            px = tx_x << MI_SIZE_LOG2
+            py = tx_y << MI_SIZE_LOG2
+        else:
+            px = ((part_x << MI_SIZE_LOG2) >> xd) + bx * w_px
+            py = ((part_y << MI_SIZE_LOG2) >> yd) + by * h_px
+        rec = self.rec_views[p]
+        src = self.src_views[p]
+        plane_bsize = bsize.chroma_block_size(xd, yd) if p else bsize
+        pred = rec[py : py + h_px, px : px + w_px].astype(np.int32)
+        residual = src[py : py + h_px, px : px + w_px].astype(np.int32) - pred
+        coeffs = T.forward_transform(residual[None], tx_size, TxType.DCT_DCT, fi.bit_depth)[0]
+        qc = self.qc if p == 0 else self.qc_uv
+        qcoeffs, eob = qc.quantize_block(coeffs, tx_size, TxType.DCT_DCT)
+        frame_clipped_txw = min(((fi.mi_cols - (self.mi_x0 + tx_x)) << MI_SIZE_LOG2) >> xd, w_px)
+        frame_clipped_txh = min(((fi.mi_rows - (self.mi_y0 + tx_y)) << MI_SIZE_LOG2) >> yd, h_px)
+        self.cw.write_coeffs_lv_map(
+            self.w, p, tx_x, tx_y, qcoeffs, eob, mode, tx_size, TxType.DCT_DCT,
+            plane_bsize, xd, yd, fi.use_reduced_tx_set,
+            frame_clipped_txw, frame_clipped_txh,
+        )
+        if eob > 0:
+            rcoeffs = dequantize(fi.base_q_idx, qcoeffs, tx_size, fi.bit_depth)
+            recon = T.inverse_transform_add(
+                rcoeffs[None], pred[None], tx_size, TxType.DCT_DCT, fi.bit_depth
+            )[0]
+            rec[py : py + h_px, px : px + w_px] = recon
 
     def select_luma_mode(self, x: int, y: int, bsize: BlockSize) -> PredictionMode:
         """Batched SATD-style mode pre-selection over candidate intra modes.
@@ -488,8 +752,8 @@ class FramePipeline:
     ) -> Packet:
         enc = self.config.enc
         assert frame_type == FrameType.KEY or not enc.still_picture
-        # round-1: all frames coded as KEY (intra); inter lands next
-        frame_type = FrameType.KEY
+        if frame_type != FrameType.KEY and self.rec_frame is None:
+            frame_type = FrameType.KEY
 
         mi_cols = (enc.width + 3) >> 2
         mi_rows = (enc.height + 3) >> 2
@@ -504,6 +768,7 @@ class FramePipeline:
             use_reduced_tx_set=enc.speed_settings.transform.reduced_tx_set,
             mi_cols=mi_cols,
             mi_rows=mi_rows,
+            ref_frame=self.rec_frame if frame_type.has_inter() else None,
         )
 
         rec = Frame.new(enc.width, enc.height, enc.chroma_sampling, enc.bit_depth)
@@ -520,19 +785,26 @@ class FramePipeline:
 
         sb_w = (mi_cols + MIB_SIZE - 1) // MIB_SIZE
         sb_h = (mi_rows + MIB_SIZE - 1) // MIB_SIZE
+        is_inter = fi.is_inter_frame
+        n_hint = self.seq.order_hint_bits_minus_1 + 1
         fh = FrameHeaderInfo(
             width=enc.width,
             height=enc.height,
             frame_type=frame_type,
-            intra_only=True,
+            intra_only=not is_inter,
             base_q_idx=fi.base_q_idx,
             tx_mode_select=fi.tx_mode_select,
             use_reduced_tx_set=fi.use_reduced_tx_set,
             sb_width=sb_w,
             sb_height=sb_h,
-            order_hint=input_frameno & 0xFF,
+            order_hint=input_frameno & ((1 << n_hint) - 1),
             allow_screen_content_tools=0,
-            force_integer_mv=1,
+            force_integer_mv=1 if not is_inter else 0,
+            refresh_frame_flags=0xFF,
+            ref_frames=[0] * 7,
+            allow_high_precision_mv=False,
+            is_filter_switchable=False,
+            default_filter=0,
         )
 
         packet_data = bytearray()

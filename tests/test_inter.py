@@ -1,0 +1,93 @@
+"""Inter coding round-trip tests (low-latency, single reference)."""
+
+import numpy as np
+import pytest
+
+from rav1e_tpu import ChromaSampling, Config, EncoderConfig, EncoderStatus
+from rav1e_tpu.api.util import FrameType
+from rav1e_tpu.decoder import decode_packet
+
+
+def encode_sequence(frames_y, w, h, cs=ChromaSampling.Cs420, q=100, speed=10, keyint=100):
+    cfg = Config(
+        enc=EncoderConfig(
+            width=w, height=h, quantizer=q, chroma_sampling=cs, low_latency=True,
+            min_key_frame_interval=0, max_key_frame_interval=keyint,
+        )
+    ).with_speed_preset(speed)
+    ctx = cfg.new_context()
+    for y in frames_y:
+        f = ctx.new_frame()
+        f.planes[0].copy_from(y)
+        for p in f.planes[1:]:
+            p.copy_from(np.full((p.cfg.height, p.cfg.width), 128, np.uint8))
+        ctx.send_frame(f)
+    ctx.flush()
+    packets = []
+    state = None
+    while True:
+        try:
+            pkt = ctx.receive_packet()
+        except EncoderStatus.LimitReached:
+            break
+        dec, state = decode_packet(pkt.data, state)
+        for pi, (ep, dp) in enumerate(zip(pkt.rec.planes, dec.planes)):
+            assert np.array_equal(ep.as_array(), dp.as_array()), (
+                f"frame {pkt.input_frameno} plane {pi} mismatch"
+            )
+        packets.append(pkt)
+    return packets
+
+
+def _translating_content(w, h, n, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, ((h + 8 * n) // 8 + 2, (w + 8 * n) // 8 + 2))
+    big = np.repeat(np.repeat(base, 8, 0), 8, 1)
+    return [big[i : i + h, 2 * i : 2 * i + w].astype(np.uint8) for i in range(n)]
+
+
+def test_inter_roundtrip_translation():
+    frames = _translating_content(96, 64, 5)
+    pkts = encode_sequence(frames, 96, 64)
+    assert pkts[0].frame_type == FrameType.KEY
+    assert all(p.frame_type == FrameType.INTER for p in pkts[1:])
+    # motion compensation must beat intra coding of the key frame
+    assert all(len(p.data) < len(pkts[0].data) for p in pkts[2:])
+
+
+def test_inter_static_content_cheap():
+    rng = np.random.default_rng(1)
+    y = np.repeat(np.repeat(rng.integers(0, 256, (8, 12)), 8, 0), 8, 1).astype(np.uint8)
+    pkts = encode_sequence([y] * 4, 96, 64)
+    # identical frames: inter frames should be tiny (all-zero MVs + no residual)
+    assert all(len(p.data) < 120 for p in pkts[1:])
+
+
+def test_keyframe_interval():
+    frames = _translating_content(64, 64, 6)
+    pkts = encode_sequence(frames, 64, 64, keyint=3)
+    types = [p.frame_type for p in pkts]
+    assert types[0] == FrameType.KEY
+    assert types[3] == FrameType.KEY
+    assert types[1] == FrameType.INTER and types[4] == FrameType.INTER
+
+
+@pytest.mark.parametrize("dims", [(58, 38), (70, 46)])
+def test_inter_odd_dims(dims):
+    w, h = dims
+    frames = _translating_content(w + 48, h + 48, 4)
+    frames = [f[:h, :w].copy() for f in frames]
+    encode_sequence(frames, w, h)
+
+
+def test_inter_444():
+    frames = _translating_content(64, 64, 3)
+    encode_sequence(frames, 64, 64, cs=ChromaSampling.Cs444)
+
+
+def test_inter_speed6_with_intra_fallback():
+    # scene change mid-sequence forces intra blocks inside an inter frame
+    rng = np.random.default_rng(2)
+    a = _translating_content(96, 64, 2)
+    b = np.repeat(np.repeat(rng.integers(0, 256, (8, 12)), 8, 0), 8, 1).astype(np.uint8)
+    encode_sequence(a + [b], 96, 64, speed=6)
