@@ -351,7 +351,7 @@ class TileEncoder:
         if best_mv is None:
             return None
 
-        # diamond refinement at shrinking steps
+        # full-pel diamond refinement at shrinking steps
         for step_px in (8, 4, 2, 1):
             improved = True
             while improved:
@@ -359,6 +359,31 @@ class TileEncoder:
                 for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
                     cand = (best_mv[0] + dy * step_px * 8, best_mv[1] + dx * step_px * 8)
                     c = sad_at(cand)
+                    if c is not None and c < best_sad:
+                        best_mv, best_sad = cand, c
+                        improved = True
+
+        # subpel refinement (quarter-pel; LOW precision keeps diffs even)
+        from rav1e_tpu.ops.mc import REGULAR, mv_to_offsets, put_8tap
+
+        def sad_subpel(mv2):
+            dy, dx = mv2[0] >> 3, mv2[1] >> 3
+            if abs(dy) > max_off - 1 or abs(dx) > max_off - 1:
+                return None
+            row_int, col_int, row_frac, col_frac = mv_to_offsets(mv2[0], mv2[1], 0, 0)
+            pred = put_8tap(
+                ref, ax + col_int, ay + row_int, w_px, h_px,
+                col_frac, row_frac, REGULAR, REGULAR, fi.bit_depth,
+            )
+            return int(np.abs(block - pred).sum())
+
+        for step in (4, 2):  # half-pel then quarter-pel (1/8 units)
+            improved = True
+            while improved:
+                improved = False
+                for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                    cand = (best_mv[0] + dy * step, best_mv[1] + dx * step)
+                    c = sad_subpel(cand)
                     if c is not None and c < best_sad:
                         best_mv, best_sad = cand, c
                         improved = True
@@ -384,7 +409,6 @@ class TileEncoder:
         from rav1e_tpu.context.mv import LAST_FRAME, fill_neighbours_ref_counts
 
         fi = self.fi
-        skip = False
         # choose inter mode by stack relationship (encoder.rs:2000-2080)
         if stack and tuple(stack[0].this_mv) == mv:
             mode = PredictionMode.NEARESTMV
@@ -393,10 +417,18 @@ class TileEncoder:
         else:
             mode = PredictionMode.NEWMV
 
+        tx_size = self._luma_tx_size(bsize)
+        do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, fi.seq.chroma_sampling)
+
+        # device-style compute-first: MC + quantize everything, then decide
+        # skip before any symbol is coded
+        self.motion_compensate(x, y, bsize, mv)
+        tx_jobs = self._quantize_inter_blocks(x, y, bsize, tx_size, do_chroma)
+        skip = all(job[7] == 0 for job in tx_jobs)
+
         counts = fill_neighbours_ref_counts(self.blocks, x, y)
         self.blocks.set_rect("skip", x, y, bsize, skip)
         self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
-        tx_size = self._luma_tx_size(bsize)
         self.blocks.set_rect("tx_size", x, y, bsize, int(tx_size))
 
         self.cw.write_skip(self.w, x, y, skip)
@@ -436,12 +468,80 @@ class TileEncoder:
         else:
             self.bc.update_tx_size_context(x, y, bsize, tx_size, skip)
 
-        # motion compensation into recon, all planes
-        self.motion_compensate(x, y, bsize, mv)
+        if skip:
+            self.bc.reset_skip_context(
+                x, y, bsize, self.xdec, self.ydec,
+                fi.seq.chroma_sampling == ChromaSampling.Cs400, do_chroma,
+            )
+            return
 
-        # residual coding
-        do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, fi.seq.chroma_sampling)
-        self.write_tx_blocks_inter(x, y, bsize, mode, tx_size, skip, do_chroma)
+        # residual coding + reconstruction from the precomputed quantization
+        for (p, tx_x, tx_y, px, py, tsz, qcoeffs, eob) in tx_jobs:
+            xd = 0 if p == 0 else self.xdec
+            yd = 0 if p == 0 else self.ydec
+            plane_bsize = bsize.chroma_block_size(xd, yd) if p else bsize
+            fct_w = min(((fi.mi_cols - (self.mi_x0 + tx_x)) << MI_SIZE_LOG2) >> xd, tsz.width)
+            fct_h = min(((fi.mi_rows - (self.mi_y0 + tx_y)) << MI_SIZE_LOG2) >> yd, tsz.height)
+            self.cw.write_coeffs_lv_map(
+                self.w, p, tx_x, tx_y, qcoeffs, eob, mode, tsz, TxType.DCT_DCT,
+                plane_bsize, xd, yd, fi.use_reduced_tx_set, fct_w, fct_h,
+            )
+            if eob > 0:
+                rec = self.rec_views[p]
+                pred = rec[py : py + tsz.height, px : px + tsz.width].astype(np.int32)
+                rcoeffs = dequantize(fi.base_q_idx, qcoeffs, tsz, fi.bit_depth)
+                recon = T.inverse_transform_add(
+                    rcoeffs[None], pred[None], tsz, TxType.DCT_DCT, fi.bit_depth
+                )[0]
+                rec[py : py + tsz.height, px : px + tsz.width] = recon
+
+    def _quantize_inter_blocks(self, x, y, bsize: BlockSize, tx_size: TxSize, do_chroma):
+        """Forward-transform + quantize every tx block of an inter block
+        (batchable device work). Returns job tuples for the symbol pass."""
+        fi = self.fi
+        jobs = []
+        self.qc.update(fi.base_q_idx, tx_size, False, fi.bit_depth, 0, 0)
+        bw = max(bsize.width_mi // max(tx_size.width >> MI_SIZE_LOG2, 1), 1)
+        bh = max(bsize.height_mi // max(tx_size.height >> MI_SIZE_LOG2, 1), 1)
+        plane_specs = [(0, tx_size, bw, bh)]
+        if do_chroma and fi.seq.chroma_sampling != ChromaSampling.Cs400:
+            uv_tx_size = largest_chroma_tx_size(bsize, self.xdec, self.ydec)
+            self.qc_uv.update(fi.base_q_idx, uv_tx_size, False, fi.bit_depth, 0, 0)
+            bw_uv = max(
+                max((bw * (tx_size.width >> MI_SIZE_LOG2)) >> self.xdec, 1)
+                // max(uv_tx_size.width >> MI_SIZE_LOG2, 1), 1,
+            )
+            bh_uv = max(
+                max((bh * (tx_size.height >> MI_SIZE_LOG2)) >> self.ydec, 1)
+                // max(uv_tx_size.height >> MI_SIZE_LOG2, 1), 1,
+            )
+            plane_specs += [(1, uv_tx_size, bw_uv, bh_uv), (2, uv_tx_size, bw_uv, bh_uv)]
+        for p, tsz, nbx, nby in plane_specs:
+            xd = 0 if p == 0 else self.xdec
+            yd = 0 if p == 0 else self.ydec
+            qc = self.qc if p == 0 else self.qc_uv
+            for by in range(nby):
+                for bx in range(nbx):
+                    if p == 0:
+                        tx_x = x + bx * (tsz.width >> MI_SIZE_LOG2)
+                        tx_y = y + by * (tsz.height >> MI_SIZE_LOG2)
+                        px = tx_x << MI_SIZE_LOG2
+                        py = tx_y << MI_SIZE_LOG2
+                    else:
+                        tx_x = x + ((bx * (tsz.width >> MI_SIZE_LOG2)) << self.xdec)
+                        tx_y = y + ((by * (tsz.height >> MI_SIZE_LOG2)) << self.ydec)
+                        px = ((x << MI_SIZE_LOG2) >> xd) + bx * tsz.width
+                        py = ((y << MI_SIZE_LOG2) >> yd) + by * tsz.height
+                    if tx_x >= self.mi_w or tx_y >= self.mi_h:
+                        continue
+                    rec = self.rec_views[p]
+                    src = self.src_views[p]
+                    pred = rec[py : py + tsz.height, px : px + tsz.width].astype(np.int32)
+                    residual = src[py : py + tsz.height, px : px + tsz.width].astype(np.int32) - pred
+                    coeffs = T.forward_transform(residual[None], tsz, TxType.DCT_DCT, fi.bit_depth)[0]
+                    qcoeffs, eob = qc.quantize_block(coeffs, tsz, TxType.DCT_DCT)
+                    jobs.append((p, tx_x, tx_y, px, py, tsz, qcoeffs, eob))
+        return jobs
 
     def motion_compensate(self, x: int, y: int, bsize: BlockSize, mv) -> None:
         from rav1e_tpu.ops.mc import REGULAR, mv_to_offsets, put_8tap
@@ -468,75 +568,6 @@ class TileEncoder:
             tx_rel = px - (((self.mi_x0) << MI_SIZE_LOG2) >> xd)
             ty_rel = py - (((self.mi_y0) << MI_SIZE_LOG2) >> yd)
             self.rec_views[p][ty_rel : ty_rel + h_px, tx_rel : tx_rel + w_px] = pred
-
-    def write_tx_blocks_inter(
-        self, x, y, bsize: BlockSize, mode, tx_size: TxSize, skip: bool, do_chroma: bool
-    ) -> None:
-        """Residual coding after whole-block MC (reference write_tx_tree)."""
-        fi = self.fi
-        if skip:
-            return
-        self.qc.update(fi.base_q_idx, tx_size, False, fi.bit_depth, 0, 0)
-        bw = max(bsize.width_mi // max(tx_size.width >> MI_SIZE_LOG2, 1), 1)
-        bh = max(bsize.height_mi // max(tx_size.height >> MI_SIZE_LOG2, 1), 1)
-        for by in range(bh):
-            for bx in range(bw):
-                tx_x = x + bx * (tx_size.width >> MI_SIZE_LOG2)
-                tx_y = y + by * (tx_size.height >> MI_SIZE_LOG2)
-                if tx_x >= self.mi_w or tx_y >= self.mi_h:
-                    continue
-                self.encode_inter_tx_block(0, x, y, bx, by, tx_x, tx_y, mode, tx_size, bsize)
-        if not do_chroma or fi.seq.chroma_sampling == ChromaSampling.Cs400:
-            return
-        uv_tx_size = largest_chroma_tx_size(bsize, self.xdec, self.ydec)
-        self.qc_uv.update(fi.base_q_idx, uv_tx_size, False, fi.bit_depth, 0, 0)
-        bw_uv = max((bw * (tx_size.width >> MI_SIZE_LOG2)) >> self.xdec, 1) // max(
-            uv_tx_size.width >> MI_SIZE_LOG2, 1
-        )
-        bh_uv = max((bh * (tx_size.height >> MI_SIZE_LOG2)) >> self.ydec, 1) // max(
-            uv_tx_size.height >> MI_SIZE_LOG2, 1
-        )
-        for p in (1, 2):
-            for by in range(max(bh_uv, 1)):
-                for bx in range(max(bw_uv, 1)):
-                    tx_x = x + ((bx * (uv_tx_size.width >> MI_SIZE_LOG2)) << self.xdec)
-                    tx_y = y + ((by * (uv_tx_size.height >> MI_SIZE_LOG2)) << self.ydec)
-                    self.encode_inter_tx_block(p, x, y, bx, by, tx_x, tx_y, mode, uv_tx_size, bsize)
-
-    def encode_inter_tx_block(self, p, part_x, part_y, bx, by, tx_x, tx_y, mode, tx_size, bsize) -> None:
-        fi = self.fi
-        xd = 0 if p == 0 else self.xdec
-        yd = 0 if p == 0 else self.ydec
-        if tx_x >= self.mi_w or tx_y >= self.mi_h:
-            return
-        w_px, h_px = tx_size.width, tx_size.height
-        if p == 0:
-            px = tx_x << MI_SIZE_LOG2
-            py = tx_y << MI_SIZE_LOG2
-        else:
-            px = ((part_x << MI_SIZE_LOG2) >> xd) + bx * w_px
-            py = ((part_y << MI_SIZE_LOG2) >> yd) + by * h_px
-        rec = self.rec_views[p]
-        src = self.src_views[p]
-        plane_bsize = bsize.chroma_block_size(xd, yd) if p else bsize
-        pred = rec[py : py + h_px, px : px + w_px].astype(np.int32)
-        residual = src[py : py + h_px, px : px + w_px].astype(np.int32) - pred
-        coeffs = T.forward_transform(residual[None], tx_size, TxType.DCT_DCT, fi.bit_depth)[0]
-        qc = self.qc if p == 0 else self.qc_uv
-        qcoeffs, eob = qc.quantize_block(coeffs, tx_size, TxType.DCT_DCT)
-        frame_clipped_txw = min(((fi.mi_cols - (self.mi_x0 + tx_x)) << MI_SIZE_LOG2) >> xd, w_px)
-        frame_clipped_txh = min(((fi.mi_rows - (self.mi_y0 + tx_y)) << MI_SIZE_LOG2) >> yd, h_px)
-        self.cw.write_coeffs_lv_map(
-            self.w, p, tx_x, tx_y, qcoeffs, eob, mode, tx_size, TxType.DCT_DCT,
-            plane_bsize, xd, yd, fi.use_reduced_tx_set,
-            frame_clipped_txw, frame_clipped_txh,
-        )
-        if eob > 0:
-            rcoeffs = dequantize(fi.base_q_idx, qcoeffs, tx_size, fi.bit_depth)
-            recon = T.inverse_transform_add(
-                rcoeffs[None], pred[None], tx_size, TxType.DCT_DCT, fi.bit_depth
-            )[0]
-            rec[py : py + h_px, px : px + w_px] = recon
 
     def select_luma_mode(self, x: int, y: int, bsize: BlockSize) -> PredictionMode:
         """Batched SATD-style mode pre-selection over candidate intra modes.
