@@ -54,6 +54,21 @@ class FrameBlocks:
         h = min(bsize.height_mi, self.rows - y)
         arr[y : y + h, x : x + w] = value
 
+    def subgrid(self, x: int, y: int, w: int, h: int) -> "FrameBlocks":
+        """Tile view sharing storage (numpy slices) — the counterpart of the
+        reference's disjoint ``TileBlocksMut`` views (tiling/tile_blocks.rs)."""
+        sub = FrameBlocks.__new__(FrameBlocks)
+        sub.cols = w
+        sub.rows = h
+        for f in (
+            "mode", "uv_mode", "bsize", "skip", "tx_size", "segmentation_idx",
+            "is_inter_flag", "deblock_deltas",
+        ):
+            setattr(sub, f, getattr(self, f)[y : y + h, x : x + w])
+        sub.ref_frames = self.ref_frames[y : y + h, x : x + w]
+        sub.mv = self.mv[y : y + h, x : x + w]
+        return sub
+
     # neighbor queries --------------------------------------------------
 
     def above_of(self, x: int, y: int, field: str):

@@ -113,19 +113,31 @@ def _decode_tile_group(payload: bytes, seq, fh: FrameHeader, state: "DecoderStat
         if ref_frame is None:
             raise DecodeError("missing reference frame")
 
+    frame_blocks = FrameBlocks(mi_cols, mi_rows)
     idx = 0
     for tr in range(ti.rows):
         for tc in range(ti.cols):
             tx, ty, tw, th = ti.tile_rect_mi(tc, tr, mi_cols, mi_rows)
-            td = TileDecoder(seq, fh, frame, tx, ty, tw, th, mi_cols, mi_rows, ref_frame)
+            td = TileDecoder(
+                seq, fh, frame, tx, ty, tw, th, mi_cols, mi_rows, ref_frame, frame_blocks
+            )
             td.decode(tile_data[idx])
             idx += 1
+
+    # in-loop filters (frame-level, across tiles)
+    from rav1e_tpu.ops.deblock import deblock_filter_frame
+
+    deblock_filter_frame(
+        fh.deblock_levels, frame, frame_blocks, fh.width, fh.height,
+        seq.bit_depth, seq.chroma_sampling,
+    )
+
     frame.pad()
     return frame
 
 
 class TileDecoder:
-    def __init__(self, seq, fh: FrameHeader, frame: Frame, mi_x0, mi_y0, mi_w, mi_h, mi_cols, mi_rows, ref_frame=None):
+    def __init__(self, seq, fh: FrameHeader, frame: Frame, mi_x0, mi_y0, mi_w, mi_h, mi_cols, mi_rows, ref_frame=None, frame_blocks=None):
         self.seq = seq
         self.fh = fh
         self.frame = frame
@@ -134,7 +146,11 @@ class TileDecoder:
         self.mi_w, self.mi_h = mi_w, mi_h
         self.mi_cols, self.mi_rows = mi_cols, mi_rows
         self.fc = CDFContext(fh.base_q_idx)
-        self.blocks = FrameBlocks(mi_w, mi_h)
+        self.blocks = (
+            frame_blocks.subgrid(mi_x0, mi_y0, mi_w, mi_h)
+            if frame_blocks is not None
+            else FrameBlocks(mi_w, mi_h)
+        )
         self.bc = BlockContext(self.blocks)
         self.cr = ContextReader(self.fc, self.bc)
         cs = seq.chroma_sampling

@@ -134,6 +134,7 @@ class TileEncoder:
         tile_mi_w: int,
         tile_mi_h: int,
         speed,
+        frame_blocks: Optional[FrameBlocks] = None,
     ):
         self.fi = fi
         self.src = src
@@ -144,7 +145,11 @@ class TileEncoder:
         self.mi_h = tile_mi_h
         self.speed = speed
         self.fc = CDFContext(fi.base_q_idx)
-        self.blocks = FrameBlocks(tile_mi_w, tile_mi_h)
+        self.blocks = (
+            frame_blocks.subgrid(tile_mi_x, tile_mi_y, tile_mi_w, tile_mi_h)
+            if frame_blocks is not None
+            else FrameBlocks(tile_mi_w, tile_mi_h)
+        )
         self.bc = BlockContext(self.blocks)
         self.cw = ContextWriter(self.fc, self.bc)
         from rav1e_tpu import native
@@ -803,16 +808,32 @@ class FramePipeline:
         )
 
         rec = Frame.new(enc.width, enc.height, enc.chroma_sampling, enc.bit_depth)
+        frame_blocks = FrameBlocks(mi_cols, mi_rows)
 
         # encode tiles (structure ready for parallel/sharded execution)
         tile_payloads: List[bytes] = []
         for tr in range(self.tiling.rows):
             for tc in range(self.tiling.cols):
                 tx, ty, tw, th = self.tiling.tile_rect_mi(tc, tr, mi_cols, mi_rows)
-                te = TileEncoder(fi, frame, rec, tx, ty, tw, th, enc.speed_settings)
+                te = TileEncoder(
+                    fi, frame, rec, tx, ty, tw, th, enc.speed_settings, frame_blocks
+                )
                 tile_payloads.append(te.encode())
 
         tile_group = self._build_tile_group(tile_payloads)
+
+        # in-loop filters on the reconstruction (frame-level, across tiles).
+        # Levels via the q-derived fast rule; SSE-tally search comes with RDO.
+        from rav1e_tpu.ops.deblock import deblock_filter_frame, deblock_levels_fast
+
+        deblock_levels = deblock_levels_fast(
+            fi.base_q_idx, fi.bit_depth, frame_type == FrameType.KEY,
+            tables.ac_q(fi.base_q_idx, 0, fi.bit_depth),
+        )
+        deblock_filter_frame(
+            deblock_levels, rec, frame_blocks, enc.width, enc.height,
+            fi.bit_depth, enc.chroma_sampling,
+        )
 
         sb_w = (mi_cols + MIB_SIZE - 1) // MIB_SIZE
         sb_h = (mi_rows + MIB_SIZE - 1) // MIB_SIZE
@@ -836,6 +857,7 @@ class FramePipeline:
             allow_high_precision_mv=False,
             is_filter_switchable=False,
             default_filter=0,
+            deblock_levels=deblock_levels,
         )
 
         packet_data = bytearray()

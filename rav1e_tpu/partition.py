@@ -86,9 +86,16 @@ class BlockSize(IntEnum):
         return TxSize.by_dims(w, h)
 
     def chroma_block_size(self, xdec: int, ydec: int) -> "BlockSize":
-        """Block size covering this block's chroma samples."""
+        """Block size covering this block's chroma samples; extreme aspect
+        ratios clamp to the nearest legal size (AOM ss_size_lookup behavior,
+        e.g. 8x32 in 4:2:2 -> 4x16)."""
         w = max(self.width >> xdec, 4)
         h = max(self.height >> ydec, 4)
+        while (w, h) not in _BS_BY_DIMS:
+            if h > w:
+                h //= 2
+            else:
+                w //= 2
         return BlockSize.from_wh(w, h)
 
 
