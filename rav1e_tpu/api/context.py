@@ -83,15 +83,15 @@ class Context:
 
         return av1_codec_configuration_record(self.config.enc)
 
-    # ---- two-pass rate control (round-2+ surface) --------------------------
+    # ---- two-pass rate control ---------------------------------------------
 
     def twopass_out(self) -> Optional[bytes]:
-        return self.inner.rc_state.twopass_out() if self.inner.rc_state else None
+        """First-pass rate data (reference api/context.rs:159)."""
+        return self.pipeline.rc.twopass_out()
 
     def twopass_in(self, data: bytes) -> int:
-        if self.inner.rc_state:
-            return self.inner.rc_state.twopass_in(data)
-        return 0
+        """Feed first-pass data for a second pass."""
+        return self.pipeline.rc.twopass_in(data)
 
 
 class ContextInner:
@@ -111,7 +111,7 @@ class ContextInner:
         self.frames_processed = 0
         self.limit: Optional[int] = None
         self.keyframes = {0}
-        self.keyframe_detector = None  # scene-change detector, wired later
+        self._last_luma_ds = None  # 8x-downsampled luma for scene detection
         self.rc_state = None
         self.packet_count = 0
 
@@ -123,14 +123,63 @@ class ContextInner:
         self.next_frameno += 1
 
     def _detect_keyframe(self, frameno: int, frame: Frame, params) -> None:
+        """Keyframe placement: forced overrides, keyint limits, and fast
+        pixel-difference scene detection (capability counterpart of the
+        reference's av-scenechange Fast mode, api/internal.rs:276-300)."""
         e = self.config.enc
         if params is not None and params.frame_type_override == "key":
             self.keyframes.add(frameno)
+            self._last_luma_ds = self._downsample_luma(frame)
             return
-        # max keyint enforcement; scene-change detection hooks in here later.
         last_kf = max(k for k in self.keyframes if k <= frameno) if frameno else 0
-        if frameno - last_kf >= e.max_key_frame_interval:
+        distance = frameno - last_kf
+        cur = self._downsample_luma(frame)
+        scene_cut = False
+        from rav1e_tpu.config import SceneDetectionSpeed
+
+        if (
+            e.speed_settings.scene_detection_mode != SceneDetectionSpeed.NoDetection
+            and self._last_luma_ds is not None
+            and frameno > 0
+        ):
+            import numpy as np
+
+            prev = self._last_luma_ds.astype(np.int32)
+            c = cur.astype(np.int32)
+            # motion-robust: min difference over small global shifts, so pans
+            # don't read as cuts (one ds px = 8 source px)
+            best = None
+            h, w = c.shape
+            if h > 4 and w > 4:
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        a = c[max(dy, 0) : h + min(dy, 0), max(dx, 0) : w + min(dx, 0)]
+                        b = prev[max(-dy, 0) : h + min(-dy, 0), max(-dx, 0) : w + min(-dx, 0)]
+                        mad = float(np.abs(a - b).mean())
+                        best = mad if best is None else min(best, mad)
+            else:
+                best = float(np.abs(c - prev).mean())
+            scene_cut = best > 14.0 * (1 << (e.bit_depth - 8))
+        self._last_luma_ds = cur
+        if distance >= e.max_key_frame_interval:
             self.keyframes.add(frameno)
+        elif scene_cut and distance >= e.min_key_frame_interval:
+            self.keyframes.add(frameno)
+
+    @staticmethod
+    def _downsample_luma(frame: Frame):
+        import numpy as np
+
+        y = frame.planes[0].as_array()
+        h8, w8 = (y.shape[0] // 8) * 8, (y.shape[1] // 8) * 8
+        if h8 == 0 or w8 == 0:
+            return y.astype(np.uint16)
+        return (
+            y[:h8, :w8]
+            .reshape(h8 // 8, 8, w8 // 8, 8)
+            .mean(axis=(1, 3))
+            .astype(np.uint16)
+        )
 
     def receive_packet(self, pipeline, is_flushing: bool) -> Packet:
         out_no = self.next_output_frameno

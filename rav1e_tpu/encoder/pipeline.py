@@ -772,11 +772,17 @@ class FramePipeline:
         self.seq.tiling = self.tiling
         self.frames_encoded = 0
         self.rec_frame: Optional[Frame] = None
+        from rav1e_tpu.rc import RCState
 
-    def base_q_idx(self) -> int:
-        enc = self.config.enc
-        qi = tables.select_ac_qi(enc.quantizer, enc.bit_depth)
-        return max(qi, 1)
+        self.rc = RCState(
+            bit_depth=enc.bit_depth,
+            quantizer=enc.quantizer,
+            bitrate=enc.bitrate,
+            framerate=enc.frame_rate(),
+            reservoir_frame_delay=enc.reservoir_frame_delay,
+            min_quantizer=enc.min_quantizer,
+            max_key_frame_interval=enc.max_key_frame_interval,
+        )
 
     def encode_frame(
         self,
@@ -798,7 +804,7 @@ class FramePipeline:
             width=enc.width,
             height=enc.height,
             frame_type=frame_type,
-            base_q_idx=self.base_q_idx(),
+            base_q_idx=self.rc.select_qi(frame_type, enc.width, enc.height),
             bit_depth=enc.bit_depth,
             tx_mode_select=True,
             use_reduced_tx_set=enc.speed_settings.transform.reduced_tx_set,
@@ -871,6 +877,9 @@ class FramePipeline:
         rec.pad()
         self.rec_frame = rec
         self.frames_encoded += 1
+        self.rc.update_state(
+            len(packet_data) * 8, frame_type, fi.base_q_idx, enc.width, enc.height
+        )
         return Packet(
             data=bytes(packet_data),
             input_frameno=input_frameno,

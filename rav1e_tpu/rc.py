@@ -1,0 +1,184 @@
+"""Rate control.
+
+Capability counterpart of the reference's ``src/rate.rs`` (libtheora-style
+``RCState``: bitrate reservoir, per-frame-subtype rate models, two-pass
+metrics packets).  Redesigned rather than ported: a log-domain exponential
+rate model per frame subtype with a leaky bit reservoir — simpler state, the
+same behaviors: CQ mode, 1-pass bitrate mode with reservoir smoothing, and
+versioned two-pass data (chunk-compatible first pass).
+
+The TPU angle (SURVEY §2.7): the only cross-chip input this needs is the
+per-tile bit count sum, which arrives via the ICI psum in
+rav1e_tpu/parallel; everything here is scalar host math.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from rav1e_tpu import tables
+from rav1e_tpu.api.util import FrameType
+
+TWOPASS_MAGIC = 0x50325452  # "RT2P"
+TWOPASS_VERSION = 1
+
+# frame subtypes: KEY, INTER (P); B-levels join with the pyramid
+FRAME_SUBTYPE_I = 0
+FRAME_SUBTYPE_P = 1
+FRAME_NSUBTYPES = 2
+
+
+@dataclass
+class TwoPassFrameData:
+    frame_type: int
+    log_scale_q57: int  # complexity metric
+
+
+@dataclass
+class TwoPassSummary:
+    total_frames: int = 0
+    total_log_scale: int = 0
+    ntus: int = 0
+
+
+class RCState:
+    """Rate controller: CQ or bitrate mode with reservoir."""
+
+    def __init__(
+        self,
+        bit_depth: int,
+        quantizer: int,  # Q3 quantizer for CQ mode (reference semantics)
+        bitrate: int,  # bits per second; 0 => CQ
+        framerate: float,
+        reservoir_frame_delay: Optional[int] = None,
+        min_quantizer: int = 0,
+        max_key_frame_interval: int = 240,
+    ):
+        self.bit_depth = bit_depth
+        self.bitrate = bitrate
+        self.framerate = max(framerate, 1e-6)
+        self.min_quantizer = min_quantizer
+        self.cq_mode = bitrate <= 0
+        self.base_quantizer = quantizer
+
+        self.bits_per_frame = bitrate / self.framerate if bitrate > 0 else 0.0
+        delay = reservoir_frame_delay or max(min(int(self.framerate * 1.5), 600), 12)
+        self.reservoir_frame_delay = delay
+        self.reservoir_max = self.bits_per_frame * delay
+        self.reservoir_fullness = self.reservoir_max * 0.5
+
+        # log-domain rate models per subtype: log2(bits_per_px * 4096) ~
+        # a - b*log2(q_step_q3); intercepts seeded from typical 8-bit content
+        # and refit from the first observations
+        self._model_a = [23.0, 21.5]
+        self._model_b = [1.1, 1.3]
+        self._model_n = [0, 0]
+
+        # I-frame boost relative to P
+        self.i_boost = 1.8
+
+        # two-pass
+        self.twopass_record: List[TwoPassFrameData] = []
+        self.pass1_data: Optional[List[TwoPassFrameData]] = None
+        self.pass1_pos = 0
+
+    # --- quantizer selection -------------------------------------------
+
+    def select_qi(self, frame_type: FrameType, width: int, height: int) -> int:
+        """Pick the base_q_idx for the next frame."""
+        if self.cq_mode:
+            qi = tables.select_ac_qi(self.base_quantizer, self.bit_depth)
+            return max(qi, 1)
+
+        st = FRAME_SUBTYPE_I if frame_type == FrameType.KEY else FRAME_SUBTYPE_P
+        npx = width * height
+
+        target = self.bits_per_frame
+        # reservoir correction: nudge toward half-full
+        deviation = (self.reservoir_fullness - 0.5 * self.reservoir_max) / max(
+            self.reservoir_max, 1.0
+        )
+        target *= 1.0 + 0.8 * deviation
+        if st == FRAME_SUBTYPE_I:
+            target *= self.i_boost
+        # two-pass: scale target by relative complexity
+        if self.pass1_data is not None and self.pass1_pos < len(self.pass1_data):
+            rec = self.pass1_data[self.pass1_pos]
+            avg = max(
+                sum(d.log_scale_q57 for d in self.pass1_data) / len(self.pass1_data), 1.0
+            )
+            target *= max(min(rec.log_scale_q57 / avg, 3.0), 0.33)
+        target = max(target, 8.0 * npx / 1000.0)
+
+        # invert the model: log2(q) = (a - log2(bits/px)) / b
+        a, b = self._model_a[st], self._model_b[st]
+        log_bpp = math.log2(max(target / npx, 1e-6))
+        log_q = (a - (log_bpp + 12.0)) / max(b, 0.1)
+        q_step3 = max(min(2.0 ** log_q, 7000.0), 4.0)  # Q3 quantizer
+        qi = tables.select_ac_qi(int(round(q_step3)), self.bit_depth)
+        qi = max(qi, self.min_quantizer, 1)
+        return min(qi, 255)
+
+    # --- post-frame update ---------------------------------------------
+
+    def update_state(
+        self, bits_used: int, frame_type: FrameType, qindex: int, width: int, height: int
+    ) -> None:
+        st = FRAME_SUBTYPE_I if frame_type == FrameType.KEY else FRAME_SUBTYPE_P
+        npx = width * height
+        q_step3 = tables.ac_q(qindex, 0, self.bit_depth)
+        log_q = math.log2(max(q_step3, 1))
+        log_bpp = math.log2(max(bits_used / npx, 1e-6)) + 12.0
+        # refit intercept a with the observed point (slope fixed)
+        a_obs = log_bpp + self._model_b[st] * log_q
+        n = self._model_n[st]
+        alpha = 1.0 if n < 3 else 0.25
+        delta = a_obs - self._model_a[st]
+        self._model_a[st] += alpha * delta
+        self._model_n[st] = n + 1
+        # share the correction with an unobserved sibling subtype so the
+        # first P frame benefits from the I frame's calibration
+        other = 1 - st
+        if self._model_n[other] == 0:
+            self._model_a[other] += alpha * delta
+
+        if not self.cq_mode:
+            self.reservoir_fullness += self.bits_per_frame - bits_used
+            self.reservoir_fullness = max(
+                min(self.reservoir_fullness, self.reservoir_max), -self.reservoir_max
+            )
+
+        # two-pass pass-1 recording: complexity = bits at this q, normalized
+        scale = int(bits_used * q_step3 / 8)
+        self.twopass_record.append(TwoPassFrameData(st, max(scale, 1)))
+        if self.pass1_data is not None:
+            self.pass1_pos += 1
+
+    # --- two-pass data plumbing (reference rate.rs:1294-1446) ----------
+
+    def twopass_out(self) -> Optional[bytes]:
+        """Serialize first-pass data recorded so far (call after flush)."""
+        if not self.twopass_record:
+            return None
+        out = bytearray(struct.pack("<III", TWOPASS_MAGIC, TWOPASS_VERSION, len(self.twopass_record)))
+        for d in self.twopass_record:
+            out += struct.pack("<Bq", d.frame_type, d.log_scale_q57)
+        return bytes(out)
+
+    def twopass_in(self, data: bytes) -> int:
+        """Load first-pass data for the second pass. Returns frames loaded."""
+        magic, version, count = struct.unpack_from("<III", data, 0)
+        if magic != TWOPASS_MAGIC or version != TWOPASS_VERSION:
+            raise ValueError("bad two-pass data")
+        pos = 12
+        frames = []
+        for _ in range(count):
+            ft, scale = struct.unpack_from("<Bq", data, pos)
+            pos += struct.calcsize("<Bq")
+            frames.append(TwoPassFrameData(ft, scale))
+        self.pass1_data = frames
+        self.pass1_pos = 0
+        return count
