@@ -146,19 +146,17 @@ class ContextInner:
 
             prev = self._last_luma_ds.astype(np.int32)
             c = cur.astype(np.int32)
-            # motion-robust: min difference over small global shifts, so pans
-            # don't read as cuts (one ds px = 8 source px)
+            # motion-robust: min difference over small global shifts (2x
+            # downsample, +-3 ds px = +-6 source px) so pans don't read as cuts
             best = None
             h, w = c.shape
-            if h > 4 and w > 4:
-                for dy in (-1, 0, 1):
-                    for dx in (-1, 0, 1):
-                        a = c[max(dy, 0) : h + min(dy, 0), max(dx, 0) : w + min(dx, 0)]
-                        b = prev[max(-dy, 0) : h + min(-dy, 0), max(-dx, 0) : w + min(-dx, 0)]
-                        mad = float(np.abs(a - b).mean())
-                        best = mad if best is None else min(best, mad)
-            else:
-                best = float(np.abs(c - prev).mean())
+            r = 3 if (h > 8 and w > 8) else 0
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    a = c[max(dy, 0) : h + min(dy, 0), max(dx, 0) : w + min(dx, 0)]
+                    b = prev[max(-dy, 0) : h + min(-dy, 0), max(-dx, 0) : w + min(-dx, 0)]
+                    mad = float(np.abs(a - b).mean())
+                    best = mad if best is None else min(best, mad)
             scene_cut = best > 14.0 * (1 << (e.bit_depth - 8))
         self._last_luma_ds = cur
         if distance >= e.max_key_frame_interval:
@@ -171,12 +169,12 @@ class ContextInner:
         import numpy as np
 
         y = frame.planes[0].as_array()
-        h8, w8 = (y.shape[0] // 8) * 8, (y.shape[1] // 8) * 8
-        if h8 == 0 or w8 == 0:
+        h2, w2 = (y.shape[0] // 2) * 2, (y.shape[1] // 2) * 2
+        if h2 == 0 or w2 == 0:
             return y.astype(np.uint16)
         return (
-            y[:h8, :w8]
-            .reshape(h8 // 8, 8, w8 // 8, 8)
+            y[:h2, :w2]
+            .reshape(h2 // 2, 2, w2 // 2, 2)
             .mean(axis=(1, 3))
             .astype(np.uint16)
         )
