@@ -132,6 +132,15 @@ def _decode_tile_group(payload: bytes, seq, fh: FrameHeader, state: "DecoderStat
         seq.bit_depth, seq.chroma_sampling,
     )
 
+    if seq.enable_cdef:
+        from rav1e_tpu.ops.cdef import cdef_filter_frame
+
+        cdef_filter_frame(
+            (fh.cdef_damping, fh.cdef_y_strengths[0], fh.cdef_uv_strengths[0]),
+            frame, frame_blocks, seq.bit_depth, seq.chroma_sampling,
+            fh.width, fh.height,
+        )
+
     frame.pad()
     return frame
 

@@ -841,6 +841,20 @@ class FramePipeline:
             fi.bit_depth, enc.chroma_sampling,
         )
 
+        # CDEF (after deblock, before LRF; cdef.rs:574-600).  Single-strength
+        # (cdef_bits=0) with q-derived strengths; per-SB RDO arrives later.
+        cdef_damping, cdef_y, cdef_uv = 3, 0, 0
+        if self.seq.enable_cdef:
+            from rav1e_tpu.ops.cdef import cdef_filter_frame, cdef_strengths_fast
+
+            cdef_y, cdef_uv = cdef_strengths_fast(
+                tables.ac_q(fi.base_q_idx, 0, fi.bit_depth) >> (fi.bit_depth - 8)
+            )
+            cdef_filter_frame(
+                (cdef_damping, cdef_y, cdef_uv), rec, frame_blocks,
+                fi.bit_depth, enc.chroma_sampling, enc.width, enc.height,
+            )
+
         sb_w = (mi_cols + MIB_SIZE - 1) // MIB_SIZE
         sb_h = (mi_rows + MIB_SIZE - 1) // MIB_SIZE
         is_inter = fi.is_inter_frame
@@ -864,6 +878,10 @@ class FramePipeline:
             is_filter_switchable=False,
             default_filter=0,
             deblock_levels=deblock_levels,
+            cdef_damping=cdef_damping,
+            cdef_bits=0,
+            cdef_y_strengths=[cdef_y] + [0] * 7,
+            cdef_uv_strengths=[cdef_uv] + [0] * 7,
         )
 
         packet_data = bytearray()

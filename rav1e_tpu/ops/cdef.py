@@ -1,0 +1,270 @@
+"""CDEF: constrained directional enhancement filter (normative; spec 7.15,
+reference src/cdef.rs).
+
+Both encoder and decoder run identical code: direction estimation from the
+deblocked reconstruction, then the 2-primary/4-secondary tap filter per 8x8
+(luma) block.  TPU-first shape: direction search is 8 one-hot matmuls over
+all blocks at once (MXU), and the filter evaluates as gathered window
+tensors (N, h+4, w+4) with per-block direction indices — no per-pixel
+control flow.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+CDEF_VERY_LARGE = 0x8000
+CDEF_SEC_STRENGTHS = 4
+
+# (dy, dx) per direction and tap distance (cdef.rs:242-251 / spec 7.15.3)
+CDEF_DIRECTIONS = np.array(
+    [
+        [[-1, 1], [-2, 2]],
+        [[0, 1], [-1, 2]],
+        [[0, 1], [0, 2]],
+        [[0, 1], [1, 2]],
+        [[1, 1], [2, 2]],
+        [[1, 0], [2, 1]],
+        [[1, 0], [2, 0]],
+        [[1, 0], [2, -1]],
+    ],
+    dtype=np.int64,
+)
+
+CDEF_UV_DIR_422 = np.array([7, 0, 2, 4, 5, 6, 6, 6], dtype=np.int64)
+
+_DIV_TABLE = np.array([0, 840, 420, 280, 210, 168, 140, 120, 105], dtype=np.int64)
+
+
+@functools.lru_cache(None)
+def _partial_matrices():
+    """One-hot (64, 15) matrices mapping pixel (i, j) -> partial-sum bucket
+    per direction (cdef.rs:97-104)."""
+    mats = np.zeros((8, 64, 15), dtype=np.int64)
+    for i in range(8):
+        for j in range(8):
+            px = i * 8 + j
+            mats[0, px, i + j] = 1
+            mats[1, px, i + j // 2] = 1
+            mats[2, px, i] = 1
+            mats[3, px, 3 + i - j // 2] = 1
+            mats[4, px, 7 + i - j] = 1
+            mats[5, px, 3 - i // 2 + j] = 1
+            mats[6, px, j] = 1
+            mats[7, px, i // 2 + j] = 1
+    return mats
+
+
+def cdef_find_dirs(luma8: np.ndarray, bd: int):
+    """Directions + variances for a batch of 8x8 luma blocks.
+
+    luma8: (N, 8, 8) int. Returns (dir (N,), var (N,)).
+    """
+    shift = bd - 8
+    x = (luma8.astype(np.int64) >> shift) - 128
+    flat = x.reshape(-1, 64)
+    mats = _partial_matrices()
+    partial = np.einsum("npk,bn->bpk", mats.transpose(1, 0, 2), flat)  # (B,8,15)
+
+    cost = np.zeros((flat.shape[0], 8), dtype=np.int64)
+    # directions 2 and 6: 8 equal-length lines
+    for d in (2, 6):
+        cost[:, d] = (partial[:, d, :8] ** 2).sum(axis=1) * _DIV_TABLE[8]
+    # directions 0 and 4: diagonal lines of varying length
+    for d in (0, 4):
+        p = partial[:, d]
+        c = np.zeros(flat.shape[0], dtype=np.int64)
+        for i in range(7):
+            c += (p[:, i] ** 2 + p[:, 14 - i] ** 2) * _DIV_TABLE[i + 1]
+        c += p[:, 7] ** 2 * _DIV_TABLE[8]
+        cost[:, d] = c
+    # odd directions
+    for d in (1, 3, 5, 7):
+        p = partial[:, d]
+        c = (p[:, 3:8] ** 2).sum(axis=1) * _DIV_TABLE[8]
+        for j in range(3):
+            c += (p[:, j] ** 2 + p[:, 10 - j] ** 2) * _DIV_TABLE[2 * j + 2]
+        cost[:, d] = c
+
+    best_dir = np.argmax(cost, axis=1)  # ties -> first (argmax does that)
+    best_cost = np.take_along_axis(cost, best_dir[:, None], 1)[:, 0]
+    ortho = np.take_along_axis(cost, ((best_dir + 4) & 7)[:, None], 1)[:, 0]
+    var = (best_cost - ortho) >> 10
+    return best_dir.astype(np.int64), var.astype(np.int64)
+
+
+def _constrain(diff, threshold: int, damping: int):
+    if threshold == 0:
+        return np.zeros_like(diff)
+    shift = max(0, damping - (threshold.bit_length() - 1))
+    mag = np.clip(threshold - (np.abs(diff) >> shift), 0, np.abs(diff))
+    return np.where(diff < 0, -mag, mag)
+
+
+def _adjust_strength(strength: int, var: np.ndarray):
+    i = np.where(var >> 6 != 0, np.minimum(_msb_arr(var >> 6), 12), 0)
+    return np.where(var != 0, (strength * (4 + i) + 8) >> 4, 0)
+
+
+def _msb_arr(v):
+    out = np.zeros_like(v)
+    vv = v.copy()
+    while np.any(vv > 1):
+        m = vv > 1
+        out[m] += 1
+        vv[m] >>= 1
+    return out
+
+
+def cdef_filter_blocks(
+    windows: np.ndarray,  # (N, ys+4, xs+4) int32; missing ring = CDEF_VERY_LARGE
+    dirs: np.ndarray,  # (N,)
+    pri_strength,  # (N,) or scalar (luma is var-adjusted per block)
+    sec_strength: int,
+    damping: int,
+    bd: int,
+):
+    """Filter a batch of blocks; returns (N, ys, xs) int32."""
+    n, wh, ww = windows.shape
+    ys, xs = wh - 4, ww - 4
+    x = windows[:, 2 : 2 + ys, 2 : 2 + xs].astype(np.int64)
+    coeff_shift = bd - 8
+    pri = np.broadcast_to(np.asarray(pri_strength, dtype=np.int64), (n,))
+    # tap sets switch on bit 0 of the unscaled primary strength
+    pri_bit = (pri >> coeff_shift) & 1
+    pri_taps = np.where(pri_bit[:, None] == 0, [[4, 2]], [[3, 3]])  # (N,2)
+    sec_taps = np.array([2, 1], dtype=np.int64)
+
+    total = np.zeros_like(x)
+    mx = x.copy()
+    mn = x.copy()
+
+    dir_sets = [dirs, (dirs + 2) & 7, (dirs + 6) & 7]
+    for k in range(2):
+        for which, dset in enumerate(dir_sets):
+            dy = CDEF_DIRECTIONS[dset, k, 0][:, None, None]
+            dx = CDEF_DIRECTIONS[dset, k, 1][:, None, None]
+            for sgn in (1, -1):
+                iy = 2 + sgn * dy + np.arange(ys)[None, :, None]
+                ix = 2 + sgn * dx + np.arange(xs)[None, None, :]
+                p = windows[np.arange(n)[:, None, None], iy, ix].astype(np.int64)
+                diff = p - x
+                if which == 0:
+                    # primary taps: per-block strength
+                    thr = pri[:, None, None]
+                    shift = np.maximum(0, damping - _msb_arr(np.maximum(pri, 1))[:, None, None])
+                    mag = np.clip(thr - (np.abs(diff) >> shift), 0, np.abs(diff))
+                    con = np.where(diff < 0, -mag, mag)
+                    con = np.where(thr == 0, 0, con)
+                    total += pri_taps[:, k][:, None, None] * con
+                else:
+                    con = _constrain(diff, sec_strength, damping)
+                    total += sec_taps[k] * con
+                valid = p != CDEF_VERY_LARGE
+                mx = np.where(valid, np.maximum(p, mx), mx)
+                mn = np.minimum(p, mn)
+
+    v = x + ((8 + total - (total < 0)) >> 4)
+    return np.clip(v, mn, mx).astype(np.int32)
+
+
+def cdef_strengths_fast(ac_quant: int):
+    """Heuristic strength selection from the quantizer (RDO search later)."""
+    pri = min(ac_quant >> 6, 15)
+    sec = 1 if ac_quant > 60 else 0
+    y = pri * CDEF_SEC_STRENGTHS + sec
+    uv = max(pri >> 1, 0) * CDEF_SEC_STRENGTHS + sec
+    return y, uv
+
+
+def cdef_filter_frame(fh_params, frame, blocks, bd: int, cs, crop_w: int, crop_h: int) -> None:
+    """Apply CDEF in place over the whole frame.
+
+    ``fh_params``: (damping, y_strength, uv_strength) — single-strength
+    (cdef_bits == 0) operation; per-SB indices arrive with the RDO search.
+    """
+    from rav1e_tpu.config import ChromaSampling
+
+    damping, y_str, uv_str = fh_params
+    if y_str == 0 and uv_str == 0:
+        return
+    coeff_shift = bd - 8
+    pri_y = y_str // CDEF_SEC_STRENGTHS
+    sec_y = y_str % CDEF_SEC_STRENGTHS
+    sec_y += int(sec_y == 3)
+    pri_uv = uv_str // CDEF_SEC_STRENGTHS
+    sec_uv = uv_str % CDEF_SEC_STRENGTHS
+    sec_uv += int(sec_uv == 3)
+
+    mi_cols, mi_rows = blocks.cols, blocks.rows
+    nbx = (mi_cols + 1) // 2  # 8x8 luma units
+    nby = (mi_rows + 1) // 2
+
+    # skip map: an 8x8 is filtered if any covering 4x4 is non-skip
+    skip = blocks.skip
+    pad_cols = nbx * 2
+    pad_rows = nby * 2
+    sk = np.ones((pad_rows, pad_cols), dtype=bool)
+    sk[:mi_rows, :mi_cols] = skip
+    sk8 = sk.reshape(nby, 2, nbx, 2).all(axis=(1, 3))
+    by, bx = np.nonzero(~sk8)
+    if by.size == 0:
+        return
+
+    # direction analysis on pre-CDEF luma
+    luma = frame.planes[0]
+    pad = luma.cfg.pad
+    larr = luma.data[pad:, pad:]
+    win_idx_y = (by * 8)[:, None, None] + np.arange(8)[None, :, None]
+    win_idx_x = (bx * 8)[:, None, None] + np.arange(8)[None, None, :]
+    blocks8 = larr[win_idx_y, win_idx_x]
+    dirs, variances = cdef_find_dirs(blocks8, bd)
+
+    # edge availability (cdef.rs:441-460): global 8x8 grid, rings must be
+    # fully inside the visible frame
+    have_top = by > 0
+    have_left = bx > 0
+    have_right = (bx + 2) * 8 <= crop_w
+    have_bottom = (by + 2) * 8 <= crop_h
+
+    nplanes = 1 if cs == ChromaSampling.Cs400 else 3
+    for p in range(nplanes):
+        plane = frame.planes[p]
+        xd, yd = (0, 0) if p == 0 else cs.decimation()
+        xs, ys = 8 >> xd, 8 >> yd
+        ppad = plane.cfg.pad
+        parr = plane.data[ppad:, ppad:]
+        pre = parr.copy()  # all reads from the pre-CDEF copy
+
+        wy = (by * ys - 2)[:, None, None] + np.arange(ys + 4)[None, :, None]
+        wx = (bx * xs - 2)[:, None, None] + np.arange(xs + 4)[None, None, :]
+        windows = pre[wy, wx].astype(np.int32)
+        # missing rings -> VERY_LARGE
+        ring = CDEF_VERY_LARGE
+        windows[~have_top, :2, :] = ring
+        windows[~have_left, :, :2] = ring
+        windows[~have_right, :, -2:] = ring
+        windows[~have_bottom, -2:, :] = ring
+
+        if p == 0:
+            pri = _adjust_strength(pri_y << coeff_shift, variances)
+            pri = np.where(pri_y != 0, pri, 0)
+            ldirs = np.where(pri_y != 0, dirs, 0)
+            sec = sec_y << coeff_shift
+            damp = damping + coeff_shift
+        else:
+            pri = np.full(by.shape, pri_uv << coeff_shift, dtype=np.int64)
+            if xd != yd:
+                ldirs = CDEF_UV_DIR_422[dirs]
+            else:
+                ldirs = dirs
+            ldirs = np.where(pri_uv != 0, ldirs, 0)
+            sec = sec_uv << coeff_shift
+            damp = damping + coeff_shift - 1
+
+        out = cdef_filter_blocks(windows, ldirs, pri, sec, damp, bd)
+        oy = (by * ys)[:, None, None] + np.arange(ys)[None, :, None]
+        ox = (bx * xs)[:, None, None] + np.arange(xs)[None, None, :]
+        parr[oy, ox] = out.astype(parr.dtype)
