@@ -626,3 +626,121 @@ class ContextWriter:
 def cfl_allowed(bsize: BlockSize) -> bool:
     """CFL allowed for blocks <= 32x32 (spec)."""
     return bsize.width <= 32 and bsize.height <= 32
+
+
+# ---------------------------------------------------------------------------
+# Loop restoration signaling (reference context/frame_header.rs:171-270,
+# ec.rs:656-760; spec 5.11.57 read_lr_unit / 4.10.x subexp decoding)
+# ---------------------------------------------------------------------------
+
+
+def _recenter(r: int, v: int) -> int:
+    if v > (r << 1):
+        return v
+    if v >= r:
+        return (v - r) << 1
+    return ((r - v) << 1) - 1
+
+
+def _w_quniform(w, n: int, v: int) -> None:
+    if n > 1:
+        l = n.bit_length()
+        m = (1 << l) - n
+        if v < m:
+            w.literal(l - 1, v)
+        else:
+            w.literal(l - 1, m + ((v - m) >> 1))
+            w.literal(1, (v - m) & 1)
+
+
+def _w_subexp(w, n: int, k: int, v: int) -> None:
+    i = 0
+    mk = 0
+    while True:
+        b = k + i - 1 if i else k
+        a = 1 << b
+        if n <= mk + 3 * a:
+            _w_quniform(w, n - mk, v - mk)
+            break
+        t = v >= mk + a
+        w.literal(1, int(t))
+        if t:
+            i += 1
+            mk += a
+        else:
+            w.literal(b, v - mk)
+            break
+
+
+def write_signed_subexp_with_ref(w, v: int, low: int, high: int, k: int, r: int) -> None:
+    v -= low
+    r -= low
+    n = high - low
+    if (r << 1) <= n:
+        _w_subexp(w, n, k, _recenter(r, v))
+    else:
+        _w_subexp(w, n, k, _recenter(n - 1 - r, n - 1 - v))
+
+
+def _lrf_write_methods():
+    from rav1e_tpu.ops import lrf as LRF
+
+    def write_lrf(self, w, rs, refs, sb_x: int, sb_y: int, pli: int) -> None:
+        """Code the LRU filter when this SB is the first to touch it."""
+        rp = rs.planes[pli]
+        if rp.cfg.lrf_type == LRF.RESTORE_NONE:
+            return
+        idx = rp.unit_index(sb_x, sb_y, True)
+        if idx is None:
+            return
+        ux, uy = idx
+        countable = uy * rp.cfg.cols + ux
+        if countable <= refs.last_coded[pli]:
+            return
+        refs.last_coded[pli] = countable
+        filt = rp.units[uy][ux]
+        t = rp.cfg.lrf_type
+        if filt[0] == "none":
+            if t == LRF.RESTORE_WIENER:
+                self._sym(w, 0, self.fc.lrf_wiener_cdf)
+            elif t == LRF.RESTORE_SGRPROJ:
+                self._sym(w, 0, self.fc.lrf_sgrproj_cdf)
+            else:
+                self._sym(w, 0, self.fc.lrf_switchable_cdf)
+        elif filt[0] == "sgr":
+            sgr_set, xqd = filt[1], filt[2]
+            if t == LRF.RESTORE_SGRPROJ:
+                self._sym(w, 1, self.fc.lrf_sgrproj_cdf)
+            else:
+                self._sym(w, 2, self.fc.lrf_switchable_cdf)
+            w.literal(LRF.SGRPROJ_PARAMS_BITS, sgr_set)
+            for i in range(2):
+                if LRF.SGRPROJ_PARAMS_S[sgr_set][i] > 0:
+                    write_signed_subexp_with_ref(
+                        w, int(xqd[i]), LRF.SGRPROJ_XQD_MIN[i],
+                        LRF.SGRPROJ_XQD_MAX[i] + 1, LRF.SGRPROJ_PRJ_SUBEXP_K,
+                        refs.sgrproj_ref[pli][i],
+                    )
+                    refs.sgrproj_ref[pli][i] = int(xqd[i])
+                else:
+                    refs.sgrproj_ref[pli][i] = 0 if i == 0 else 95
+        else:  # wiener
+            coeffs = filt[1]
+            if t == LRF.RESTORE_WIENER:
+                self._sym(w, 1, self.fc.lrf_wiener_cdf)
+            else:
+                self._sym(w, 1, self.fc.lrf_switchable_cdf)
+            for p in range(2):
+                first = 0 if pli == 0 else 1
+                for i in range(first, 3):
+                    write_signed_subexp_with_ref(
+                        w, int(coeffs[p][i]), LRF.WIENER_TAPS_MIN[i],
+                        LRF.WIENER_TAPS_MAX[i] + 1, i + 1,
+                        refs.wiener_ref[pli][p][i],
+                    )
+                    refs.wiener_ref[pli][p][i] = int(coeffs[p][i])
+
+    ContextWriter.write_lrf = write_lrf
+
+
+_lrf_write_methods()

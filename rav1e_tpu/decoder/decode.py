@@ -114,12 +114,24 @@ def _decode_tile_group(payload: bytes, seq, fh: FrameHeader, state: "DecoderStat
             raise DecodeError("missing reference frame")
 
     frame_blocks = FrameBlocks(mi_cols, mi_rows)
+    rs = None
+    if any(t != 0 for t in fh.lrf_types):
+        from rav1e_tpu.ops.lrf import RestorationState
+
+        sb_w = (mi_cols + 15) // 16
+        sb_h = (mi_rows + 15) // 16
+        rs = RestorationState.build(
+            fh.width, fh.height, seq.chroma_sampling, fh.base_q_idx, sb_w, sb_h,
+            unit_sizes=(fh.lrf_unit_size[0], fh.lrf_unit_size[1]),
+            lrf_types=tuple(fh.lrf_types),
+        )
     idx = 0
     for tr in range(ti.rows):
         for tc in range(ti.cols):
             tx, ty, tw, th = ti.tile_rect_mi(tc, tr, mi_cols, mi_rows)
             td = TileDecoder(
-                seq, fh, frame, tx, ty, tw, th, mi_cols, mi_rows, ref_frame, frame_blocks
+                seq, fh, frame, tx, ty, tw, th, mi_cols, mi_rows, ref_frame,
+                frame_blocks, rs,
             )
             td.decode(tile_data[idx])
             idx += 1
@@ -132,6 +144,12 @@ def _decode_tile_group(payload: bytes, seq, fh: FrameHeader, state: "DecoderStat
         seq.bit_depth, seq.chroma_sampling,
     )
 
+    deblocked_planes = None
+    if rs is not None:
+        deblocked_planes = [
+            p.data[p.cfg.pad :, p.cfg.pad :].copy() for p in frame.planes
+        ]
+
     if seq.enable_cdef:
         from rav1e_tpu.ops.cdef import cdef_filter_frame
 
@@ -141,12 +159,20 @@ def _decode_tile_group(payload: bytes, seq, fh: FrameHeader, state: "DecoderStat
             fh.width, fh.height,
         )
 
+    if rs is not None:
+        from rav1e_tpu.ops.lrf import lrf_filter_frame
+
+        lrf_filter_frame(
+            rs, frame, deblocked_planes, fh.width, fh.height,
+            seq.bit_depth, seq.chroma_sampling,
+        )
+
     frame.pad()
     return frame
 
 
 class TileDecoder:
-    def __init__(self, seq, fh: FrameHeader, frame: Frame, mi_x0, mi_y0, mi_w, mi_h, mi_cols, mi_rows, ref_frame=None, frame_blocks=None):
+    def __init__(self, seq, fh: FrameHeader, frame: Frame, mi_x0, mi_y0, mi_w, mi_h, mi_cols, mi_rows, ref_frame=None, frame_blocks=None, rs=None):
         self.seq = seq
         self.fh = fh
         self.frame = frame
@@ -154,6 +180,11 @@ class TileDecoder:
         self.mi_x0, self.mi_y0 = mi_x0, mi_y0
         self.mi_w, self.mi_h = mi_w, mi_h
         self.mi_cols, self.mi_rows = mi_cols, mi_rows
+        self.rs = rs
+        if rs is not None:
+            from rav1e_tpu.ops.lrf import TileRestorationRefs
+
+            self.lrf_refs = TileRestorationRefs()
         self.fc = CDFContext(fh.base_q_idx)
         self.blocks = (
             frame_blocks.subgrid(mi_x0, mi_y0, mi_w, mi_h)
@@ -181,9 +212,17 @@ class TileDecoder:
         self.r = Reader(data)
         sb_cols = (self.mi_w + MIB_SIZE - 1) // MIB_SIZE
         sb_rows = (self.mi_h + MIB_SIZE - 1) // MIB_SIZE
+        from rav1e_tpu.config import ChromaSampling
+
+        nplanes = 1 if self.seq.chroma_sampling == ChromaSampling.Cs400 else 3
         for sby in range(sb_rows):
             self.bc.reset_left_contexts()
             for sbx in range(sb_cols):
+                if self.rs is not None:
+                    sb_x = (self.mi_x0 // MIB_SIZE) + sbx
+                    sb_y = (self.mi_y0 // MIB_SIZE) + sby
+                    for pli in range(nplanes):
+                        self.cr.read_lrf(self.r, self.rs, self.lrf_refs, sb_x, sb_y, pli)
                 self.decode_partition(sbx * MIB_SIZE, sby * MIB_SIZE, BlockSize.BLOCK_64X64)
 
     def decode_partition(self, x: int, y: int, bsize: BlockSize) -> None:

@@ -370,11 +370,19 @@ def parse_frame_header(payload: bytes, seq: Sequence) -> FrameHeader:
                 if i > 0:
                     use_chroma_lrf = True
         if use_lrf:
+            # unit-size shift bits (header.rs:1143-1159 / spec 5.9.20)
+            y_unit = 128 if seq.use_128x128_superblock else 64
             if not seq.use_128x128_superblock:
-                br.read(1)
-            # (>64 handling elided — encoder uses 64/256 defaults)
+                if br.read(1):
+                    y_unit = 128
+            if y_unit == 128:
+                if br.read(1):
+                    y_unit = 256
+            uv_unit = y_unit
             if use_chroma_lrf and seq.chroma_sampling == ChromaSampling.Cs420:
-                br.read(1)
+                if br.read(1):
+                    uv_unit = y_unit >> 1
+            fh.lrf_unit_size = [y_unit, uv_unit, uv_unit]
 
     fh.tx_mode_select = bool(br.read_bit())
     if not fh.intra_only:

@@ -418,3 +418,68 @@ def _tx_set_members(tx_set):
     from rav1e_tpu.tx import TX_SET_MEMBERS
 
     return TX_SET_MEMBERS[tx_set]
+
+
+def _lrf_read_method():
+    from rav1e_tpu.ops import lrf as LRF
+
+    def read_lrf(self, r, rs, refs, sb_x: int, sb_y: int, pli: int) -> None:
+        """Mirror of ContextWriter.write_lrf: parse the LRU filter when this
+        SB is the first to touch it, storing it into rs.planes[pli].units."""
+        rp = rs.planes[pli]
+        if rp.cfg.lrf_type == LRF.RESTORE_NONE:
+            return
+        idx = rp.unit_index(sb_x, sb_y, True)
+        if idx is None:
+            return
+        ux, uy = idx
+        countable = uy * rp.cfg.cols + ux
+        if countable <= refs.last_coded[pli]:
+            return
+        refs.last_coded[pli] = countable
+        t = rp.cfg.lrf_type
+        if t == LRF.RESTORE_SWITCHABLE:
+            kind = self._sym(r, self.fc.lrf_switchable_cdf)
+        elif t == LRF.RESTORE_WIENER:
+            kind = 1 if self._sym(r, self.fc.lrf_wiener_cdf) else 0
+        else:  # RESTORE_SGRPROJ
+            kind = 2 if self._sym(r, self.fc.lrf_sgrproj_cdf) else 0
+
+        if kind == 0:
+            rp.units[uy][ux] = LRF.FILTER_NONE
+        elif kind == 1:  # wiener
+            coeffs = [[0, 0, 0], [0, 0, 0]]
+            for p in range(2):
+                first = 0 if pli == 0 else 1
+                for i in range(first, 3):
+                    v = r.read_signed_subexp_with_ref(
+                        LRF.WIENER_TAPS_MIN[i], LRF.WIENER_TAPS_MAX[i] + 1,
+                        i + 1, refs.wiener_ref[pli][p][i],
+                    )
+                    coeffs[p][i] = v
+                    refs.wiener_ref[pli][p][i] = v
+            rp.units[uy][ux] = ("wiener", (tuple(coeffs[0]), tuple(coeffs[1])))
+        else:  # sgrproj
+            sgr_set = r.read_literal(LRF.SGRPROJ_PARAMS_BITS)
+            xqd = [0, 0]
+            for i in range(2):
+                if LRF.SGRPROJ_PARAMS_S[sgr_set][i] > 0:
+                    xqd[i] = r.read_signed_subexp_with_ref(
+                        LRF.SGRPROJ_XQD_MIN[i], LRF.SGRPROJ_XQD_MAX[i] + 1,
+                        LRF.SGRPROJ_PRJ_SUBEXP_K, refs.sgrproj_ref[pli][i],
+                    )
+                    refs.sgrproj_ref[pli][i] = xqd[i]
+                else:
+                    # spec: derived, not coded (frame_header.rs:222-228)
+                    if i == 0:
+                        xqd[0] = 0
+                        refs.sgrproj_ref[pli][0] = 0
+                    else:
+                        xqd[1] = max(-32, min(95, (1 << LRF.SGRPROJ_PRJ_BITS) - xqd[0]))
+                        refs.sgrproj_ref[pli][1] = xqd[1]
+            rp.units[uy][ux] = ("sgr", sgr_set, (xqd[0], xqd[1]))
+
+    ContextReader.read_lrf = read_lrf
+
+
+_lrf_read_method()

@@ -135,10 +135,16 @@ class TileEncoder:
         tile_mi_h: int,
         speed,
         frame_blocks: Optional[FrameBlocks] = None,
+        rs=None,
     ):
         self.fi = fi
         self.src = src
         self.rec = rec
+        self.rs = rs
+        if rs is not None:
+            from rav1e_tpu.ops.lrf import TileRestorationRefs
+
+            self.lrf_refs = TileRestorationRefs()
         self.mi_x0 = tile_mi_x
         self.mi_y0 = tile_mi_y
         self.mi_w = tile_mi_w
@@ -191,9 +197,17 @@ class TileEncoder:
     def encode(self) -> bytes:
         sb_cols = (self.mi_w + MIB_SIZE - 1) // MIB_SIZE
         sb_rows = (self.mi_h + MIB_SIZE - 1) // MIB_SIZE
+        nplanes = 1 if self.fi.seq.chroma_sampling == ChromaSampling.Cs400 else 3
         for sby in range(sb_rows):
             self.bc.reset_left_contexts()
             for sbx in range(sb_cols):
+                if self.rs is not None:
+                    # LRU params precede the SB's partition tree (spec 5.11.2;
+                    # encoder.rs:3439-3450 writes LRF then replays block bits)
+                    sb_x = (self.mi_x0 // MIB_SIZE) + sbx
+                    sb_y = (self.mi_y0 // MIB_SIZE) + sby
+                    for pli in range(nplanes):
+                        self.cw.write_lrf(self.w, self.rs, self.lrf_refs, sb_x, sb_y, pli)
                 self.encode_partition(
                     sbx * MIB_SIZE, sby * MIB_SIZE, BlockSize.BLOCK_64X64
                 )
@@ -841,6 +855,19 @@ class FramePipeline:
             fi.bit_depth, enc.chroma_sampling,
         )
 
+        sb_w = (mi_cols + MIB_SIZE - 1) // MIB_SIZE
+        sb_h = (mi_rows + MIB_SIZE - 1) // MIB_SIZE
+
+        # keep the pre-CDEF (deblocked) planes for loop restoration
+        # (lrf.rs:1485: LRF reads deblocked rows at stripe boundaries)
+        multi_tile = self.tiling.rows > 1 or self.tiling.cols > 1
+        use_lrf = self.seq.enable_restoration and not multi_tile
+        deblocked_planes = None
+        if use_lrf:
+            deblocked_planes = [
+                p.data[p.cfg.pad :, p.cfg.pad :].copy() for p in rec.planes
+            ]
+
         # CDEF (after deblock, before LRF; cdef.rs:574-600).  Single-strength
         # (cdef_bits=0) with q-derived strengths; per-SB RDO arrives later.
         cdef_damping, cdef_y, cdef_uv = 3, 0, 0
@@ -855,8 +882,53 @@ class FramePipeline:
                 fi.bit_depth, enc.chroma_sampling, enc.width, enc.height,
             )
 
-        sb_w = (mi_cols + MIB_SIZE - 1) // MIB_SIZE
-        sb_h = (mi_rows + MIB_SIZE - 1) // MIB_SIZE
+        # Loop restoration: per-LRU SgrProj solve + SSE decision; when any
+        # unit selects a filter the tiles are re-encoded with the LRF symbols
+        # (the recon is unchanged so pass 2 reproduces pass 1's decisions).
+        lrf_types = [0, 0, 0]
+        lrf_unit_size = [256, 256, 256]
+        if use_lrf:
+            from rav1e_tpu.ops.lrf import (
+                RESTORE_SWITCHABLE, RestorationState, lrf_decide_units,
+                lrf_filter_frame,
+            )
+
+            rs = RestorationState.build(
+                enc.width, enc.height, enc.chroma_sampling, fi.base_q_idx,
+                sb_w, sb_h,
+            )
+            lrf_decide_units(
+                rs, rec, deblocked_planes, frame, enc.width, enc.height,
+                fi.bit_depth, enc.chroma_sampling,
+            )
+            if rs.any_filters():
+                lrf_filter_frame(
+                    rs, rec, deblocked_planes, enc.width, enc.height,
+                    fi.bit_depth, enc.chroma_sampling,
+                )
+                lrf_types = [RESTORE_SWITCHABLE] * 3
+                lrf_unit_size = [
+                    rs.planes[0].cfg.unit_size,
+                    rs.planes[1].cfg.unit_size,
+                    rs.planes[2].cfg.unit_size,
+                ]
+                rec_scratch = Frame.new(
+                    enc.width, enc.height, enc.chroma_sampling, enc.bit_depth
+                )
+                fb_scratch = FrameBlocks(mi_cols, mi_rows)
+                tile_payloads = []
+                for tr in range(self.tiling.rows):
+                    for tc in range(self.tiling.cols):
+                        tx, ty, tw, th = self.tiling.tile_rect_mi(
+                            tc, tr, mi_cols, mi_rows
+                        )
+                        te = TileEncoder(
+                            fi, frame, rec_scratch, tx, ty, tw, th,
+                            enc.speed_settings, fb_scratch, rs=rs,
+                        )
+                        tile_payloads.append(te.encode())
+                tile_group = self._build_tile_group(tile_payloads)
+
         is_inter = fi.is_inter_frame
         n_hint = self.seq.order_hint_bits_minus_1 + 1
         fh = FrameHeaderInfo(
@@ -882,6 +954,8 @@ class FramePipeline:
             cdef_bits=0,
             cdef_y_strengths=[cdef_y] + [0] * 7,
             cdef_uv_strengths=[cdef_uv] + [0] * 7,
+            lrf_types=lrf_types,
+            lrf_unit_size=lrf_unit_size,
         )
 
         packet_data = bytearray()
