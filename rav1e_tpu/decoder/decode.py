@@ -487,7 +487,18 @@ class TileDecoder:
         )
         bw_uv = max(bw_uv, 1)
         bh_uv = max(bh_uv, 1)
+        ac = None
+        if chroma_mode.is_cfl():
+            from rav1e_tpu.ops.intra import luma_ac
+
+            fcw = min(((self.mi_cols - (self.mi_x0 + x)) << MI_SIZE_LOG2), bsize.width)
+            fch = min(((self.mi_rows - (self.mi_y0 + y)) << MI_SIZE_LOG2), bsize.height)
+            ac = luma_ac(
+                self.rec_views[0], x << MI_SIZE_LOG2, y << MI_SIZE_LOG2, bsize,
+                self.xdec, self.ydec, tx_size, fcw, fch,
+            )
         for p in (1, 2):
+            alpha = cfl[p - 1] if chroma_mode.is_cfl() else 0
             for by in range(bh_uv):
                 for bx in range(bw_uv):
                     tx_x = x + ((bx * (uv_tx_size.width >> MI_SIZE_LOG2)) << self.xdec) - (
@@ -496,14 +507,21 @@ class TileDecoder:
                     tx_y = y + ((by * (uv_tx_size.height >> MI_SIZE_LOG2)) << self.ydec) - (
                         int(bh * (tx_size.height >> MI_SIZE_LOG2) == 1) * self.ydec
                     )
+                    ac_slice = None
+                    if ac is not None:
+                        ac_slice = ac[
+                            by * uv_tx_size.height : (by + 1) * uv_tx_size.height,
+                            bx * uv_tx_size.width : (bx + 1) * uv_tx_size.width,
+                        ]
                     self._decode_tx_block(
                         p, x, y, bx, by, tx_x, tx_y, chroma_mode, uv_tx_size,
                         uv_tx_type, bsize, skip, angle_delta_uv,
+                        alpha=alpha, ac=ac_slice,
                     )
 
     def _decode_tx_block(
         self, p, part_x, part_y, bx, by, tx_x, tx_y, mode, tx_size,
-        uv_tx_type, bsize, skip, angle_delta,
+        uv_tx_type, bsize, skip, angle_delta, alpha=0, ac=None,
     ):
         fh = self.fh
         xd = 0 if p == 0 else self.xdec
@@ -531,7 +549,8 @@ class TileDecoder:
 
             ief = build_ief_params(self.blocks, part_x, part_y, p, xd, yd)
         pred = predict_intra(
-            mode, edge, w_px, h_px, self.seq.bit_depth, angle_delta, ief_params=ief
+            mode, edge, w_px, h_px, self.seq.bit_depth, angle_delta,
+            alpha=alpha, ac=ac, ief_params=ief,
         )
         rec[py : py + h_px, px : px + w_px] = pred
         if skip:

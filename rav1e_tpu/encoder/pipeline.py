@@ -269,6 +269,12 @@ class TileEncoder:
         chroma_mode = luma_mode if luma_mode < PredictionMode.UV_CFL_PRED else PredictionMode.DC_PRED
         do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, cs)
 
+        cfl = None
+        if do_chroma and cs != ChromaSampling.Cs400 and cfl_allowed(bsize):
+            cfl = self.select_cfl(x, y, bsize)
+            if cfl is not None:
+                chroma_mode = PredictionMode.UV_CFL_PRED
+
         # symbols: skip, mode info
         self.cw.write_skip(self.w, x, y, skip)
         self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
@@ -292,6 +298,16 @@ class TileEncoder:
             self.cw.write_angle_delta(self.w, angle_delta_y, luma_mode)
         if do_chroma:
             self.cw.write_intra_uv_mode(self.w, chroma_mode, luma_mode, bsize)
+            if chroma_mode.is_cfl():
+                # joint sign + per-plane scale index (partition_unit.rs:92-134)
+                au, av = cfl
+                sign_u = 0 if au == 0 else (1 if au < 0 else 2)
+                sign_v = 0 if av == 0 else (1 if av < 0 else 2)
+                joint_sign = sign_u * 3 + sign_v - 1
+                self.cw.write_cfl_alphas(
+                    self.w, joint_sign,
+                    abs(au) - 1 if au else 0, abs(av) - 1 if av else 0,
+                )
             if chroma_mode.is_directional() and bsize >= BlockSize.BLOCK_8X8:
                 self.cw.write_angle_delta(self.w, angle_delta_uv, chroma_mode)
             self.blocks.set_rect("uv_mode", x, y, bsize, int(chroma_mode))
@@ -309,10 +325,53 @@ class TileEncoder:
         else:
             self.bc.update_tx_size_context(x, y, bsize, tx_size, False)
 
-        self.write_tx_blocks(x, y, bsize, luma_mode, chroma_mode, angle_delta_y, angle_delta_uv, skip, do_chroma)
+        self.write_tx_blocks(x, y, bsize, luma_mode, chroma_mode, angle_delta_y, angle_delta_uv, skip, do_chroma, cfl)
 
     def _luma_tx_size(self, bsize: BlockSize) -> TxSize:
         return MAX_TXSIZE_RECT[int(bsize)]
+
+    def select_cfl(self, x: int, y: int, bsize: BlockSize):
+        """Search CfL alphas against the source (reference rdo_cfl_alpha,
+        rdo.rs; recon-exact RDO arrives with the full RDO pass).
+
+        Returns (alpha_u, alpha_v) in [-16, 16] or None when CfL doesn't pay.
+        """
+        from rav1e_tpu.ops.intra import luma_ac
+
+        fi = self.fi
+        fcw = min(((fi.mi_cols - (self.mi_x0 + x)) << MI_SIZE_LOG2), bsize.width)
+        fch = min(((fi.mi_rows - (self.mi_y0 + y)) << MI_SIZE_LOG2), bsize.height)
+        ac = luma_ac(
+            self.src_views[0], x << MI_SIZE_LOG2, y << MI_SIZE_LOG2, bsize,
+            self.xdec, self.ydec, self._luma_tx_size(bsize), fcw, fch,
+        ).astype(np.int64)
+        cand = np.arange(-16, 17)
+        scaled = cand[:, None, None] * ac[None]
+        q0 = np.where(
+            scaled < 0, -((np.abs(scaled) + 32) >> 6), (np.abs(scaled) + 32) >> 6
+        )
+        alphas = []
+        gain = 0
+        base_sse = 0
+        for p in (1, 2):
+            px = (x << MI_SIZE_LOG2) >> self.xdec
+            py = (y << MI_SIZE_LOG2) >> self.ydec
+            pw = bsize.width >> self.xdec
+            ph = bsize.height >> self.ydec
+            src = self.src_views[p][py : py + ph, px : px + pw].astype(np.int64)
+            dc = int(round(src.mean()))
+            d = src - dc
+            sse = ((d[None] - q0) ** 2).sum(axis=(1, 2))
+            bi = int(np.argmin(sse))
+            alphas.append(int(cand[bi]))
+            gain += int(sse[16]) - int(sse[bi])
+            base_sse += int(sse[16])
+        if alphas == [0, 0]:
+            return None
+        # require a real gain to pay the alpha signaling cost
+        if gain < 16 or gain * 64 < base_sse:
+            return None
+        return (alphas[0], alphas[1])
 
     # --- inter search / coding -------------------------------------------
 
@@ -644,6 +703,7 @@ class TileEncoder:
         angle_delta_uv: int,
         skip: bool,
         do_chroma: bool,
+        cfl=None,
     ) -> None:
         fi = self.fi
         tx_size = self._luma_tx_size(bsize)
@@ -679,8 +739,20 @@ class TileEncoder:
             uv_tx_type = TxType.DCT_DCT
         else:
             uv_tx_type = uv_intra_mode_to_tx_type_context(chroma_mode)
+        ac = None
+        if chroma_mode.is_cfl() and cfl is not None:
+            # AC from the *reconstructed* luma just coded above (predict.rs:644)
+            from rav1e_tpu.ops.intra import luma_ac
+
+            fcw = min(((fi.mi_cols - (self.mi_x0 + x)) << MI_SIZE_LOG2), bsize.width)
+            fch = min(((fi.mi_rows - (self.mi_y0 + y)) << MI_SIZE_LOG2), bsize.height)
+            ac = luma_ac(
+                self.rec_views[0], x << MI_SIZE_LOG2, y << MI_SIZE_LOG2, bsize,
+                self.xdec, self.ydec, tx_size, fcw, fch,
+            )
         for p in (1, 2):
             self.qc_uv.update(fi.base_q_idx, uv_tx_size, True, fi.bit_depth, 0, 0)
+            alpha = 0 if cfl is None else cfl[p - 1]
             for by in range(bh_uv):
                 for bx in range(bw_uv):
                     tx_x = x + ((bx * (uv_tx_size.width >> MI_SIZE_LOG2)) << self.xdec) - (
@@ -689,9 +761,16 @@ class TileEncoder:
                     tx_y = y + ((by * (uv_tx_size.height >> MI_SIZE_LOG2)) << self.ydec) - (
                         int(bh * (tx_size.height >> MI_SIZE_LOG2) == 1) * self.ydec
                     )
+                    ac_slice = None
+                    if ac is not None:
+                        ac_slice = ac[
+                            by * uv_tx_size.height : (by + 1) * uv_tx_size.height,
+                            bx * uv_tx_size.width : (bx + 1) * uv_tx_size.width,
+                        ]
                     self.encode_tx_block(
                         p, x, y, bx, by, tx_x, tx_y, chroma_mode, uv_tx_size,
                         uv_tx_type, bsize, skip, angle_delta_uv,
+                        alpha=alpha, ac=ac_slice,
                     )
 
     def encode_tx_block(
@@ -709,6 +788,8 @@ class TileEncoder:
         bsize: BlockSize,
         skip: bool,
         angle_delta: int,
+        alpha: int = 0,
+        ac: Optional[np.ndarray] = None,
     ) -> bool:
         fi = self.fi
         xd = 0 if p == 0 else self.xdec
@@ -738,7 +819,8 @@ class TileEncoder:
         if mode.is_directional() and fi.seq.enable_intra_edge_filter:
             ief = build_ief_params(self.blocks, part_x, part_y, p, xd, yd)
         pred = predict_intra(
-            mode, edge, w_px, h_px, fi.bit_depth, angle_delta, ief_params=ief
+            mode, edge, w_px, h_px, fi.bit_depth, angle_delta,
+            alpha=alpha, ac=ac, ief_params=ief,
         )
         rec[py : py + h_px, px : px + w_px] = pred
 

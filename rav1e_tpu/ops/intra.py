@@ -433,3 +433,57 @@ def _pred_directional(
 
         v = np.where(use_above, v_a, v_l)
         return np.clip(v, 0, sample_max).astype(np.int32)
+
+
+def luma_ac(
+    luma_rec: np.ndarray,
+    part_px: int,
+    part_py: int,
+    bsize,
+    xdec: int,
+    ydec: int,
+    tx_size,
+    frame_clipped_bw: int,
+    frame_clipped_bh: int,
+) -> np.ndarray:
+    """CfL luma AC block: subsampled reconstructed luma, Q3, mean-removed
+    (spec predict-chroma-from-luma; reference predict.rs:644-1063).
+
+    ``luma_rec``: tile-origin padded luma view; ``part_px/part_py``: block
+    origin in luma pixels.  Returns (plane_h, plane_w) int32.
+    """
+    plane_w = bsize.width >> xdec
+    plane_h = bsize.height >> ydec
+
+    # MaxLumaW/H: frame-clipped block size rounded up to tx multiples
+    if bsize.width > 8:
+        txw = tx_size.width
+        max_luma_w = ((frame_clipped_bw + txw - 1) // txw) * txw
+    else:
+        max_luma_w = bsize.width
+    if bsize.height > 8:
+        txh = tx_size.height
+        max_luma_h = ((frame_clipped_bh + txh - 1) // txh) * txh
+    else:
+        max_luma_h = bsize.height
+
+    w_pad = (bsize.width - max_luma_w) >> (2 + xdec)
+    h_pad = (bsize.height - max_luma_h) >> (2 + ydec)
+    mlw = (plane_w - w_pad * 4) << xdec
+    mlh = (plane_h - h_pad * 4) << ydec
+    max_x = max(mlw, 8) - (1 << xdec)
+    max_y = max(mlh, 8) - (1 << ydec)
+
+    ys = np.minimum(np.arange(plane_h) << ydec, max_y) + part_py
+    xs = np.minimum(np.arange(plane_w) << xdec, max_x) + part_px
+    L = luma_rec.astype(np.int32)
+    sample = L[ys[:, None], xs[None, :]]
+    if xdec:
+        sample = sample + L[ys[:, None], xs[None, :] + 1]
+    if ydec:
+        sample = sample + L[ys[:, None] + 1, xs[None, :]] + L[ys[:, None] + 1, xs[None, :] + 1]
+    sample = sample << (3 - xdec - ydec)
+
+    shift = plane_w.bit_length() - 1 + plane_h.bit_length() - 1
+    average = (int(sample.sum()) + (1 << (shift - 1))) >> shift
+    return (sample - average).astype(np.int32)
