@@ -1,0 +1,371 @@
+// Native encoder hot loops: motion search, subpel MC, quantization, CDEF.
+//
+// Host-side scalar/serial counterparts of the vectorized numpy paths in
+// rav1e_tpu/ops/{mc,cdef}.py and rav1e_tpu/quantize.py — bit-exact with the
+// Python implementations (round-trip tests cross-validate: encoder recon
+// built here must match the decoder's pure-Python reconstruction).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+inline int64_t round_shift(int64_t x, int bit) {
+  return (x + (int64_t(1) << (bit - 1))) >> bit;
+}
+
+inline int32_t px_at(const void* p, long stride, int bytespp, long y, long x) {
+  if (bytespp == 1) return ((const uint8_t*)p)[y * stride + x];
+  return ((const uint16_t*)p)[y * stride + x];
+}
+
+// --- subpel filters (registered from Python; mc.rs:110-216) ---------------
+int32_t g_subpel[6][16][8];
+
+inline const int32_t* get_filter(int mode, int frac, int length) {
+  int idx = (mode == 3 || length > 4) ? mode : std::min(mode, 1) + 4;
+  return g_subpel[idx][frac];
+}
+
+}  // namespace
+
+extern "C" {
+
+void enc_set_subpel_filters(const int32_t* data) {
+  std::memcpy(g_subpel, data, sizeof(g_subpel));
+}
+
+// put_8tap: (h, w) int32 prediction at integer pos (x0, y0) + 1/16 fracs.
+// Exact pipeline of mc.py::put_8tap / reference mc.rs:250-355.
+void enc_put_8tap(const void* ref, long stride, int bytespp, long x0, long y0,
+                  int w, int h, int col_frac, int row_frac, int mode_x,
+                  int mode_y, int bd, int32_t* out) {
+  const int max_val = (1 << bd) - 1;
+  const int inter_bits = 4 - (bd == 12 ? 2 : 0);
+
+  if (col_frac == 0 && row_frac == 0) {
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++)
+        out[y * w + x] = px_at(ref, stride, bytespp, y0 + y, x0 + x);
+    return;
+  }
+  const int32_t* xf = get_filter(mode_x, col_frac, w);
+  const int32_t* yf = get_filter(mode_y, row_frac, h);
+
+  if (col_frac == 0) {
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++) {
+        int64_t acc = 0;
+        for (int k = 0; k < 8; k++)
+          acc += (int64_t)yf[k] * px_at(ref, stride, bytespp, y0 + y - 3 + k, x0 + x);
+        int64_t v = round_shift(acc, 7);
+        out[y * w + x] = (int32_t)std::clamp<int64_t>(v, 0, max_val);
+      }
+    return;
+  }
+  if (row_frac == 0) {
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++) {
+        int64_t acc = 0;
+        for (int k = 0; k < 8; k++)
+          acc += (int64_t)xf[k] * px_at(ref, stride, bytespp, y0 + y, x0 + x - 3 + k);
+        int64_t v = round_shift(round_shift(acc, 7 - inter_bits), inter_bits);
+        out[y * w + x] = (int32_t)std::clamp<int64_t>(v, 0, max_val);
+      }
+    return;
+  }
+  // separable: horizontal into i16 intermediate (wrap), then vertical
+  std::vector<int16_t> horiz((h + 7) * w);
+  for (int y = 0; y < h + 7; y++)
+    for (int x = 0; x < w; x++) {
+      int64_t acc = 0;
+      for (int k = 0; k < 8; k++)
+        acc += (int64_t)xf[k] * px_at(ref, stride, bytespp, y0 + y - 3, x0 + x - 3 + k);
+      int64_t v = round_shift(acc, 7 - inter_bits);
+      horiz[y * w + x] = (int16_t)(((v + (1 << 15)) & 0xFFFF) - (1 << 15));
+    }
+  for (int y = 0; y < h; y++)
+    for (int x = 0; x < w; x++) {
+      int64_t acc = 0;
+      for (int k = 0; k < 8; k++) acc += (int64_t)yf[k] * horiz[(y + k) * w + x];
+      int64_t v = round_shift(acc, 7 + inter_bits);
+      out[y * w + x] = (int32_t)std::clamp<int64_t>(v, 0, max_val);
+    }
+}
+
+// --- motion search ---------------------------------------------------------
+
+static long sad_block(const void* ref, long rstride, int bytespp, long ry,
+                      long rx, const void* src, long sstride, long sy, long sx,
+                      int w, int h) {
+  long sad = 0;
+  for (int y = 0; y < h; y++)
+    for (int x = 0; x < w; x++) {
+      int d = px_at(src, sstride, bytespp, sy + y, sx + x) -
+              px_at(ref, rstride, bytespp, ry + y, rx + x);
+      sad += d < 0 ? -d : d;
+    }
+  return sad;
+}
+
+// Diamond full-pel + half/quarter-pel refinement (pipeline.py select_inter;
+// capability counterpart of reference me.rs).  mv units are 1/8 pel.
+// Writes (mv_row, mv_col) into out_mv; returns the SAD (or -1 if no valid
+// candidate).
+long enc_me_search(const void* ref, long rstride, long rh, long rw,
+                   int bytespp, long ax, long ay, const void* src,
+                   long sstride, long spx, long spy, int w, int h, int bd,
+                   const int32_t* seeds, int nseeds, int max_off,
+                   int32_t* out_mv) {
+  long best_sad = -1;
+  int best_r = 0, best_c = 0;
+
+  auto sad_at = [&](int mvr, int mvc) -> long {
+    long dy = mvr >> 3, dx = mvc >> 3;
+    if (dy < -max_off || dy > max_off || dx < -max_off || dx > max_off)
+      return -1;
+    long ry = ay + dy, rx = ax + dx;
+    if (ry < 4 || rx < 4 || ry + h + 4 > rh || rx + w + 4 > rw) return -1;
+    return sad_block(ref, rstride, bytespp, ry, rx, src, sstride, spy, spx, w, h);
+  };
+
+  for (int i = 0; i < nseeds; i++) {
+    int r = (seeds[2 * i] >> 3) << 3, c = (seeds[2 * i + 1] >> 3) << 3;
+    long s = sad_at(r, c);
+    if (s >= 0 && (best_sad < 0 || s < best_sad)) {
+      best_sad = s; best_r = r; best_c = c;
+    }
+  }
+  if (best_sad < 0) return -1;
+
+  static const int dirs[4][2] = {{-1, 0}, {1, 0}, {0, -1}, {0, 1}};
+  for (int step : {8, 4, 2, 1}) {
+    bool improved = true;
+    while (improved) {
+      improved = false;
+      for (auto& d : dirs) {
+        int r = best_r + d[0] * step * 8, c = best_c + d[1] * step * 8;
+        long s = sad_at(r, c);
+        if (s >= 0 && s < best_sad) {
+          best_sad = s; best_r = r; best_c = c; improved = true;
+        }
+      }
+    }
+  }
+
+  // subpel refine (REGULAR filters, quarter-pel so diffs stay even)
+  std::vector<int32_t> pred(w * h);
+  auto sad_subpel = [&](int mvr, int mvc) -> long {
+    long dy = mvr >> 3, dx = mvc >> 3;
+    if (dy < -(max_off - 1) || dy > max_off - 1 || dx < -(max_off - 1) ||
+        dx > max_off - 1)
+      return -1;
+    int row_int = mvr >> 3, col_int = mvc >> 3;
+    int row_frac = (mvr << 1) & 0xF, col_frac = (mvc << 1) & 0xF;
+    enc_put_8tap(ref, rstride, bytespp, ax + col_int, ay + row_int, w, h,
+                 col_frac, row_frac, 0, 0, bd, pred.data());
+    long sad = 0;
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++) {
+        int dv = px_at(src, sstride, bytespp, spy + y, spx + x) - pred[y * w + x];
+        sad += dv < 0 ? -dv : dv;
+      }
+    return sad;
+  };
+  for (int step : {4, 2}) {
+    bool improved = true;
+    while (improved) {
+      improved = false;
+      for (auto& d : dirs) {
+        int r = best_r + d[0] * step, c = best_c + d[1] * step;
+        long s = sad_subpel(r, c);
+        if (s >= 0 && s < best_sad) {
+          best_sad = s; best_r = r; best_c = c; improved = true;
+        }
+      }
+    }
+  }
+
+  out_mv[0] = best_r;
+  out_mv[1] = best_c;
+  return best_sad;
+}
+
+// --- quantization (quantize.py::quantize_block) ---------------------------
+
+// coeffs: int32 (tx_h, tx_w) row-major; qcoeffs out, same layout (pre-zeroed
+// by caller).  scan: uint16 over coded dims.  Returns eob.
+int enc_quantize(const int32_t* coeffs, int tx_w, int tx_h, int coded_w,
+                 int coded_h, const uint16_t* scan, int log_tx_scale,
+                 long dc_quant, long ac_quant, long dc_offset, long ac_offset0,
+                 long ac_offset1, long ac_offset_eob, int32_t* qcoeffs) {
+  int area = coded_w * coded_h;
+  std::vector<int64_t> sub(area);
+  for (int r = 0; r < coded_h; r++)
+    for (int c = 0; c < coded_w; c++)
+      sub[r * coded_w + c] = coeffs[r * tx_w + c];
+
+  // DC
+  int64_t scaled0 = sub[0] << log_tx_scale;
+  int64_t dc_level = (std::abs(scaled0) + dc_offset) / dc_quant;
+  int64_t dc_q = (scaled0 > 0 ? 1 : (scaled0 < 0 ? -1 : 0)) * dc_level;
+
+  // deadzone EOB pre-scan
+  int64_t deadzone =
+      (ac_quant - ac_offset_eob + (1 << log_tx_scale) - 1) >> log_tx_scale;
+  int eob = (dc_q != 0) ? 1 : 0;
+  for (int c = area - 1; c >= 1; c--) {
+    int64_t a = sub[scan[c]];
+    if ((a < 0 ? -a : a) >= deadzone) { eob = c + 1; break; }
+  }
+
+  // AC levels
+  std::vector<int64_t> q(area, 0);
+  for (int c = 1; c < eob; c++) {
+    int pos = scan[c];
+    int64_t scaled = sub[pos] << log_tx_scale;
+    int64_t a = scaled < 0 ? -scaled : scaled;
+    int64_t level0 = a / ac_quant;
+    int64_t offset = level0 > 0 ? ac_offset1 : ac_offset0;
+    int64_t qabs = level0 + ((a + offset) >= (level0 + 1) * ac_quant ? 1 : 0);
+    q[pos] = (scaled > 0 ? 1 : (scaled < 0 ? -1 : 0)) * qabs;
+  }
+  q[0] = dc_q;
+
+  // exact eob from actual nonzeros
+  eob = 0;
+  for (int c = area - 1; c >= 0; c--)
+    if (q[scan[c]] != 0) { eob = c + 1; break; }
+
+  for (int r = 0; r < coded_h; r++)
+    for (int c = 0; c < coded_w; c++)
+      qcoeffs[r * tx_w + c] = (int32_t)q[r * coded_w + c];
+  return eob;
+}
+
+// --- CDEF (ops/cdef.py; cdef.rs:25-600) -----------------------------------
+
+namespace {
+const int CDEF_VERY_LARGE = 0x8000;
+const int kCdefDir[8][2][2] = {
+    {{-1, 1}, {-2, 2}}, {{0, 1}, {-1, 2}}, {{0, 1}, {0, 2}}, {{0, 1}, {1, 2}},
+    {{1, 1}, {2, 2}},   {{1, 0}, {2, 1}},  {{1, 0}, {2, 0}}, {{1, 0}, {2, -1}},
+};
+const int kDivTable[9] = {0, 840, 420, 280, 210, 168, 140, 120, 105};
+
+inline int constrain1(int diff, int threshold, int damping) {
+  if (threshold == 0) return 0;
+  int msb = 31 - __builtin_clz(threshold);
+  int shift = std::max(0, damping - msb);
+  int ad = diff < 0 ? -diff : diff;
+  int mag = std::clamp(threshold - (ad >> shift), 0, ad);
+  return diff < 0 ? -mag : mag;
+}
+}  // namespace
+
+// Direction + variance for one 8x8 luma block (cdef_find_dir, cdef.rs:60-140)
+void enc_cdef_dir(const void* luma, long stride, int bytespp, long py, long px,
+                  int bd, int32_t* out_dir, int32_t* out_var) {
+  int shift = bd - 8;
+  int64_t partial[8][15];
+  std::memset(partial, 0, sizeof(partial));
+  for (int i = 0; i < 8; i++)
+    for (int j = 0; j < 8; j++) {
+      int64_t v = (px_at(luma, stride, bytespp, py + i, px + j) >> shift) - 128;
+      partial[0][i + j] += v;
+      partial[1][i + j / 2] += v;
+      partial[2][i] += v;
+      partial[3][3 + i - j / 2] += v;
+      partial[4][7 + i - j] += v;
+      partial[5][3 - i / 2 + j] += v;
+      partial[6][j] += v;
+      partial[7][i / 2 + j] += v;
+    }
+  int64_t cost[8] = {0};
+  for (int d : {2, 6})
+    for (int i = 0; i < 8; i++)
+      cost[d] += partial[d][i] * partial[d][i] * kDivTable[8];
+  for (int d : {0, 4}) {
+    for (int i = 0; i < 7; i++)
+      cost[d] += (partial[d][i] * partial[d][i] +
+                  partial[d][14 - i] * partial[d][14 - i]) * kDivTable[i + 1];
+    cost[d] += partial[d][7] * partial[d][7] * kDivTable[8];
+  }
+  for (int d : {1, 3, 5, 7}) {
+    for (int i = 3; i < 8; i++)
+      cost[d] += partial[d][i] * partial[d][i] * kDivTable[8];
+    for (int j = 0; j < 3; j++)
+      cost[d] += (partial[d][j] * partial[d][j] +
+                  partial[d][10 - j] * partial[d][10 - j]) * kDivTable[2 * j + 2];
+  }
+  int best = 0;
+  for (int d = 1; d < 8; d++)
+    if (cost[d] > cost[best]) best = d;
+  *out_dir = best;
+  *out_var = (int32_t)((cost[best] - cost[(best + 4) & 7]) >> 10);
+}
+
+// Filter a batch of blocks of one plane in place.
+// pre: copy of the plane (reads); out: plane data (writes); both at the
+// visible origin with `stride` elements/row.
+void enc_cdef_filter(const void* pre, long stride, int bytespp, void* out,
+                     long out_stride, int n, const int32_t* by,
+                     const int32_t* bx, const int32_t* dirs,
+                     const int32_t* pri, int sec, int damping, int bd, int xs,
+                     int ys, const uint8_t* have_t, const uint8_t* have_l,
+                     const uint8_t* have_r, const uint8_t* have_b) {
+  const int coeff_shift = bd - 8;
+  const int sec_taps[2] = {2, 1};
+  for (int b = 0; b < n; b++) {
+    long oy = (long)by[b] * ys, ox = (long)bx[b] * xs;
+    int p0 = pri[b];
+    static const int pt_even[2] = {4, 2}, pt_odd[2] = {3, 3};
+    const int* pri_taps = (((p0 >> coeff_shift) & 1) == 0) ? pt_even : pt_odd;
+    int dir = dirs[b];
+    auto read = [&](int ty, int tx) -> int {
+      if ((ty < 0 && !have_t[b]) || (ty >= ys && !have_b[b]) ||
+          (tx < 0 && !have_l[b]) || (tx >= xs && !have_r[b]))
+        return CDEF_VERY_LARGE;
+      return px_at(pre, stride, bytespp, oy + ty, ox + tx);
+    };
+    for (int i = 0; i < ys; i++)
+      for (int j = 0; j < xs; j++) {
+        int x = px_at(pre, stride, bytespp, oy + i, ox + j);
+        int mn = x, mx = x, total = 0;
+        for (int k = 0; k < 2; k++) {
+          for (int which = 0; which < 3; which++) {
+            int d = which == 0 ? dir : (which == 1 ? (dir + 2) & 7 : (dir + 6) & 7);
+            int dy = kCdefDir[d][k][0], dx = kCdefDir[d][k][1];
+            for (int sgn : {1, -1}) {
+              int p = read(i + sgn * dy, j + sgn * dx);
+              int diff = p - x;
+              if (which == 0)
+                total += pri_taps[k] * constrain1(diff, p0, damping);
+              else
+                total += sec_taps[k] * constrain1(diff, sec, damping);
+              if (p != CDEF_VERY_LARGE) mx = std::max(mx, p);
+              mn = std::min(mn, p);
+            }
+          }
+        }
+        int v = x + ((8 + total - (total < 0 ? 1 : 0)) >> 4);
+        v = std::clamp(v, mn, mx);
+        if (bytespp == 1)
+          ((uint8_t*)out)[(oy + i) * out_stride + ox + j] = (uint8_t)v;
+        else
+          ((uint16_t*)out)[(oy + i) * out_stride + ox + j] = (uint16_t)v;
+      }
+  }
+}
+
+}  // extern "C"
+
+extern "C" void enc_cdef_dirs(const void* luma, long stride, int bytespp,
+                              int n, const int32_t* by, const int32_t* bx,
+                              int bd, int32_t* out_dirs, int32_t* out_vars) {
+  for (int b = 0; b < n; b++)
+    enc_cdef_dir(luma, stride, bytespp, (long)by[b] * 8, (long)bx[b] * 8, bd,
+                 out_dirs + b, out_vars + b);
+}

@@ -20,6 +20,7 @@ from rav1e_tpu.context.block import (
 from rav1e_tpu.context.cdf import CDFContext, CDFContextLog
 from rav1e_tpu.ec import WriterBase, update_cdf
 from rav1e_tpu.partition import BlockSize, PartitionType, PredictionMode
+from rav1e_tpu.quantize import _scan_u16
 from rav1e_tpu.tables import scan_order
 from rav1e_tpu.tx import TxSize, TxType
 from rav1e_tpu.quantize import _scan_kind
@@ -497,10 +498,6 @@ class ContextWriter:
     ) -> bool:
         is_inter = not pred_mode.is_intra()
         cw, ch = lvmap.coded_dims(tx_size)
-        scan = scan_order(cw, ch, _scan_kind(tx_type))[:eob]
-        sub = qcoeffs[:ch, :cw].reshape(-1)
-        coeffs = sub[scan].astype(np.int64)
-
         txs_ctx = lvmap.txsize_entropy_ctx(tx_size)
         txb_skip_ctx, dc_sign_ctx = self.bc.get_txb_ctx(
             plane_bsize, tx_size, plane, x, y, xdec, ydec,
@@ -528,7 +525,7 @@ class ContextWriter:
             ][min(eob_multi_size, 6)]
             eob_row = eob_cdf_arr[plane_type, int(cls != lvmap.TX_CLASS_2D)]
             q = np.ascontiguousarray(qcoeffs, dtype=np.int32)
-            scan_arr = np.ascontiguousarray(scan_order(cw, ch, _scan_kind(tx_type)), dtype=np.uint16)
+            scan_arr = _scan_u16(cw, ch, _scan_kind(tx_type))
             cul = w.lib.ectx_write_coeffs(
                 w.h,
                 q.ctypes.data, tx_size.width, tx_size.height, cw, ch, eob,
@@ -542,6 +539,10 @@ class ContextWriter:
             )
             self.bc.store_coeff_context(plane, x, y, tx_size, xdec, ydec, cul)
             return True
+
+        scan = scan_order(cw, ch, _scan_kind(tx_type))[:eob]
+        sub = qcoeffs[:ch, :cw].reshape(-1)
+        coeffs = sub[scan].astype(np.int64)
 
         levels = lvmap.init_levels(qcoeffs, cw, ch)
 

@@ -421,50 +421,70 @@ class TileEncoder:
 
         # candidate seeds: zero + stack predictors (full-pel rounded)
         seeds = [(0, 0)] + [fullpel(c.this_mv) for c in stack[:2]]
-        best_mv, best_sad = None, None
-        for s in seeds:
-            c = sad_at(s)
-            if c is not None and (best_sad is None or c < best_sad):
-                best_mv, best_sad = s, c
-        if best_mv is None:
-            return None
 
-        # full-pel diamond refinement at shrinking steps
-        for step_px in (8, 4, 2, 1):
-            improved = True
-            while improved:
-                improved = False
-                for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-                    cand = (best_mv[0] + dy * step_px * 8, best_mv[1] + dx * step_px * 8)
-                    c = sad_at(cand)
-                    if c is not None and c < best_sad:
-                        best_mv, best_sad = cand, c
-                        improved = True
+        from rav1e_tpu import native as _native
 
-        # subpel refinement (quarter-pel; LOW precision keeps diffs even)
-        from rav1e_tpu.ops.mc import REGULAR, mv_to_offsets, put_8tap
-
-        def sad_subpel(mv2):
-            dy, dx = mv2[0] >> 3, mv2[1] >> 3
-            if abs(dy) > max_off - 1 or abs(dx) > max_off - 1:
-                return None
-            row_int, col_int, row_frac, col_frac = mv_to_offsets(mv2[0], mv2[1], 0, 0)
-            pred = put_8tap(
-                ref, ax + col_int, ay + row_int, w_px, h_px,
-                col_frac, row_frac, REGULAR, REGULAR, fi.bit_depth,
+        lib = _native.get_lib()
+        if lib is not None:
+            # native diamond + subpel search (native/enc.cc::enc_me_search)
+            seeds_arr = np.ascontiguousarray(np.array(seeds, dtype=np.int32))
+            out_mv = np.zeros(2, dtype=np.int32)
+            best_sad = lib.enc_me_search(
+                ref.ctypes.data, ref.strides[0] // ref.itemsize,
+                ref.shape[0], ref.shape[1], ref.itemsize, ax, ay,
+                src.ctypes.data, src.strides[0] // src.itemsize,
+                px, py, w_px, h_px, fi.bit_depth,
+                seeds_arr.ctypes.data, len(seeds), max_off,
+                out_mv.ctypes.data,
             )
-            return int(np.abs(block - pred).sum())
+            if best_sad < 0:
+                return None
+            best_mv = (int(out_mv[0]), int(out_mv[1]))
+        else:
+            best_mv, best_sad = None, None
+            for s in seeds:
+                c = sad_at(s)
+                if c is not None and (best_sad is None or c < best_sad):
+                    best_mv, best_sad = s, c
+            if best_mv is None:
+                return None
 
-        for step in (4, 2):  # half-pel then quarter-pel (1/8 units)
-            improved = True
-            while improved:
-                improved = False
-                for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-                    cand = (best_mv[0] + dy * step, best_mv[1] + dx * step)
-                    c = sad_subpel(cand)
-                    if c is not None and c < best_sad:
-                        best_mv, best_sad = cand, c
-                        improved = True
+            # full-pel diamond refinement at shrinking steps
+            for step_px in (8, 4, 2, 1):
+                improved = True
+                while improved:
+                    improved = False
+                    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                        cand = (best_mv[0] + dy * step_px * 8, best_mv[1] + dx * step_px * 8)
+                        c = sad_at(cand)
+                        if c is not None and c < best_sad:
+                            best_mv, best_sad = cand, c
+                            improved = True
+
+            # subpel refinement (quarter-pel; LOW precision keeps diffs even)
+            from rav1e_tpu.ops.mc import REGULAR, mv_to_offsets, put_8tap
+
+            def sad_subpel(mv2):
+                dy, dx = mv2[0] >> 3, mv2[1] >> 3
+                if abs(dy) > max_off - 1 or abs(dx) > max_off - 1:
+                    return None
+                row_int, col_int, row_frac, col_frac = mv_to_offsets(mv2[0], mv2[1], 0, 0)
+                pred = put_8tap(
+                    ref, ax + col_int, ay + row_int, w_px, h_px,
+                    col_frac, row_frac, REGULAR, REGULAR, fi.bit_depth,
+                )
+                return int(np.abs(block - pred).sum())
+
+            for step in (4, 2):  # half-pel then quarter-pel (1/8 units)
+                improved = True
+                while improved:
+                    improved = False
+                    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                        cand = (best_mv[0] + dy * step, best_mv[1] + dx * step)
+                        c = sad_subpel(cand)
+                        if c is not None and c < best_sad:
+                            best_mv, best_sad = cand, c
+                            improved = True
 
         # compare against a cheap intra proxy (DC from source neighbors)
         base = 128 << (fi.bit_depth - 8)

@@ -14,7 +14,7 @@ from pathlib import Path
 from typing import Optional
 
 _ROOT = Path(__file__).resolve().parent.parent
-_SRCS = [_ROOT / "native" / "ec.cc", _ROOT / "native" / "itx.cc"]
+_SRCS = [_ROOT / "native" / "ec.cc", _ROOT / "native" / "itx.cc", _ROOT / "native" / "enc.cc"]
 _LIB = _ROOT / "native" / "librav1e_tpu_ec.so"
 
 _lib: Optional[ctypes.CDLL] = None
@@ -80,9 +80,51 @@ def get_lib() -> Optional[ctypes.CDLL]:
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_int, c.c_int, c.c_int,
         c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
     ]
+    # encoder hot loops (native/enc.cc)
+    lib.enc_set_subpel_filters.argtypes = [c.c_void_p]
+    lib.enc_put_8tap.argtypes = [
+        c.c_void_p, c.c_long, c.c_int, c.c_long, c.c_long, c.c_int, c.c_int,
+        c.c_int, c.c_int, c.c_int, c.c_int, c.c_int, c.c_void_p,
+    ]
+    lib.enc_me_search.argtypes = [
+        c.c_void_p, c.c_long, c.c_long, c.c_long, c.c_int, c.c_long, c.c_long,
+        c.c_void_p, c.c_long, c.c_long, c.c_long, c.c_int, c.c_int, c.c_int,
+        c.c_void_p, c.c_int, c.c_int, c.c_void_p,
+    ]
+    lib.enc_me_search.restype = c.c_long
+    lib.enc_quantize.argtypes = [
+        c.c_void_p, c.c_int, c.c_int, c.c_int, c.c_int, c.c_void_p, c.c_int,
+        c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_void_p,
+    ]
+    lib.enc_quantize.restype = c.c_int
+    lib.enc_cdef_dirs.argtypes = [
+        c.c_void_p, c.c_long, c.c_int, c.c_int, c.c_void_p, c.c_void_p,
+        c.c_int, c.c_void_p, c.c_void_p,
+    ]
+    lib.enc_cdef_dir.argtypes = [
+        c.c_void_p, c.c_long, c.c_int, c.c_long, c.c_long, c.c_int,
+        c.c_void_p, c.c_void_p,
+    ]
+    lib.enc_cdef_filter.argtypes = [
+        c.c_void_p, c.c_long, c.c_int, c.c_void_p, c.c_long, c.c_int,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int, c.c_int,
+        c.c_int, c.c_int, c.c_int, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p,
+    ]
     _load_itx_programs(lib)
+    _load_subpel_filters(lib)
     _lib = lib
     return _lib
+
+
+def _load_subpel_filters(lib) -> None:
+    import numpy as np
+
+    from rav1e_tpu.ops.mc import SUBPEL_FILTERS
+
+    arr = np.ascontiguousarray(SUBPEL_FILTERS, dtype=np.int32)
+    assert arr.shape == (6, 16, 8)
+    lib.enc_set_subpel_filters(arr.ctypes.data)
 
 
 def _load_itx_programs(lib) -> None:

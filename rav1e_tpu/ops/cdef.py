@@ -214,13 +214,29 @@ def cdef_filter_frame(fh_params, frame, blocks, bd: int, cs, crop_w: int, crop_h
         return
 
     # direction analysis on pre-CDEF luma
+    from rav1e_tpu import native
+
+    lib = native.get_lib()
     luma = frame.planes[0]
     pad = luma.cfg.pad
     larr = luma.data[pad:, pad:]
-    win_idx_y = (by * 8)[:, None, None] + np.arange(8)[None, :, None]
-    win_idx_x = (bx * 8)[:, None, None] + np.arange(8)[None, None, :]
-    blocks8 = larr[win_idx_y, win_idx_x]
-    dirs, variances = cdef_find_dirs(blocks8, bd)
+    if lib is not None and larr.itemsize in (1, 2):
+        by32 = np.ascontiguousarray(by, dtype=np.int32)
+        bx32 = np.ascontiguousarray(bx, dtype=np.int32)
+        dirs = np.empty(len(by), dtype=np.int32)
+        variances = np.empty(len(by), dtype=np.int32)
+        lib.enc_cdef_dirs(
+            larr.ctypes.data, larr.strides[0] // larr.itemsize, larr.itemsize,
+            len(by), by32.ctypes.data, bx32.ctypes.data, bd,
+            dirs.ctypes.data, variances.ctypes.data,
+        )
+        dirs = dirs.astype(np.int64)
+        variances = variances.astype(np.int64)
+    else:
+        win_idx_y = (by * 8)[:, None, None] + np.arange(8)[None, :, None]
+        win_idx_x = (bx * 8)[:, None, None] + np.arange(8)[None, None, :]
+        blocks8 = larr[win_idx_y, win_idx_x]
+        dirs, variances = cdef_find_dirs(blocks8, bd)
 
     # edge availability (cdef.rs:441-460): global 8x8 grid, rings must be
     # fully inside the visible frame
@@ -229,6 +245,9 @@ def cdef_filter_frame(fh_params, frame, blocks, bd: int, cs, crop_w: int, crop_h
     have_right = (bx + 2) * 8 <= crop_w
     have_bottom = (by + 2) * 8 <= crop_h
 
+    from rav1e_tpu import native
+
+    lib = native.get_lib()
     nplanes = 1 if cs == ChromaSampling.Cs400 else 3
     for p in range(nplanes):
         plane = frame.planes[p]
@@ -237,16 +256,6 @@ def cdef_filter_frame(fh_params, frame, blocks, bd: int, cs, crop_w: int, crop_h
         ppad = plane.cfg.pad
         parr = plane.data[ppad:, ppad:]
         pre = parr.copy()  # all reads from the pre-CDEF copy
-
-        wy = (by * ys - 2)[:, None, None] + np.arange(ys + 4)[None, :, None]
-        wx = (bx * xs - 2)[:, None, None] + np.arange(xs + 4)[None, None, :]
-        windows = pre[wy, wx].astype(np.int32)
-        # missing rings -> VERY_LARGE
-        ring = CDEF_VERY_LARGE
-        windows[~have_top, :2, :] = ring
-        windows[~have_left, :, :2] = ring
-        windows[~have_right, :, -2:] = ring
-        windows[~have_bottom, -2:, :] = ring
 
         if p == 0:
             pri = _adjust_strength(pri_y << coeff_shift, variances)
@@ -263,6 +272,36 @@ def cdef_filter_frame(fh_params, frame, blocks, bd: int, cs, crop_w: int, crop_h
             ldirs = np.where(pri_uv != 0, ldirs, 0)
             sec = sec_uv << coeff_shift
             damp = damping + coeff_shift - 1
+
+        if lib is not None and parr.itemsize in (1, 2):
+            # keep the ctypes-passed arrays alive in locals for the call
+            by32 = np.ascontiguousarray(by, dtype=np.int32)
+            bx32 = np.ascontiguousarray(bx, dtype=np.int32)
+            dirs32 = np.ascontiguousarray(ldirs, dtype=np.int32)
+            pri32 = np.ascontiguousarray(pri, dtype=np.int32)
+            ht = np.ascontiguousarray(have_top, dtype=np.uint8)
+            hl = np.ascontiguousarray(have_left, dtype=np.uint8)
+            hr = np.ascontiguousarray(have_right, dtype=np.uint8)
+            hb = np.ascontiguousarray(have_bottom, dtype=np.uint8)
+            lib.enc_cdef_filter(
+                pre.ctypes.data, pre.shape[1], pre.itemsize,
+                parr.ctypes.data, parr.strides[0] // parr.itemsize,
+                len(by), by32.ctypes.data, bx32.ctypes.data,
+                dirs32.ctypes.data, pri32.ctypes.data,
+                int(sec), damp, bd, xs, ys,
+                ht.ctypes.data, hl.ctypes.data, hr.ctypes.data, hb.ctypes.data,
+            )
+            continue
+
+        wy = (by * ys - 2)[:, None, None] + np.arange(ys + 4)[None, :, None]
+        wx = (bx * xs - 2)[:, None, None] + np.arange(xs + 4)[None, None, :]
+        windows = pre[wy, wx].astype(np.int32)
+        # missing rings -> VERY_LARGE
+        ring = CDEF_VERY_LARGE
+        windows[~have_top, :2, :] = ring
+        windows[~have_left, :, :2] = ring
+        windows[~have_right, :, -2:] = ring
+        windows[~have_bottom, -2:, :] = ring
 
         out = cdef_filter_blocks(windows, ldirs, pri, sec, damp, bd)
         oy = (by * ys)[:, None, None] + np.arange(ys)[None, :, None]

@@ -115,6 +115,18 @@ def put_8tap(
     (callers pass views with sufficient border).
     Exact integer pipeline per mc.rs:250-355.
     """
+    from rav1e_tpu import native
+
+    lib = native.get_lib()
+    if lib is not None and ref.ndim == 2 and ref.itemsize in (1, 2):
+        out = np.empty((h, w), dtype=np.int32)
+        lib.enc_put_8tap(
+            ref.ctypes.data, ref.strides[0] // ref.itemsize, ref.itemsize,
+            x0, y0, w, h, col_frac, row_frac, mode_x, mode_y, bd,
+            out.ctypes.data,
+        )
+        return out
+
     max_val = (1 << bd) - 1
     inter_bits = 4 - (2 if bd == 12 else 0)
 

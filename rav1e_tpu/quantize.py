@@ -18,8 +18,21 @@ from dataclasses import dataclass
 
 import numpy as np
 
+import functools
+
 from rav1e_tpu import tables
 from rav1e_tpu.tx import TxSize, TxType, get_log_tx_scale
+
+
+def _native_lib():
+    from rav1e_tpu import native
+
+    return native.get_lib()
+
+
+@functools.lru_cache(None)
+def _scan_u16(cw: int, ch: int, kind) -> np.ndarray:
+    return np.ascontiguousarray(tables.scan_order(cw, ch, kind), dtype=np.uint16)
 
 
 @dataclass
@@ -60,6 +73,19 @@ class QuantizationContext:
         units (0 = all zero).
         """
         h, w = coeffs.shape
+        lib = _native_lib()
+        if lib is not None:
+            cw, ch = min(w, 32), min(h, 32)
+            c32 = np.ascontiguousarray(coeffs, dtype=np.int32)
+            q = np.zeros((h, w), dtype=np.int32)
+            scan16 = _scan_u16(cw, ch, _scan_kind(tx_type))
+            eob = lib.enc_quantize(
+                c32.ctypes.data, w, h, cw, ch, scan16.ctypes.data,
+                self.log_tx_scale, self.dc_quant, self.ac_quant,
+                self.dc_offset, self.ac_offset0, self.ac_offset1,
+                self.ac_offset_eob, q.ctypes.data,
+            )
+            return q, eob
         scan = tables.scan_order(min(w, 32), min(h, 32), _scan_kind(tx_type))
         flat = coeffs.astype(np.int64).reshape(-1)
         # for 64-point transforms only the low 32x32 region is coded
