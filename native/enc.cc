@@ -330,6 +330,54 @@ void enc_cdef_filter(const void* pre, long stride, int bytespp, void* out,
         return CDEF_VERY_LARGE;
       return px_at(pre, stride, bytespp, oy + ty, ox + tx);
     };
+    if (have_t[b] && have_l[b] && have_r[b] && have_b[b]) {
+      // interior fast path: every tap is a real pixel, no VERY_LARGE checks
+      int off[12], tap[12];
+      int nt = 0;
+      for (int k = 0; k < 2; k++)
+        for (int which = 0; which < 3; which++) {
+          int d = which == 0 ? dir : (which == 1 ? (dir + 2) & 7 : (dir + 6) & 7);
+          for (int sgn : {1, -1}) {
+            off[nt] = sgn * (kCdefDir[d][k][0] * (int)stride + kCdefDir[d][k][1]);
+            tap[nt] = which == 0 ? (pri_taps[k] << 8) : sec_taps[k];
+            nt++;
+          }
+        }
+      int pri_msb = p0 > 0 ? 31 - __builtin_clz(p0) : 0;
+      int pri_shift = std::max(0, damping - pri_msb);
+      int sec_msb = sec > 0 ? 31 - __builtin_clz(sec) : 0;
+      int sec_shift = std::max(0, damping - sec_msb);
+      for (int i = 0; i < ys; i++) {
+        for (int j = 0; j < xs; j++) {
+          long base = (oy + i) * stride + ox + j;
+          int x = bytespp == 1 ? ((const uint8_t*)pre)[base]
+                               : ((const uint16_t*)pre)[base];
+          int mn = x, mx = x, total = 0;
+          for (int t = 0; t < nt; t++) {
+            int p = bytespp == 1 ? ((const uint8_t*)pre)[base + off[t]]
+                                 : ((const uint16_t*)pre)[base + off[t]];
+            int diff = p - x;
+            int ad = diff < 0 ? -diff : diff;
+            int w_, thr, sh;
+            if (tap[t] & ~0xFF) { w_ = tap[t] >> 8; thr = p0; sh = pri_shift; }
+            else { w_ = tap[t]; thr = sec; sh = sec_shift; }
+            if (thr) {
+              int mag = std::clamp(thr - (ad >> sh), 0, ad);
+              total += w_ * (diff < 0 ? -mag : mag);
+            }
+            mx = p > mx ? p : mx;
+            mn = p < mn ? p : mn;
+          }
+          int v = x + ((8 + total - (total < 0 ? 1 : 0)) >> 4);
+          v = std::clamp(v, mn, mx);
+          if (bytespp == 1)
+            ((uint8_t*)out)[(oy + i) * out_stride + ox + j] = (uint8_t)v;
+          else
+            ((uint16_t*)out)[(oy + i) * out_stride + ox + j] = (uint16_t)v;
+        }
+      }
+      continue;
+    }
     for (int i = 0; i < ys; i++)
       for (int j = 0; j < xs; j++) {
         int x = px_at(pre, stride, bytespp, oy + i, ox + j);

@@ -187,4 +187,59 @@ void itx_inverse_add(const int32_t* coeffs, const int32_t* pred, int32_t* recon,
   }
 }
 
+// Fused dequantize (spec 7.12.3) + 2-D inverse + reconstruction directly on
+// the strided recon plane (uint8/uint16).  Removes the per-tx-block Python
+// dequant/astype/writeback round-trips.
+void itx_dequant_recon(const int32_t* qcoeffs, int tx_w, int tx_h, long dcq,
+                       long acq, int lts, void* rec, long rec_stride,
+                       int bytespp, long px, long py, int vert_type,
+                       int horiz_type, int inter_shift, int is_rect,
+                       int is_lossless, int bd) {
+  int32_t deq[64 * 64];
+  int64_t offset = (1 << lts) - 1;
+  for (int r = 0; r < tx_h; r++)
+    for (int c = 0; c < tx_w; c++) {
+      int64_t q = qcoeffs[r * tx_w + c];
+      int64_t prod = q * (r == 0 && c == 0 ? dcq : acq);
+      deq[r * tx_w + c] = (int32_t)((prod + ((prod >> 63) & offset)) >> lts);
+    }
+
+  int32_t buf[64 * 64];
+  int32_t tmp_in[64], tmp_out[64];
+  int32_t scratch[1024];
+  int row_range = bd + 8;
+  int col_range = std::max(bd + 6, 16);
+  int wlog2 = ilog2(tx_w), hlog2 = ilog2(tx_h);
+
+  for (int r = 0; r < tx_h; r++) {
+    const int32_t* srcr = deq + r * tx_w;
+    for (int c = 0; c < tx_w; c++) {
+      int64_t v = srcr[c];
+      if (is_lossless) v = v >> 2;
+      else if (is_rect) v = round_shift(v * INV_SQRT2, 12);
+      tmp_in[c] = clamp_val(v, row_range);
+    }
+    inv_1d(horiz_type, wlog2, tmp_in, buf + r * tx_w, tx_w, row_range, scratch);
+  }
+
+  int32_t pix_max = (1 << bd) - 1;
+  for (int c = 0; c < tx_w; c++) {
+    for (int r = 0; r < tx_h; r++) {
+      int32_t v = buf[r * tx_w + c];
+      if (!is_lossless) v = round_shift(v, inter_shift);
+      tmp_in[r] = clamp_val(v, col_range);
+    }
+    inv_1d(vert_type, hlog2, tmp_in, tmp_out, tx_h, col_range, scratch);
+    for (int r = 0; r < tx_h; r++) {
+      int32_t res = is_lossless ? tmp_out[r] : round_shift(tmp_out[r], 4);
+      long off = (py + r) * rec_stride + px + c;
+      int32_t p = bytespp == 1 ? ((uint8_t*)rec)[off] : ((uint16_t*)rec)[off];
+      int32_t v = p + res;
+      v = v < 0 ? 0 : (v > pix_max ? pix_max : v);
+      if (bytespp == 1) ((uint8_t*)rec)[off] = (uint8_t)v;
+      else ((uint16_t*)rec)[off] = (uint16_t)v;
+    }
+  }
+}
+
 }  // extern "C"

@@ -446,15 +446,21 @@ class TileDecoder:
             xd, yd, fh.use_reduced_tx_set, frame_clipped_txw, frame_clipped_txh,
         )
         if eob > 0:
-            pred = rec[py : py + h_px, px : px + w_px].astype(np.int32)
-            rcoeffs = dequantize(
-                fh.base_q_idx, qcoeffs, tx_size, self.seq.bit_depth,
-                fh.dc_delta_q[p], fh.ac_delta_q[p],
-            )
-            recon = T.inverse_transform_add(
-                rcoeffs[None], pred[None], tx_size, tx_type, self.seq.bit_depth
-            )[0]
-            rec[py : py + h_px, px : px + w_px] = recon
+            from rav1e_tpu.native import dequant_recon_native
+
+            if not dequant_recon_native(
+                qcoeffs, fh.base_q_idx, tx_size, tx_type, self.seq.bit_depth,
+                rec, px, py, fh.dc_delta_q[p], fh.ac_delta_q[p],
+            ):
+                pred = rec[py : py + h_px, px : px + w_px].astype(np.int32)
+                rcoeffs = dequantize(
+                    fh.base_q_idx, qcoeffs, tx_size, self.seq.bit_depth,
+                    fh.dc_delta_q[p], fh.ac_delta_q[p],
+                )
+                recon = T.inverse_transform_add(
+                    rcoeffs[None], pred[None], tx_size, tx_type, self.seq.bit_depth
+                )[0]
+                rec[py : py + h_px, px : px + w_px] = recon
 
     def _decode_tx_blocks(
         self, x, y, bsize, luma_mode, chroma_mode, tx_size, angle_delta_y,
@@ -564,11 +570,17 @@ class TileDecoder:
             xd, yd, fh.use_reduced_tx_set, frame_clipped_txw, frame_clipped_txh,
         )
         if eob > 0:
-            rcoeffs = dequantize(
-                fh.base_q_idx, qcoeffs, tx_size, self.seq.bit_depth,
-                fh.dc_delta_q[p], fh.ac_delta_q[p],
-            )
-            recon = T.inverse_transform_add(
-                rcoeffs[None], pred[None], tx_size, tx_type, self.seq.bit_depth
-            )[0]
-            rec[py : py + h_px, px : px + w_px] = recon
+            from rav1e_tpu.native import dequant_recon_native
+
+            if not dequant_recon_native(
+                qcoeffs, fh.base_q_idx, tx_size, tx_type, self.seq.bit_depth,
+                rec, px, py, fh.dc_delta_q[p], fh.ac_delta_q[p],
+            ):
+                rcoeffs = dequantize(
+                    fh.base_q_idx, qcoeffs, tx_size, self.seq.bit_depth,
+                    fh.dc_delta_q[p], fh.ac_delta_q[p],
+                )
+                recon = T.inverse_transform_add(
+                    rcoeffs[None], pred[None], tx_size, tx_type, self.seq.bit_depth
+                )[0]
+                rec[py : py + h_px, px : px + w_px] = recon

@@ -586,12 +586,18 @@ class TileEncoder:
             )
             if eob > 0:
                 rec = self.rec_views[p]
-                pred = rec[py : py + tsz.height, px : px + tsz.width].astype(np.int32)
-                rcoeffs = dequantize(fi.base_q_idx, qcoeffs, tsz, fi.bit_depth)
-                recon = T.inverse_transform_add(
-                    rcoeffs[None], pred[None], tsz, TxType.DCT_DCT, fi.bit_depth
-                )[0]
-                rec[py : py + tsz.height, px : px + tsz.width] = recon
+                from rav1e_tpu.native import dequant_recon_native
+
+                if not dequant_recon_native(
+                    qcoeffs, fi.base_q_idx, tsz, TxType.DCT_DCT, fi.bit_depth,
+                    rec, px, py,
+                ):
+                    pred = rec[py : py + tsz.height, px : px + tsz.width].astype(np.int32)
+                    rcoeffs = dequantize(fi.base_q_idx, qcoeffs, tsz, fi.bit_depth)
+                    recon = T.inverse_transform_add(
+                        rcoeffs[None], pred[None], tsz, TxType.DCT_DCT, fi.bit_depth
+                    )[0]
+                    rec[py : py + tsz.height, px : px + tsz.width] = recon
 
     def _quantize_inter_blocks(self, x, y, bsize: BlockSize, tx_size: TxSize, do_chroma):
         """Forward-transform + quantize every tx block of an inter block
@@ -864,11 +870,16 @@ class TileEncoder:
         )
 
         if eob > 0:
-            rcoeffs = dequantize(fi.base_q_idx, qcoeffs, tx_size, fi.bit_depth)
-            recon = T.inverse_transform_add(
-                rcoeffs[None], pred[None], tx_size, tx_type, fi.bit_depth
-            )[0]
-            rec[py : py + h_px, px : px + w_px] = recon
+            from rav1e_tpu.native import dequant_recon_native
+
+            if not dequant_recon_native(
+                qcoeffs, fi.base_q_idx, tx_size, tx_type, fi.bit_depth, rec, px, py
+            ):
+                rcoeffs = dequantize(fi.base_q_idx, qcoeffs, tx_size, fi.bit_depth)
+                recon = T.inverse_transform_add(
+                    rcoeffs[None], pred[None], tx_size, tx_type, fi.bit_depth
+                )[0]
+                rec[py : py + h_px, px : px + w_px] = recon
         return has_coeff
 
 

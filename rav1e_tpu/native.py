@@ -80,6 +80,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_int, c.c_int, c.c_int,
         c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
     ]
+    lib.itx_dequant_recon.argtypes = [
+        c.c_void_p, c.c_int, c.c_int, c.c_long, c.c_long, c.c_int,
+        c.c_void_p, c.c_long, c.c_int, c.c_long, c.c_long, c.c_int,
+        c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
+    ]
     # encoder hot loops (native/enc.cc)
     lib.enc_set_subpel_filters.argtypes = [c.c_void_p]
     lib.enc_put_8tap.argtypes = [
@@ -178,6 +183,40 @@ def itx_inverse_add_native(coeffs, pred, tx_size, tx_type, bd: int):
         int(tx_size.is_rect()), int(tx_type == TxType.WHT_WHT), bd,
     )
     return out
+
+
+def dequant_recon_native(
+    qcoeffs, qindex: int, tx_size, tx_type, bd: int, rec_view, px: int, py: int,
+    dc_delta_q: int = 0, ac_delta_q: int = 0,
+) -> bool:
+    """Fused dequant + inverse transform + recon add in place on the strided
+    recon view.  Returns False when the native path is unavailable."""
+    import numpy as np
+
+    from rav1e_tpu import tables
+    from rav1e_tpu.tx import (
+        INV_INTERMEDIATE_SHIFTS,
+        TxType,
+        get_1d_tx_types,
+        get_log_tx_scale,
+    )
+
+    lib = get_lib()
+    if lib is None or rec_view.itemsize not in (1, 2):
+        return False
+    vert, horiz = get_1d_tx_types(tx_type)
+    h, w = tx_size.height, tx_size.width
+    q = np.ascontiguousarray(qcoeffs, dtype=np.int32)
+    lib.itx_dequant_recon(
+        q.ctypes.data, w, h,
+        tables.dc_q(qindex, dc_delta_q, bd), tables.ac_q(qindex, ac_delta_q, bd),
+        get_log_tx_scale(tx_size),
+        rec_view.ctypes.data, rec_view.strides[0] // rec_view.itemsize,
+        rec_view.itemsize, px, py,
+        int(vert), int(horiz), INV_INTERMEDIATE_SHIFTS[tx_size],
+        int(tx_size.is_rect()), int(tx_type == TxType.WHT_WHT), bd,
+    )
+    return True
 
 
 def available() -> bool:
