@@ -49,14 +49,17 @@ def main():
     ctx = cfg.new_context()
     rng = np.random.default_rng(42)
 
+    # pregenerate input frames so synthesis isn't in the timed region
+    frames = [synth_frame(ctx, rng, w, h) for _ in range(nframes + 1)]
+
     # warm-up (jit compiles, table loads, native build) — also the keyframe
-    ctx.send_frame(synth_frame(ctx, rng, w, h))
+    ctx.send_frame(frames[0])
     ctx.receive_packet()
 
     t0 = time.monotonic()
     total_bytes = 0
-    for _ in range(nframes):
-        ctx.send_frame(synth_frame(ctx, rng, w, h))
+    for f in frames[1:]:
+        ctx.send_frame(f)
         pkt = ctx.receive_packet()
         total_bytes += len(pkt.data)
     dt = time.monotonic() - t0
