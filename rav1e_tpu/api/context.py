@@ -103,6 +103,10 @@ class ContextInner:
     """
 
     def __init__(self, config):
+        from collections import deque
+
+        from rav1e_tpu.api.inter_cfg import InterConfig
+
         self.config = config
         self.frame_q: Dict[int, Optional[Frame]] = {}
         self.frame_params: Dict[int, Optional[FrameParameters]] = {}
@@ -114,6 +118,12 @@ class ContextInner:
         self._last_luma_ds = None  # 8x-downsampled luma for scene detection
         self.rc_state = None
         self.packet_count = 0
+        self.inter_cfg = InterConfig(config.enc.low_latency)
+        self.plan = deque()          # coding-order PlannedFrame queue
+        self.plan_next_input = 0     # first input frameno not yet planned
+        self.gop_input_start = 0
+        self._p_slot_cycle = 0       # slot cycle for partial-group P frames
+        self._p_prev_slot = 0
 
     def send_frame(self, frame: Frame, params: Optional[FrameParameters]) -> None:
         frame.pad()
@@ -179,25 +189,90 @@ class ContextInner:
             .astype(np.uint16)
         )
 
-    def receive_packet(self, pipeline, is_flushing: bool) -> Packet:
-        out_no = self.next_output_frameno
-        if self.limit is not None and out_no >= self.limit:
+    def _next_keyframe_after(self, f: int) -> Optional[int]:
+        later = [k for k in self.keyframes if k > f]
+        return min(later) if later else None
+
+    def _extend_plan(self, is_flushing: bool) -> None:
+        """Schedule the next GOP chunk in coding order (counterpart of the
+        reference's output_frameno mapping, internal.rs:1593+)."""
+        from rav1e_tpu.api.inter_cfg import PlannedFrame
+
+        s = self.plan_next_input
+        if self.limit is not None and s >= self.limit:
             raise EncoderStatus.LimitReached()
-        if out_no not in self.frame_q:
+        if s not in self.frame_q and s >= self.next_frameno:
             raise EncoderStatus.NeedMoreData()
-        frame = self.frame_q[out_no]
-        params = self.frame_params[out_no]
-        frame_type = FrameType.KEY if out_no in self.keyframes else FrameType.INTER
+
+        if s in self.keyframes:
+            self.gop_input_start = s
+            self._p_slot_cycle = 0
+            self._p_prev_slot = 0
+            self.plan.append(PlannedFrame("key", s, order_hint=0, slot=0))
+            self.plan_next_input = s + 1
+            return
+
+        ic = self.inter_cfg
+        end = self.limit if self.limit is not None else None
+        next_kf = self._next_keyframe_after(s - 1)
+        horizon = s + ic.group_input_len  # inputs s..s+3 must exist, no KF inside
+        can_pyramid = (
+            ic.reorder
+            and (next_kf is None or next_kf >= horizon)
+            and (end is None or end >= horizon)
+            and (s - self.gop_input_start - 1) % ic.group_input_len == 0
+        )
+        if can_pyramid and self.next_frameno < horizon and not is_flushing:
+            raise EncoderStatus.NeedMoreData()  # reordering latency
+        if can_pyramid and self.next_frameno >= horizon:
+            self.plan.extend(ic.plan_group(s, self.gop_input_start))
+            self.plan_next_input = s + ic.group_input_len
+            return
+
+        # low-latency / partial-group P frame
+        if s not in self.frame_q:
+            raise EncoderStatus.NeedMoreData()
+        if ic.reorder:
+            # partial tail: explicit slot cycling independent of pyramid math
+            slot = self._p_slot_cycle % 4
+            prev = self._p_prev_slot
+            self._p_slot_cycle += 1
+            self._p_prev_slot = slot
+        else:
+            slot = (s - self.gop_input_start) % 4
+            prev = (slot + 3) % 4
+        self.plan.append(ic.plan_p(s, self.gop_input_start, prev, slot))
+        self.plan_next_input = s + 1
+
+    def receive_packet(self, pipeline, is_flushing: bool) -> Packet:
+        while not self.plan:
+            self._extend_plan(is_flushing)
+        entry = self.plan[0]
+
+        if entry.kind == "sef":
+            self.plan.popleft()
+            packet = pipeline.emit_sef(entry)
+            self.packet_count += 1
+            return packet
+
+        in_no = entry.input_frameno
+        if in_no not in self.frame_q:
+            raise EncoderStatus.NeedMoreData()
+        self.plan.popleft()
+        frame = self.frame_q[in_no]
+        params = self.frame_params[in_no]
+        frame_type = FrameType.KEY if entry.kind == "key" else FrameType.INTER
         packet = pipeline.encode_frame(
             frame,
-            input_frameno=out_no,
+            input_frameno=in_no,
             frame_type=frame_type,
             params=params,
             is_first=(self.packet_count == 0),
+            plan=entry,
         )
         # garbage-collect consumed input (reference: internal.rs:1564)
-        del self.frame_q[out_no]
-        del self.frame_params[out_no]
+        del self.frame_q[in_no]
+        del self.frame_params[in_no]
         self.next_output_frameno += 1
         self.packet_count += 1
         return packet

@@ -66,6 +66,11 @@ def decode_packet(data: bytes, state=None):
             if state.seq is None:
                 raise DecodeError("frame header before sequence header")
             fh = parse_frame_header(payload, state.seq)
+            if fh.show_existing_frame:
+                shown = state.refs[fh.frame_to_show_map_idx]
+                if shown is None:
+                    raise DecodeError("show_existing_frame: empty slot")
+                return shown, state
         elif obu_type == ObuType.OBU_TILE_GROUP:
             if fh is None:
                 raise DecodeError("tile group before frame header")
@@ -109,8 +114,9 @@ def _decode_tile_group(payload: bytes, seq, fh: FrameHeader, state: "DecoderStat
 
     ref_frame = None
     if not fh.intra_only:
-        ref_frame = state.refs[fh.ref_frames[0]]
-        if ref_frame is None:
+        # per-RefType reference list (LAST..ALTREF -> slots, spec 6.8.2)
+        ref_frame = [state.refs[fh.ref_frames[i]] for i in range(7)]
+        if ref_frame[0] is None:
             raise DecodeError("missing reference frame")
 
     frame_blocks = FrameBlocks(mi_cols, mi_rows)
@@ -369,12 +375,17 @@ class TileDecoder:
                 has_chroma(x, y, bsize, self.xdec, self.ydec, self.seq.chroma_sampling),
             )
 
-        self._motion_compensate(x, y, bsize, mv)
+        ref_obj = self.ref_frame[ref_frame - 1]
+        if ref_obj is None:
+            from rav1e_tpu.decoder.headers import DecodeError
+
+            raise DecodeError(f"missing reference frame {ref_frame}")
+        self._motion_compensate(x, y, bsize, mv, ref_obj)
         do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, self.seq.chroma_sampling)
         if not skip:
             self._decode_inter_residual(x, y, bsize, mode, tx_size, do_chroma)
 
-    def _motion_compensate(self, x: int, y: int, bsize: BlockSize, mv) -> None:
+    def _motion_compensate(self, x: int, y: int, bsize: BlockSize, mv, ref_obj) -> None:
         from rav1e_tpu.ops.mc import REGULAR, mv_to_offsets, put_8tap
 
         do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, self.seq.chroma_sampling)
@@ -382,7 +393,7 @@ class TileDecoder:
         for p in range(nplanes):
             xd = 0 if p == 0 else self.xdec
             yd = 0 if p == 0 else self.ydec
-            ref_plane = self.ref_frame.planes[p]
+            ref_plane = ref_obj.planes[p]
             pad = ref_plane.cfg.pad
             w_px = max(bsize.width >> xd, 4)
             h_px = max(bsize.height >> yd, 4)

@@ -184,6 +184,7 @@ class FrameHeader:
     frame_type: FrameType = FrameType.KEY
     show_frame: bool = True
     show_existing_frame: bool = False
+    frame_to_show_map_idx: int = 0
     error_resilient: bool = False
     intra_only: bool = True
     disable_cdf_update: bool = False
@@ -230,7 +231,8 @@ def parse_frame_header(payload: bytes, seq: Sequence) -> FrameHeader:
     else:
         fh.show_existing_frame = bool(br.read_bit())
         if fh.show_existing_frame:
-            raise DecodeError("show_existing_frame unsupported")
+            fh.frame_to_show_map_idx = br.read(3)
+            return fh
         fh.frame_type = FrameType(br.read(2))
         fh.show_frame = bool(br.read_bit())
         if not fh.show_frame:

@@ -114,7 +114,8 @@ class FrameInvariantsLite:
     use_reduced_tx_set: bool
     mi_cols: int
     mi_rows: int
-    ref_frame: Optional[Frame] = None  # LAST reference reconstruction
+    ref_frame: Optional[Frame] = None  # forward (LAST) reference reconstruction
+    ref_frame_bwd: Optional[Frame] = None  # backward (ALTREF) reference
 
     @property
     def is_inter_frame(self) -> bool:
@@ -381,10 +382,12 @@ class TileEncoder:
         return MvFinder(self.blocks, self.fi.mi_cols, self.fi.mi_rows, self.mi_x0, self.mi_y0)
 
     def select_inter(self, x: int, y: int, bsize: BlockSize):
-        """Full-pel motion search vs LAST; returns (mv, mv_stack, mode_ctx)
-        or None when intra wins (reference me.rs redesigned as candidate-grid
-        evaluation; subpel refinement lands with the device ME)."""
-        from rav1e_tpu.context.mv import LAST_FRAME
+        """Motion search over the available single references (forward LAST,
+        backward ALTREF when the pyramid provides one); returns
+        (ref_type, ref_frame_obj, mv, stack, mode_ctx) or None when the
+        intra proxy wins (reference me.rs + rdo.rs inter loop, redesigned as
+        per-ref candidate evaluation)."""
+        from rav1e_tpu.context.mv import ALTREF_FRAME, LAST_FRAME
 
         fi = self.fi
         if bsize < BlockSize.BLOCK_8X8:
@@ -395,96 +398,18 @@ class TileEncoder:
         src = self.src_views[0]
         block = src[py : py + h_px, px : px + w_px].astype(np.int32)
 
-        finder = self._mv_finder()
-        stack, mode_ctx = finder.find_mvrefs(x, y, LAST_FRAME, bsize, lambda r: 0)
+        candidates = [(LAST_FRAME, fi.ref_frame)]
+        if fi.ref_frame_bwd is not None:
+            candidates.append((ALTREF_FRAME, fi.ref_frame_bwd))
 
-        ref_plane = fi.ref_frame.planes[0]
-        pad = ref_plane.cfg.pad
-        ref = ref_plane.data
-        # absolute position of the block in the padded ref array
-        ax = pad + ((self.mi_x0 + x) << MI_SIZE_LOG2)
-        ay = pad + ((self.mi_y0 + y) << MI_SIZE_LOG2)
-        max_off = pad - 8  # keep the 8-tap window inside the allocation
-
-        def sad_at(mv):
-            dy, dx = mv[0] >> 3, mv[1] >> 3
-            if abs(dy) > max_off or abs(dx) > max_off:
-                return None
-            ry, rx = ay + dy, ax + dx
-            if ry < 4 or rx < 4 or ry + h_px + 4 > ref.shape[0] or rx + w_px + 4 > ref.shape[1]:
-                return None
-            pred = ref[ry : ry + h_px, rx : rx + w_px].astype(np.int32)
-            return int(np.abs(block - pred).sum())
-
-        def fullpel(mv):
-            return ((mv[0] >> 3) << 3, (mv[1] >> 3) << 3)
-
-        # candidate seeds: zero + stack predictors (full-pel rounded)
-        seeds = [(0, 0)] + [fullpel(c.this_mv) for c in stack[:2]]
-
-        from rav1e_tpu import native as _native
-
-        lib = _native.get_lib()
-        if lib is not None:
-            # native diamond + subpel search (native/enc.cc::enc_me_search)
-            seeds_arr = np.ascontiguousarray(np.array(seeds, dtype=np.int32))
-            out_mv = np.zeros(2, dtype=np.int32)
-            best_sad = lib.enc_me_search(
-                ref.ctypes.data, ref.strides[0] // ref.itemsize,
-                ref.shape[0], ref.shape[1], ref.itemsize, ax, ay,
-                src.ctypes.data, src.strides[0] // src.itemsize,
-                px, py, w_px, h_px, fi.bit_depth,
-                seeds_arr.ctypes.data, len(seeds), max_off,
-                out_mv.ctypes.data,
-            )
-            if best_sad < 0:
-                return None
-            best_mv = (int(out_mv[0]), int(out_mv[1]))
-        else:
-            best_mv, best_sad = None, None
-            for s in seeds:
-                c = sad_at(s)
-                if c is not None and (best_sad is None or c < best_sad):
-                    best_mv, best_sad = s, c
-            if best_mv is None:
-                return None
-
-            # full-pel diamond refinement at shrinking steps
-            for step_px in (8, 4, 2, 1):
-                improved = True
-                while improved:
-                    improved = False
-                    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-                        cand = (best_mv[0] + dy * step_px * 8, best_mv[1] + dx * step_px * 8)
-                        c = sad_at(cand)
-                        if c is not None and c < best_sad:
-                            best_mv, best_sad = cand, c
-                            improved = True
-
-            # subpel refinement (quarter-pel; LOW precision keeps diffs even)
-            from rav1e_tpu.ops.mc import REGULAR, mv_to_offsets, put_8tap
-
-            def sad_subpel(mv2):
-                dy, dx = mv2[0] >> 3, mv2[1] >> 3
-                if abs(dy) > max_off - 1 or abs(dx) > max_off - 1:
-                    return None
-                row_int, col_int, row_frac, col_frac = mv_to_offsets(mv2[0], mv2[1], 0, 0)
-                pred = put_8tap(
-                    ref, ax + col_int, ay + row_int, w_px, h_px,
-                    col_frac, row_frac, REGULAR, REGULAR, fi.bit_depth,
-                )
-                return int(np.abs(block - pred).sum())
-
-            for step in (4, 2):  # half-pel then quarter-pel (1/8 units)
-                improved = True
-                while improved:
-                    improved = False
-                    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-                        cand = (best_mv[0] + dy * step, best_mv[1] + dx * step)
-                        c = sad_subpel(cand)
-                        if c is not None and c < best_sad:
-                            best_mv, best_sad = cand, c
-                            improved = True
+        best = None  # (sad, ref_type, ref_obj, mv, stack, mode_ctx)
+        for ref_type, ref_obj in candidates:
+            r = self._me_search_one(x, y, bsize, ref_type, ref_obj, block, px, py)
+            if r is not None and (best is None or r[0] < best[0]):
+                best = (r[0], ref_type, ref_obj, r[1], r[2], r[3])
+        if best is None:
+            return None
+        best_sad = best[0]
 
         # compare against a cheap intra proxy (DC from source neighbors)
         base = 128 << (fi.bit_depth - 8)
@@ -501,10 +426,105 @@ class TileEncoder:
         intra_sad = int(np.abs(block - dc).sum())
         if intra_sad + w_px < best_sad:
             return None
-        return best_mv, stack, mode_ctx
+        return best[1], best[2], best[3], best[4], best[5]
 
-    def encode_block_inter(self, x, y, bsize: BlockSize, mv, stack, mode_ctx) -> None:
-        from rav1e_tpu.context.mv import LAST_FRAME, fill_neighbours_ref_counts
+    def _me_search_one(self, x, y, bsize, ref_type, ref_obj, block, px, py):
+        """Diamond + subpel search against one reference frame."""
+        fi = self.fi
+        w_px, h_px = bsize.width, bsize.height
+        src = self.src_views[0]
+
+        finder = self._mv_finder()
+        stack, mode_ctx = finder.find_mvrefs(x, y, ref_type, bsize, lambda r: 0)
+
+        ref_plane = ref_obj.planes[0]
+        pad = ref_plane.cfg.pad
+        ref = ref_plane.data
+        ax = pad + ((self.mi_x0 + x) << MI_SIZE_LOG2)
+        ay = pad + ((self.mi_y0 + y) << MI_SIZE_LOG2)
+        max_off = pad - 8  # keep the 8-tap window inside the allocation
+
+        def fullpel(mv):
+            return ((mv[0] >> 3) << 3, (mv[1] >> 3) << 3)
+
+        seeds = [(0, 0)] + [fullpel(c.this_mv) for c in stack[:2]]
+
+        from rav1e_tpu import native as _native
+
+        lib = _native.get_lib()
+        if lib is not None:
+            seeds_arr = np.ascontiguousarray(np.array(seeds, dtype=np.int32))
+            out_mv = np.zeros(2, dtype=np.int32)
+            best_sad = lib.enc_me_search(
+                ref.ctypes.data, ref.strides[0] // ref.itemsize,
+                ref.shape[0], ref.shape[1], ref.itemsize, ax, ay,
+                src.ctypes.data, src.strides[0] // src.itemsize,
+                px, py, w_px, h_px, fi.bit_depth,
+                seeds_arr.ctypes.data, len(seeds), max_off,
+                out_mv.ctypes.data,
+            )
+            if best_sad < 0:
+                return None
+            return int(best_sad), (int(out_mv[0]), int(out_mv[1])), stack, mode_ctx
+
+        def sad_at(mv):
+            dy, dx = mv[0] >> 3, mv[1] >> 3
+            if abs(dy) > max_off or abs(dx) > max_off:
+                return None
+            ry, rx = ay + dy, ax + dx
+            if ry < 4 or rx < 4 or ry + h_px + 4 > ref.shape[0] or rx + w_px + 4 > ref.shape[1]:
+                return None
+            pred = ref[ry : ry + h_px, rx : rx + w_px].astype(np.int32)
+            return int(np.abs(block - pred).sum())
+
+        best_mv, best_sad = None, None
+        for s in seeds:
+            c = sad_at(s)
+            if c is not None and (best_sad is None or c < best_sad):
+                best_mv, best_sad = s, c
+        if best_mv is None:
+            return None
+
+        for step_px in (8, 4, 2, 1):
+            improved = True
+            while improved:
+                improved = False
+                for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                    cand = (best_mv[0] + dy * step_px * 8, best_mv[1] + dx * step_px * 8)
+                    c = sad_at(cand)
+                    if c is not None and c < best_sad:
+                        best_mv, best_sad = cand, c
+                        improved = True
+
+        from rav1e_tpu.ops.mc import REGULAR, mv_to_offsets, put_8tap
+
+        def sad_subpel(mv2):
+            dy, dx = mv2[0] >> 3, mv2[1] >> 3
+            if abs(dy) > max_off - 1 or abs(dx) > max_off - 1:
+                return None
+            row_int, col_int, row_frac, col_frac = mv_to_offsets(mv2[0], mv2[1], 0, 0)
+            pred = put_8tap(
+                ref, ax + col_int, ay + row_int, w_px, h_px,
+                col_frac, row_frac, REGULAR, REGULAR, fi.bit_depth,
+            )
+            return int(np.abs(block - pred).sum())
+
+        for step in (4, 2):  # half-pel then quarter-pel (1/8 units)
+            improved = True
+            while improved:
+                improved = False
+                for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                    cand = (best_mv[0] + dy * step, best_mv[1] + dx * step)
+                    c = sad_subpel(cand)
+                    if c is not None and c < best_sad:
+                        best_mv, best_sad = cand, c
+                        improved = True
+        return best_sad, best_mv, stack, mode_ctx
+
+    def encode_block_inter(
+        self, x, y, bsize: BlockSize, ref_type, ref_obj, mv, stack, mode_ctx
+    ) -> None:
+        from rav1e_tpu.context.mv import fill_neighbours_ref_counts
 
         fi = self.fi
         # choose inter mode by stack relationship (encoder.rs:2000-2080)
@@ -520,7 +540,7 @@ class TileEncoder:
 
         # device-style compute-first: MC + quantize everything, then decide
         # skip before any symbol is coded
-        self.motion_compensate(x, y, bsize, mv)
+        self.motion_compensate(x, y, bsize, mv, ref_obj)
         tx_jobs = self._quantize_inter_blocks(x, y, bsize, tx_size, do_chroma)
         skip = all(job[7] == 0 for job in tx_jobs)
 
@@ -532,7 +552,7 @@ class TileEncoder:
         self.cw.write_skip(self.w, x, y, skip)
         self.cw.write_is_inter(self.w, x, y, True)
         self.blocks.set_rect("is_inter_flag", x, y, bsize, True)
-        self.cw.write_ref_frames_single(self.w, x, y, LAST_FRAME, counts)
+        self.cw.write_ref_frames_single(self.w, x, y, ref_type, counts)
         self.cw.write_inter_mode(self.w, mode, mode_ctx)
 
         num_found = len(stack)
@@ -552,7 +572,7 @@ class TileEncoder:
 
         # record block state
         self.blocks.set_rect("mode", x, y, bsize, int(mode))
-        self.blocks.ref_frames[y : y + bsize.height_mi, x : x + bsize.width_mi, 0] = LAST_FRAME
+        self.blocks.ref_frames[y : y + bsize.height_mi, x : x + bsize.width_mi, 0] = ref_type
         self.blocks.ref_frames[y : y + bsize.height_mi, x : x + bsize.width_mi, 1] = -1
         self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 0, 0] = mv[0]
         self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 0, 1] = mv[1]
@@ -647,16 +667,18 @@ class TileEncoder:
                     jobs.append((p, tx_x, tx_y, px, py, tsz, qcoeffs, eob))
         return jobs
 
-    def motion_compensate(self, x: int, y: int, bsize: BlockSize, mv) -> None:
+    def motion_compensate(self, x: int, y: int, bsize: BlockSize, mv, ref_obj=None) -> None:
         from rav1e_tpu.ops.mc import REGULAR, mv_to_offsets, put_8tap
 
         fi = self.fi
+        if ref_obj is None:
+            ref_obj = fi.ref_frame
         do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, fi.seq.chroma_sampling)
         nplanes = 3 if (do_chroma and fi.seq.chroma_sampling != ChromaSampling.Cs400) else 1
         for p in range(nplanes):
             xd = 0 if p == 0 else self.xdec
             yd = 0 if p == 0 else self.ydec
-            ref_plane = fi.ref_frame.planes[p]
+            ref_plane = ref_obj.planes[p]
             pad = ref_plane.cfg.pad
             # chroma of small blocks covers the whole (possibly larger) area
             w_px = max(bsize.width >> xd, 4)
@@ -899,6 +921,9 @@ class FramePipeline:
         self.seq.tiling = self.tiling
         self.frames_encoded = 0
         self.rec_frame: Optional[Frame] = None
+        # reference slot buffer (reference: ReferenceFramesSet, encoder.rs:340)
+        self.rec_buffer: list = [None] * 8
+        self._fallback_slot = 0
         from rav1e_tpu.rc import RCState
 
         self.rc = RCState(
@@ -918,11 +943,31 @@ class FramePipeline:
         frame_type: FrameType,
         params=None,
         is_first: bool = False,
+        plan=None,
     ) -> Packet:
         enc = self.config.enc
         assert frame_type == FrameType.KEY or not enc.still_picture
-        if frame_type != FrameType.KEY and self.rec_frame is None:
-            frame_type = FrameType.KEY
+
+        if plan is None:
+            # direct callers without a scheduler: low-latency slot cycling
+            from rav1e_tpu.api.inter_cfg import PlannedFrame
+
+            slot = self._fallback_slot % 4
+            plan = PlannedFrame(
+                "key" if frame_type == FrameType.KEY else "inter",
+                input_frameno, order_hint=input_frameno, slot=slot,
+                ref_slot_fwd=(slot + 3) % 4,
+                ref_frames=[(slot + 3) % 4] * 7,
+            )
+            self._fallback_slot += 1
+
+        ref_fwd = ref_bwd = None
+        if frame_type.has_inter():
+            ref_fwd = self.rec_buffer[plan.ref_slot_fwd]
+            if plan.ref_slot_bwd is not None:
+                ref_bwd = self.rec_buffer[plan.ref_slot_bwd]
+            if ref_fwd is None:
+                frame_type = FrameType.KEY
 
         mi_cols = (enc.width + 3) >> 2
         mi_rows = (enc.height + 3) >> 2
@@ -931,13 +976,14 @@ class FramePipeline:
             width=enc.width,
             height=enc.height,
             frame_type=frame_type,
-            base_q_idx=self.rc.select_qi(frame_type, enc.width, enc.height),
+            base_q_idx=self.rc.select_qi(frame_type, enc.width, enc.height, plan.level),
             bit_depth=enc.bit_depth,
             tx_mode_select=True,
             use_reduced_tx_set=enc.speed_settings.transform.reduced_tx_set,
             mi_cols=mi_cols,
             mi_rows=mi_rows,
-            ref_frame=self.rec_frame if frame_type.has_inter() else None,
+            ref_frame=ref_fwd if frame_type.has_inter() else None,
+            ref_frame_bwd=ref_bwd if frame_type.has_inter() else None,
         )
 
         rec = Frame.new(enc.width, enc.height, enc.chroma_sampling, enc.bit_depth)
@@ -1044,6 +1090,7 @@ class FramePipeline:
 
         is_inter = fi.is_inter_frame
         n_hint = self.seq.order_hint_bits_minus_1 + 1
+        refresh = 0xFF if frame_type == FrameType.KEY else (1 << plan.slot)
         fh = FrameHeaderInfo(
             width=enc.width,
             height=enc.height,
@@ -1054,11 +1101,13 @@ class FramePipeline:
             use_reduced_tx_set=fi.use_reduced_tx_set,
             sb_width=sb_w,
             sb_height=sb_h,
-            order_hint=input_frameno & ((1 << n_hint) - 1),
+            order_hint=plan.order_hint & ((1 << n_hint) - 1),
+            show_frame=plan.show_frame,
+            showable_frame=not plan.show_frame,
             allow_screen_content_tools=0,
             force_integer_mv=1 if not is_inter else 0,
-            refresh_frame_flags=0xFF,
-            ref_frames=[0] * 7,
+            refresh_frame_flags=refresh,
+            ref_frames=list(plan.ref_frames),
             allow_high_precision_mv=False,
             is_filter_switchable=False,
             default_filter=0,
@@ -1081,9 +1130,13 @@ class FramePipeline:
 
         rec.pad()
         self.rec_frame = rec
+        for i in range(8):
+            if (refresh >> i) & 1:
+                self.rec_buffer[i] = rec
         self.frames_encoded += 1
         self.rc.update_state(
-            len(packet_data) * 8, frame_type, fi.base_q_idx, enc.width, enc.height
+            len(packet_data) * 8, frame_type, fi.base_q_idx, enc.width, enc.height,
+            plan.level,
         )
         return Packet(
             data=bytes(packet_data),
@@ -1091,6 +1144,29 @@ class FramePipeline:
             frame_type=frame_type,
             qp=fi.base_q_idx,
             rec=rec,
+        )
+
+    def emit_sef(self, plan) -> Packet:
+        """Show-existing-frame packet (internal.rs:1335-1400; header.rs:468)."""
+        fh = FrameHeaderInfo(
+            width=self.config.enc.width,
+            height=self.config.enc.height,
+            frame_type=FrameType.INTER,
+            show_existing_frame=True,
+            frame_to_show_map_idx=plan.slot,
+        )
+        data = bytearray()
+        data += temporal_delimiter()
+        data += wrap_obu(
+            ObuType.OBU_FRAME_HEADER,
+            frame_header_payload(self.seq, fh, self.tiling),
+        )
+        return Packet(
+            data=bytes(data),
+            input_frameno=plan.input_frameno,
+            frame_type=FrameType.INTER,
+            qp=0,
+            rec=self.rec_buffer[plan.slot],
         )
 
     def _build_tile_group(self, tile_payloads: List[bytes]) -> bytes:

@@ -25,10 +25,20 @@ from rav1e_tpu.api.util import FrameType
 TWOPASS_MAGIC = 0x50325452  # "RT2P"
 TWOPASS_VERSION = 1
 
-# frame subtypes: KEY, INTER (P); B-levels join with the pyramid
+# frame subtypes (reference rate.rs:23-31): KEY, P (level 0), B0, B1
 FRAME_SUBTYPE_I = 0
 FRAME_SUBTYPE_P = 1
-FRAME_NSUBTYPES = 2
+FRAME_SUBTYPE_B0 = 2
+FRAME_SUBTYPE_B1 = 3
+FRAME_NSUBTYPES = 4
+
+
+def _subtype(frame_type, level: int) -> int:
+    if frame_type == FrameType.KEY:
+        return FRAME_SUBTYPE_I
+    if level <= 0:
+        return FRAME_SUBTYPE_P
+    return FRAME_SUBTYPE_B0 if level == 1 else FRAME_SUBTYPE_B1
 
 
 @dataclass
@@ -73,12 +83,13 @@ class RCState:
         # log-domain rate models per subtype: log2(bits_per_px * 4096) ~
         # a - b*log2(q_step_q3); intercepts seeded from typical 8-bit content
         # and refit from the first observations
-        self._model_a = [23.0, 21.5]
-        self._model_b = [1.1, 1.3]
-        self._model_n = [0, 0]
+        self._model_a = [23.0, 21.5, 21.0, 20.5]
+        self._model_b = [1.1, 1.3, 1.3, 1.3]
+        self._model_n = [0, 0, 0, 0]
 
-        # I-frame boost relative to P
+        # I-frame boost relative to P; B frames get reduced targets
         self.i_boost = 1.8
+        self.b_discount = [1.0, 1.0, 0.7, 0.55]
 
         # two-pass
         self.twopass_record: List[TwoPassFrameData] = []
@@ -87,16 +98,22 @@ class RCState:
 
     # --- quantizer selection -------------------------------------------
 
-    def select_qi(self, frame_type: FrameType, width: int, height: int) -> int:
+    def select_qi(
+        self, frame_type: FrameType, width: int, height: int, level: int = 0
+    ) -> int:
         """Pick the base_q_idx for the next frame."""
+        st = _subtype(frame_type, level)
         if self.cq_mode:
-            qi = tables.select_ac_qi(self.base_quantizer, self.bit_depth)
+            # deeper pyramid levels quantize harder (reference rate.rs MQP)
+            q_mult = [1.0, 1.0, 1.25, 1.4][st]
+            qi = tables.select_ac_qi(
+                max(int(round(self.base_quantizer * q_mult)), 1), self.bit_depth
+            )
             return max(qi, 1)
 
-        st = FRAME_SUBTYPE_I if frame_type == FrameType.KEY else FRAME_SUBTYPE_P
         npx = width * height
 
-        target = self.bits_per_frame
+        target = self.bits_per_frame * self.b_discount[st]
         # reservoir correction: nudge toward half-full
         deviation = (self.reservoir_fullness - 0.5 * self.reservoir_max) / max(
             self.reservoir_max, 1.0
@@ -125,9 +142,10 @@ class RCState:
     # --- post-frame update ---------------------------------------------
 
     def update_state(
-        self, bits_used: int, frame_type: FrameType, qindex: int, width: int, height: int
+        self, bits_used: int, frame_type: FrameType, qindex: int, width: int,
+        height: int, level: int = 0,
     ) -> None:
-        st = FRAME_SUBTYPE_I if frame_type == FrameType.KEY else FRAME_SUBTYPE_P
+        st = _subtype(frame_type, level)
         npx = width * height
         q_step3 = tables.ac_q(qindex, 0, self.bit_depth)
         log_q = math.log2(max(q_step3, 1))
@@ -139,11 +157,11 @@ class RCState:
         delta = a_obs - self._model_a[st]
         self._model_a[st] += alpha * delta
         self._model_n[st] = n + 1
-        # share the correction with an unobserved sibling subtype so the
-        # first P frame benefits from the I frame's calibration
-        other = 1 - st
-        if self._model_n[other] == 0:
-            self._model_a[other] += alpha * delta
+        # share the correction with unobserved sibling subtypes so the first
+        # P/B frames benefit from the I frame's calibration
+        for other in range(FRAME_NSUBTYPES):
+            if other != st and self._model_n[other] == 0:
+                self._model_a[other] += alpha * delta
 
         if not self.cq_mode:
             self.reservoir_fullness += self.bits_per_frame - bits_used

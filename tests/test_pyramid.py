@@ -1,0 +1,128 @@
+"""B-pyramid reordering tests: group structure, SEF packets, decode parity,
+backward-reference selection."""
+
+import numpy as np
+import pytest
+
+from rav1e_tpu import Config, EncoderConfig, EncoderStatus
+from rav1e_tpu.decoder import decode_packet
+from rav1e_tpu.decoder.headers import parse_frame_header, parse_obus, parse_sequence_header
+
+
+def _encode(n, w=96, h=64, q=120, low_latency=False, seed=2, shift_per_frame=2):
+    cfg = Config(
+        enc=EncoderConfig(
+            width=w, height=h, quantizer=q, low_latency=low_latency,
+            min_key_frame_interval=0, max_key_frame_interval=9999,
+        )
+    ).with_speed_preset(10)
+    cfg.enc.speed_settings.scene_detection_mode = type(
+        cfg.enc.speed_settings.scene_detection_mode
+    )(0)  # NoDetection: keyframes only at 0
+    ctx = cfg.new_context()
+    rng = np.random.default_rng(seed)
+    base = np.clip(np.cumsum(rng.integers(-4, 5, (h, w * 2)), axis=1) + 128, 0, 255)
+    for i in range(n):
+        f = ctx.new_frame()
+        for p in f.planes:
+            ch, cw = p.cfg.height, p.cfg.width
+            xs = (i * shift_per_frame) >> p.cfg.xdec
+            p.copy_from(base[:ch, xs : xs + cw].astype(np.uint8))
+        ctx.send_frame(f)
+    ctx.flush()
+    pkts = []
+    while True:
+        try:
+            pkts.append(ctx.receive_packet())
+        except EncoderStatus.LimitReached:
+            break
+        except EncoderStatus.NeedMoreData:
+            pytest.fail("NeedMoreData after flush")
+    return pkts
+
+
+def _headers(pkt):
+    seq = fh = None
+    for t, payload in parse_obus(pkt.data):
+        if t == 1:
+            seq = parse_sequence_header(payload)
+        elif t == 3:
+            fh = parse_frame_header(payload, _headers.seq or seq)
+            if seq is not None:
+                _headers.seq = seq
+    return fh
+
+
+_headers.seq = None
+
+
+def test_group_structure_and_display_order():
+    _headers.seq = None
+    pkts = _encode(9)  # key + two full groups
+    assert len(pkts) == 1 + 6 + 6
+    # coding order input framenos per the reference layout (internal.rs:63-77)
+    got = [p.input_frameno for p in pkts]
+    assert got == [0, 4, 2, 1, 2, 3, 4, 8, 6, 5, 6, 7, 8], got
+
+    # shown packets appear in display order
+    shown = []
+    for pkt in pkts:
+        fh = _headers(pkt)
+        if fh.show_existing_frame or fh.show_frame:
+            shown.append(pkt.input_frameno)
+    assert shown == list(range(9)), shown
+
+
+def test_pyramid_decode_parity():
+    _headers.seq = None
+    pkts = _encode(9)
+    state = None
+    for i, pkt in enumerate(pkts):
+        dec, state = decode_packet(pkt.data, state)
+        for pl in range(3):
+            np.testing.assert_array_equal(
+                dec.planes[pl].as_array(), pkt.rec.planes[pl].as_array(),
+                err_msg=f"packet {i} (input {pkt.input_frameno}) plane {pl}",
+            )
+
+
+def test_pyramid_partial_tail_fallback():
+    _headers.seq = None
+    pkts = _encode(7)  # key + one group (1-4) + P,P tail (5,6)
+    got = [p.input_frameno for p in pkts]
+    assert got == [0, 4, 2, 1, 2, 3, 4, 5, 6], got
+    state = None
+    for pkt in pkts:
+        dec, state = decode_packet(pkt.data, state)
+        np.testing.assert_array_equal(
+            dec.planes[0].as_array(), pkt.rec.planes[0].as_array()
+        )
+
+
+def test_backward_refs_used():
+    """On translating content, B frames should pick the backward ref for some
+    blocks (ALTREF coded in the bitstream) — detected via the writer."""
+    from unittest import mock
+
+    from rav1e_tpu.context.writer import ContextWriter
+
+    refs_used = []
+    orig = ContextWriter.write_ref_frames_single
+
+    def spy(self, w, x, y, ref_frame, counts):
+        refs_used.append(ref_frame)
+        return orig(self, w, x, y, ref_frame, counts)
+
+    with mock.patch.object(ContextWriter, "write_ref_frames_single", spy):
+        _encode(9, w=128, h=96, shift_per_frame=3)
+    assert 7 in refs_used, f"ALTREF never chosen: {set(refs_used)}"
+    assert 1 in refs_used
+
+
+def test_pyramid_beats_low_latency_rate():
+    """With static-ish content the pyramid should not produce larger streams
+    than low-latency at the same quantizer."""
+    _headers.seq = None
+    a = sum(len(p.data) for p in _encode(9, low_latency=False, shift_per_frame=1))
+    b = sum(len(p.data) for p in _encode(9, low_latency=True, shift_per_frame=1))
+    assert a <= b * 1.1, (a, b)
