@@ -216,7 +216,12 @@ class TileEncoder:
 
     # --- partition tree -------------------------------------------------
 
-    def encode_partition(self, x: int, y: int, bsize: BlockSize) -> None:
+    _BLOCK_FIELDS = (
+        "mode", "uv_mode", "bsize", "skip", "tx_size", "segmentation_idx",
+        "is_inter_flag", "ref_frames", "mv", "deblock_deltas",
+    )
+
+    def encode_partition(self, x: int, y: int, bsize: BlockSize, trial: bool = False) -> None:
         if x >= self.mi_w or y >= self.mi_h:
             return
         hbs = bsize.width_mi // 2
@@ -228,8 +233,30 @@ class TileEncoder:
         else:
             must_split = not has_cols or not has_rows
             want_split = bsize.width_log2 > pr.max_log2
+            can_search = (
+                not trial
+                and not must_split
+                and not want_split
+                and bsize.width_log2 > pr.min_log2
+                and bsize > BlockSize.BLOCK_8X8
+            )
             if must_split or want_split:
                 partition = PartitionType.PARTITION_SPLIT
+            elif can_search:
+                # RD search NONE vs SPLIT (counterpart of rdo.rs
+                # rdo_partition_decision:1949, trial-coded on WriterCounter
+                # with CDF/context rollback)
+                cost_none = self._partition_trial_cost(
+                    x, y, bsize, PartitionType.PARTITION_NONE
+                )
+                cost_split = self._partition_trial_cost(
+                    x, y, bsize, PartitionType.PARTITION_SPLIT
+                )
+                partition = (
+                    PartitionType.PARTITION_NONE
+                    if cost_none <= cost_split
+                    else PartitionType.PARTITION_SPLIT
+                )
             else:
                 partition = PartitionType.PARTITION_NONE
 
@@ -242,10 +269,90 @@ class TileEncoder:
         else:
             sub = bsize.subsize(PartitionType.PARTITION_SPLIT)
             sw, sh = sub.width_mi, sub.height_mi
-            self.encode_partition(x, y, sub)
-            self.encode_partition(x + sw, y, sub)
-            self.encode_partition(x, y + sh, sub)
-            self.encode_partition(x + sw, y + sh, sub)
+            self.encode_partition(x, y, sub, trial)
+            self.encode_partition(x + sw, y, sub, trial)
+            self.encode_partition(x, y + sh, sub, trial)
+            self.encode_partition(x + sw, y + sh, sub, trial)
+
+    # --- partition RDO helpers -------------------------------------------
+
+    def _rdo_snapshot(self, x: int, y: int, bsize: BlockSize):
+        sb_x = (x // MIB_SIZE) * MIB_SIZE
+        h = min(bsize.height_mi, self.mi_h - y)
+        w = min(bsize.width_mi, self.mi_w - x)
+        blocks = {
+            f: getattr(self.blocks, f)[y : y + h, x : x + w].copy()
+            for f in self._BLOCK_FIELDS
+        }
+        recs = []
+        for p, rv in enumerate(self.rec_views):
+            xd = 0 if p == 0 else self.xdec
+            yd = 0 if p == 0 else self.ydec
+            px = (x << MI_SIZE_LOG2) >> xd
+            py = (y << MI_SIZE_LOG2) >> yd
+            pw = max(bsize.width >> xd, 4)
+            ph = max(bsize.height >> yd, 4)
+            recs.append((px, py, rv[py : py + ph, px : px + pw].copy()))
+        return (self.cw.checkpoint(sb_x), blocks, recs, x, y, h, w)
+
+    def _rdo_restore(self, snap) -> None:
+        cwck, blocks, recs, x, y, h, w = snap
+        self.cw.rollback(cwck)
+        for f, arr in blocks.items():
+            getattr(self.blocks, f)[y : y + h, x : x + w] = arr
+        for p, (px, py, arr) in enumerate(recs):
+            self.rec_views[p][py : py + arr.shape[0], px : px + arr.shape[1]] = arr
+
+    def _region_sse(self, x: int, y: int, bsize: BlockSize) -> int:
+        sse = 0
+        for p in range(len(self.rec_views)):
+            xd = 0 if p == 0 else self.xdec
+            yd = 0 if p == 0 else self.ydec
+            px = (x << MI_SIZE_LOG2) >> xd
+            py = (y << MI_SIZE_LOG2) >> yd
+            pw = max(bsize.width >> xd, 4)
+            ph = max(bsize.height >> yd, 4)
+            rect_w, rect_h = self.plane_rect[p]
+            pw = min(pw, rect_w - px)
+            ph = min(ph, rect_h - py)
+            if pw <= 0 or ph <= 0:
+                continue
+            d = self.src_views[p][py : py + ph, px : px + pw].astype(np.int64) - self.rec_views[p][
+                py : py + ph, px : px + pw
+            ]
+            sse += int((d * d).sum())
+        return sse
+
+    @property
+    def _rdo_lambda(self) -> float:
+        q_step = tables.ac_q(self.fi.base_q_idx, 0, self.fi.bit_depth) / 8.0
+        return 0.12 * q_step * q_step
+
+    def _partition_trial_cost(self, x, y, bsize, partition) -> float:
+        from rav1e_tpu.ec import WriterCounter
+
+        snap = self._rdo_snapshot(x, y, bsize)
+        w_sav = self.w
+        self.w = WriterCounter()
+        t0 = self.w.tell_frac()
+        try:
+            self.cw.write_partition(self.w, x, y, partition, bsize)
+            if partition == PartitionType.PARTITION_NONE:
+                self.encode_block(x, y, bsize)
+                self.bc.update_partition_context(x, y, bsize, bsize)
+            else:
+                sub = bsize.subsize(PartitionType.PARTITION_SPLIT)
+                sw, sh = sub.width_mi, sub.height_mi
+                self.encode_partition(x, y, sub, trial=True)
+                self.encode_partition(x + sw, y, sub, trial=True)
+                self.encode_partition(x, y + sh, sub, trial=True)
+                self.encode_partition(x + sw, y + sh, sub, trial=True)
+            bits = (self.w.tell_frac() - t0) / 8.0  # Q3-bit fractional tell
+        finally:
+            self.w = w_sav
+        sse = self._region_sse(x, y, bsize)
+        self._rdo_restore(snap)
+        return sse + self._rdo_lambda * bits
 
     # --- block coding ----------------------------------------------------
 

@@ -126,3 +126,44 @@ def test_corrupt_packet_raises():
     data = data[: len(data) // 2]  # truncate
     with pytest.raises((DecodeError, IndexError, ValueError)):
         decode_packet(bytes(data))
+
+
+def test_partition_search_rd():
+    """Partition RDO (speed<=9) must beat fixed 32x32 partitions (speed 10)
+    in rate at equal quantizer, stay bit-exact in round-trip, and actually
+    emit split partitions on mixed content."""
+    import numpy as np
+    from rav1e_tpu import Config, EncoderConfig, EncoderStatus
+    from rav1e_tpu.decoder import decode_packet
+
+    def run(speed):
+        cfg = Config(
+            enc=EncoderConfig(
+                width=128, height=128, quantizer=120, low_latency=True,
+                min_key_frame_interval=0, max_key_frame_interval=9999,
+            )
+        ).with_speed_preset(speed)
+        ctx = cfg.new_context()
+        rng = np.random.default_rng(3)
+        base = np.clip(np.cumsum(rng.integers(-2, 3, (128, 128)), axis=1) + 128, 0, 255)
+        base[40:80, 40:100] = rng.integers(0, 256, (40, 60))
+        f = ctx.new_frame()
+        for p in f.planes:
+            ch, cw = p.cfg.height, p.cfg.width
+            p.copy_from(base[:ch, :cw].astype(np.uint8))
+        ctx.send_frame(f)
+        ctx.flush()
+        pkts = []
+        while True:
+            try:
+                pkts.append(ctx.receive_packet())
+            except EncoderStatus.LimitReached:
+                break
+        dec, _ = decode_packet(pkts[0].data)
+        for pl in range(3):
+            np.testing.assert_array_equal(
+                dec.planes[pl].as_array(), pkts[0].rec.planes[pl].as_array()
+            )
+        return sum(len(p.data) for p in pkts)
+
+    assert run(9) < run(10)
