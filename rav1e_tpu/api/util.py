@@ -92,6 +92,15 @@ class EncoderStats:
 
 
 @dataclass
+class T35:
+    """ITU-T T.35 metadata payload (reference: api/util.rs T35)."""
+
+    country_code: int = 0xB5
+    country_code_extension_byte: int = 0x00
+    data: bytes = b""
+
+
+@dataclass
 class Packet:
     """One encoded frame (reference: ``api/util.rs:201-224``)."""
 

@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    if args.benchmark:
+        from rav1e_tpu.utils.trace import trace_enable
+
+        trace_enable()
+
     with open(args.input, "rb") as fin:
         y4m = Y4MReader(fin)
         enc = EncoderConfig(
@@ -91,6 +96,16 @@ def main(argv=None) -> int:
                 f"encoded {nframes} frames in {dt:.2f}s ({nframes / dt:.3f} fps)",
                 file=sys.stderr,
             )
+        if args.benchmark:
+            from rav1e_tpu.utils.trace import stage_summary, trace_enabled
+
+            if trace_enabled():
+                for name, s in stage_summary().items():
+                    print(
+                        f"  {name}: {s['total_ms']:.1f} ms total, "
+                        f"{s['mean_ms']:.2f} ms/call x{s['count']}",
+                        file=sys.stderr,
+                    )
     return 0
 
 

@@ -71,6 +71,8 @@ def decode_packet(data: bytes, state=None):
                 if shown is None:
                     raise DecodeError("show_existing_frame: empty slot")
                 return shown, state
+        elif obu_type == ObuType.OBU_METADATA:
+            continue  # display metadata (T35 etc.) — not needed for recon
         elif obu_type == ObuType.OBU_TILE_GROUP:
             if fh is None:
                 raise DecodeError("tile group before frame header")

@@ -111,6 +111,17 @@ def write_obu_header(bw: BitWriter, obu_type: ObuType) -> None:
     bw.write_bit(0)  # reserved
 
 
+def metadata_t35_obu(t35) -> bytes:
+    """OBU_METADATA with metadata_type ITUT_T35 (spec 5.8.2; header.rs)."""
+    out = bytearray()
+    out += uleb128(4)  # METADATA_TYPE_ITUT_T35
+    out.append(t35.country_code & 0xFF)
+    if t35.country_code == 0xFF:
+        out.append(t35.country_code_extension_byte & 0xFF)
+    out += bytes(t35.data)
+    return wrap_obu(ObuType.OBU_METADATA, bytes(out))
+
+
 def wrap_obu(obu_type: ObuType, payload: bytes) -> bytes:
     bw = BitWriter()
     write_obu_header(bw, obu_type)

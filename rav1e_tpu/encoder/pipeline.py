@@ -356,6 +356,24 @@ class TileEncoder:
 
     # --- block coding ----------------------------------------------------
 
+    def _bump_stats(self, bsize, luma_mode, chroma_mode, skip) -> None:
+        """Per-packet coding statistics (reference src/stats.rs:35-78)."""
+        from rav1e_tpu.ec import WriterCounter
+
+        if isinstance(self.w, WriterCounter):
+            return  # RDO trial, not the real pass
+        st = self.stats
+        st.block_size_counts[int(bsize)] = st.block_size_counts.get(int(bsize), 0) + 1
+        if skip:
+            st.skip_block_count += 1
+        st.luma_pred_mode_counts[int(luma_mode)] = (
+            st.luma_pred_mode_counts.get(int(luma_mode), 0) + 1
+        )
+        if chroma_mode is not None:
+            st.chroma_pred_mode_counts[int(chroma_mode)] = (
+                st.chroma_pred_mode_counts.get(int(chroma_mode), 0) + 1
+            )
+
     def encode_block(self, x: int, y: int, bsize: BlockSize) -> None:
         if self.fi.is_inter_frame:
             inter = self.select_inter(x, y, bsize)
@@ -433,6 +451,7 @@ class TileEncoder:
         else:
             self.bc.update_tx_size_context(x, y, bsize, tx_size, False)
 
+        self._bump_stats(bsize, luma_mode, chroma_mode, skip)
         self.write_tx_blocks(x, y, bsize, luma_mode, chroma_mode, angle_delta_y, angle_delta_uv, skip, do_chroma, cfl)
 
     def _luma_tx_size(self, bsize: BlockSize) -> TxSize:
@@ -652,6 +671,7 @@ class TileEncoder:
         skip = all(job[7] == 0 for job in tx_jobs)
 
         counts = fill_neighbours_ref_counts(self.blocks, x, y)
+        self._bump_stats(bsize, mode, None, skip)
         self.blocks.set_rect("skip", x, y, bsize, skip)
         self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
         self.blocks.set_rect("tx_size", x, y, bsize, int(tx_size))
@@ -1097,14 +1117,19 @@ class FramePipeline:
         frame_blocks = FrameBlocks(mi_cols, mi_rows)
 
         # encode tiles (structure ready for parallel/sharded execution)
+        from rav1e_tpu.utils.trace import span
+
         tile_payloads: List[bytes] = []
-        for tr in range(self.tiling.rows):
-            for tc in range(self.tiling.cols):
-                tx, ty, tw, th = self.tiling.tile_rect_mi(tc, tr, mi_cols, mi_rows)
-                te = TileEncoder(
-                    fi, frame, rec, tx, ty, tw, th, enc.speed_settings, frame_blocks
-                )
-                tile_payloads.append(te.encode())
+        enc_stats = EncoderStats()
+        with span("encode_tiles", frame=input_frameno):
+            for tr in range(self.tiling.rows):
+                for tc in range(self.tiling.cols):
+                    tx, ty, tw, th = self.tiling.tile_rect_mi(tc, tr, mi_cols, mi_rows)
+                    te = TileEncoder(
+                        fi, frame, rec, tx, ty, tw, th, enc.speed_settings, frame_blocks
+                    )
+                    tile_payloads.append(te.encode())
+                    enc_stats += te.stats
 
         tile_group = self._build_tile_group(tile_payloads)
 
@@ -1116,10 +1141,11 @@ class FramePipeline:
             fi.base_q_idx, fi.bit_depth, frame_type == FrameType.KEY,
             tables.ac_q(fi.base_q_idx, 0, fi.bit_depth),
         )
-        deblock_filter_frame(
-            deblock_levels, rec, frame_blocks, enc.width, enc.height,
-            fi.bit_depth, enc.chroma_sampling,
-        )
+        with span("deblock"):
+            deblock_filter_frame(
+                deblock_levels, rec, frame_blocks, enc.width, enc.height,
+                fi.bit_depth, enc.chroma_sampling,
+            )
 
         sb_w = (mi_cols + MIB_SIZE - 1) // MIB_SIZE
         sb_h = (mi_rows + MIB_SIZE - 1) // MIB_SIZE
@@ -1143,10 +1169,11 @@ class FramePipeline:
             cdef_y, cdef_uv = cdef_strengths_fast(
                 tables.ac_q(fi.base_q_idx, 0, fi.bit_depth) >> (fi.bit_depth - 8)
             )
-            cdef_filter_frame(
-                (cdef_damping, cdef_y, cdef_uv), rec, frame_blocks,
-                fi.bit_depth, enc.chroma_sampling, enc.width, enc.height,
-            )
+            with span("cdef"):
+                cdef_filter_frame(
+                    (cdef_damping, cdef_y, cdef_uv), rec, frame_blocks,
+                    fi.bit_depth, enc.chroma_sampling, enc.width, enc.height,
+                )
 
         # Loop restoration: per-LRU SgrProj solve + SSE decision; when any
         # unit selects a filter the tiles are re-encoded with the LRF symbols
@@ -1163,10 +1190,11 @@ class FramePipeline:
                 enc.width, enc.height, enc.chroma_sampling, fi.base_q_idx,
                 sb_w, sb_h,
             )
-            lrf_decide_units(
-                rs, rec, deblocked_planes, frame, enc.width, enc.height,
-                fi.bit_depth, enc.chroma_sampling,
-            )
+            with span("lrf_decide"):
+                lrf_decide_units(
+                    rs, rec, deblocked_planes, frame, enc.width, enc.height,
+                    fi.bit_depth, enc.chroma_sampling,
+                )
             if rs.any_filters():
                 lrf_filter_frame(
                     rs, rec, deblocked_planes, enc.width, enc.height,
@@ -1231,6 +1259,11 @@ class FramePipeline:
         packet_data += temporal_delimiter()
         if frame_type == FrameType.KEY:
             packet_data += sequence_header_obu(self.seq)
+        if params is not None and plan.show_frame:
+            from rav1e_tpu.encoder.obu import metadata_t35_obu
+
+            for t35 in getattr(params, "t35_metadata", ()) or ():
+                packet_data += metadata_t35_obu(t35)
         fh_payload = frame_header_payload(self.seq, fh, self.tiling)
         packet_data += wrap_obu(ObuType.OBU_FRAME_HEADER, fh_payload)
         packet_data += wrap_obu(ObuType.OBU_TILE_GROUP, tile_group)
@@ -1251,6 +1284,8 @@ class FramePipeline:
             frame_type=frame_type,
             qp=fi.base_q_idx,
             rec=rec,
+            enc_stats=enc_stats,
+            opaque=params.opaque if params is not None else None,
         )
 
     def emit_sef(self, plan) -> Packet:
