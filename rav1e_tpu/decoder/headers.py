@@ -211,6 +211,7 @@ class FrameHeader:
     cdef_uv_strengths: List[int] = field(default_factory=lambda: [0] * 8)
     lrf_types: List[int] = field(default_factory=lambda: [0, 0, 0])
     lrf_unit_size: List[int] = field(default_factory=lambda: [256, 128, 128])
+    film_grain_params: Optional[object] = None
     tx_mode_select: bool = False
     reference_mode_select: bool = False
     use_reduced_tx_set: bool = False
@@ -398,9 +399,61 @@ def parse_frame_header(payload: bytes, seq: Sequence) -> FrameHeader:
             if br.read_bit():
                 raise DecodeError("global motion unsupported")
     if seq.film_grain_params_present:
-        if br.read_bit():
-            raise DecodeError("film grain params parsing unsupported")
+        if br.read_bit():  # apply_grain
+            fh.film_grain_params = _read_film_grain(br, seq, fh)
     return fh
+
+
+def _read_film_grain(br: BitReader, seq, fh):
+    """film_grain_params parse (spec 5.9.30; mirror of encoder/obu.py)."""
+    from rav1e_tpu.config import ChromaSampling
+    from rav1e_tpu.config.grain import GrainParams
+
+    gp = GrainParams()
+    gp.random_seed = br.read(16)
+    if fh.frame_type == FrameType.INTER:
+        if not br.read_bit():  # update_grain
+            br.read(3)  # film_grain_params_ref_idx (load path unused)
+            return gp
+    n_y = br.read(4)
+    gp.scaling_points_y = [(br.read(8), br.read(8)) for _ in range(n_y)]
+    csfl = False
+    if seq.chroma_sampling != ChromaSampling.Cs400:
+        csfl = bool(br.read_bit())
+        gp.chroma_scaling_from_luma = csfl
+    if not (
+        seq.chroma_sampling == ChromaSampling.Cs400
+        or csfl
+        or (seq.chroma_sampling == ChromaSampling.Cs420 and not gp.scaling_points_y)
+    ):
+        n_cb = br.read(4)
+        gp.scaling_points_cb = [(br.read(8), br.read(8)) for _ in range(n_cb)]
+        n_cr = br.read(4)
+        gp.scaling_points_cr = [(br.read(8), br.read(8)) for _ in range(n_cr)]
+    gp.scaling_shift = br.read(2) + 8
+    gp.ar_coeff_lag = br.read(2)
+    num_pos_luma = 2 * gp.ar_coeff_lag * (gp.ar_coeff_lag + 1)
+    num_pos_chroma = num_pos_luma
+    if gp.scaling_points_y:
+        num_pos_chroma = num_pos_luma + 1
+        gp.ar_coeffs_y = [br.read(8) - 128 for _ in range(num_pos_luma)]
+    if csfl or gp.scaling_points_cb:
+        gp.ar_coeffs_cb = [br.read(8) - 128 for _ in range(num_pos_chroma)]
+    if csfl or gp.scaling_points_cr:
+        gp.ar_coeffs_cr = [br.read(8) - 128 for _ in range(num_pos_chroma)]
+    gp.ar_coeff_shift = br.read(2) + 6
+    gp.grain_scale_shift = br.read(2)
+    if gp.scaling_points_cb:
+        gp.cb_mult = br.read(8)
+        gp.cb_luma_mult = br.read(8)
+        gp.cb_offset = br.read(9)
+    if gp.scaling_points_cr:
+        gp.cr_mult = br.read(8)
+        gp.cr_luma_mult = br.read(8)
+        gp.cr_offset = br.read(9)
+    gp.overlap_flag = bool(br.read_bit())
+    br.read_bit()  # clip_to_restricted_range
+    return gp
 
 
 def _read_delta_q(br: BitReader) -> int:

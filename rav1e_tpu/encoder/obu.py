@@ -87,6 +87,8 @@ class FrameHeaderInfo:
     # loop restoration: per-plane lrf type (0 = RESTORE_NONE)
     lrf_types: List[int] = field(default_factory=lambda: [0, 0, 0])
     lrf_unit_size: List[int] = field(default_factory=lambda: [256, 128, 128])
+    # film grain (None = no grain this frame)
+    film_grain_params: Optional[object] = None
     # modes
     tx_mode_select: bool = True
     reference_mode_select: bool = False
@@ -427,11 +429,75 @@ def frame_header_payload(seq: Sequence, fh: FrameHeaderInfo, tiling) -> bytes:
             bw.write_bit(0)
 
     if seq.film_grain_params_present:
-        bw.write_bit(0)  # no grain for this frame (grain tables come later)
+        gp = fh.film_grain_params
+        if gp is None:
+            bw.write_bit(0)  # no grain for this frame
+        else:
+            _write_film_grain(bw, seq, fh, gp)
 
     bw.write_bit(1)  # trailing
     bw.byte_align()
     return bw.done()
+
+
+def _write_film_grain(bw: BitWriter, seq: Sequence, fh: FrameHeaderInfo, gp) -> None:
+    """film_grain_params syntax (spec 5.9.30; reference header.rs:839-935)."""
+    bw.write_bit(1)  # apply_grain
+    bw.write(16, gp.random_seed & 0xFFFF)
+    if fh.frame_type == FrameType.INTER:
+        bw.write_bit(1)  # update_grain (always re-send; header.rs:844-849)
+
+    bw.write(4, len(gp.scaling_points_y))
+    for v, s in gp.scaling_points_y:
+        bw.write(8, v)
+        bw.write(8, s)
+
+    csfl = False
+    if seq.chroma_sampling != ChromaSampling.Cs400:
+        csfl = bool(gp.chroma_scaling_from_luma)
+        bw.write_bit(int(csfl))
+    if not (
+        seq.chroma_sampling == ChromaSampling.Cs400
+        or csfl
+        or (seq.chroma_sampling == ChromaSampling.Cs420 and not gp.scaling_points_y)
+    ):
+        bw.write(4, len(gp.scaling_points_cb))
+        for v, s in gp.scaling_points_cb:
+            bw.write(8, v)
+            bw.write(8, s)
+        bw.write(4, len(gp.scaling_points_cr))
+        for v, s in gp.scaling_points_cr:
+            bw.write(8, v)
+            bw.write(8, s)
+
+    bw.write(2, gp.scaling_shift - 8)
+    bw.write(2, gp.ar_coeff_lag)
+    num_pos_luma = 2 * gp.ar_coeff_lag * (gp.ar_coeff_lag + 1)
+    num_pos_chroma = num_pos_luma
+    if gp.scaling_points_y:
+        num_pos_chroma = num_pos_luma + 1
+        for i in range(num_pos_luma):
+            bw.write(8, (gp.ar_coeffs_y[i] + 128) & 0xFF)
+    if csfl or gp.scaling_points_cb:
+        for i in range(num_pos_chroma):
+            bw.write(8, (gp.ar_coeffs_cb[i] + 128) & 0xFF)
+    if csfl or gp.scaling_points_cr:
+        for i in range(num_pos_chroma):
+            bw.write(8, (gp.ar_coeffs_cr[i] + 128) & 0xFF)
+    bw.write(2, gp.ar_coeff_shift - 6)
+    bw.write(2, gp.grain_scale_shift)
+    if gp.scaling_points_cb:
+        bw.write(8, gp.cb_mult)
+        bw.write(8, gp.cb_luma_mult)
+        bw.write(9, gp.cb_offset)
+    if gp.scaling_points_cr:
+        bw.write(8, gp.cr_mult)
+        bw.write(8, gp.cr_luma_mult)
+        bw.write(9, gp.cr_offset)
+    bw.write_bit(int(gp.overlap_flag))
+    from rav1e_tpu.config import PixelRange
+
+    bw.write_bit(int(seq.pixel_range == PixelRange.Limited))
 
 
 def _skip_mode_allowed(seq: Sequence, fh: FrameHeaderInfo) -> bool:

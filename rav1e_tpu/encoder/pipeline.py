@@ -1253,6 +1253,11 @@ class FramePipeline:
             cdef_uv_strengths=[cdef_uv] + [0] * 7,
             lrf_types=lrf_types,
             lrf_unit_size=lrf_unit_size,
+            film_grain_params=(
+                enc.film_grain_params[0]
+                if self.seq.film_grain_params_present and enc.film_grain_params
+                else None
+            ),
         )
 
         packet_data = bytearray()

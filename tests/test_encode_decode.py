@@ -167,3 +167,71 @@ def test_partition_search_rd():
         return sum(len(p.data) for p in pkts)
 
     assert run(9) < run(10)
+
+
+def test_film_grain_passthrough():
+    """Film grain params survive the header round-trip; recon is unaffected
+    (grain is display-side synthesis, spec 7.18.3)."""
+    import numpy as np
+    from rav1e_tpu import Config, EncoderConfig, EncoderStatus
+    from rav1e_tpu.config.grain import GrainParams
+    from rav1e_tpu.decoder import decode_packet
+    from rav1e_tpu.decoder.headers import parse_frame_header, parse_obus, parse_sequence_header
+
+    gp = GrainParams(
+        random_seed=1234,
+        scaling_points_y=[(0, 20), (128, 30), (255, 25)],
+        scaling_points_cb=[(0, 10)],
+        scaling_points_cr=[(0, 12)],
+        ar_coeff_lag=1,
+        ar_coeffs_y=[5, -3, 7, 1],
+        ar_coeffs_cb=[2, -1, 3, 0, 4],
+        ar_coeffs_cr=[1, 1, -2, 0, 3],
+        cb_mult=128, cb_luma_mult=192, cb_offset=256,
+        cr_mult=130, cr_luma_mult=190, cr_offset=250,
+    )
+    cfg = Config(
+        enc=EncoderConfig(
+            width=64, height=64, quantizer=120, low_latency=True,
+            min_key_frame_interval=0, max_key_frame_interval=9999,
+            film_grain_params=[gp],
+        )
+    ).with_speed_preset(10)
+    ctx = cfg.new_context()
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        f = ctx.new_frame()
+        for p in f.planes:
+            ch, cw = p.cfg.height, p.cfg.width
+            p.copy_from(rng.integers(0, 256, (ch, cw)).astype(np.uint8))
+        ctx.send_frame(f)
+    ctx.flush()
+    pkts = []
+    while True:
+        try:
+            pkts.append(ctx.receive_packet())
+        except EncoderStatus.LimitReached:
+            break
+
+    seq = None
+    found = 0
+    state = None
+    for pkt in pkts:
+        for t, payload in parse_obus(pkt.data):
+            if t == 1:
+                seq = parse_sequence_header(payload)
+                assert seq.film_grain_params_present
+            elif t == 3:
+                fh = parse_frame_header(payload, seq)
+                g = fh.film_grain_params
+                assert g is not None
+                assert g.random_seed == 1234
+                assert g.scaling_points_y == [(0, 20), (128, 30), (255, 25)]
+                assert g.ar_coeffs_y == [5, -3, 7, 1]
+                assert g.cb_offset == 256 and g.cr_mult == 130
+                found += 1
+        dec, state = decode_packet(pkt.data, state)
+        np.testing.assert_array_equal(
+            dec.planes[0].as_array(), pkt.rec.planes[0].as_array()
+        )
+    assert found == len(pkts)
