@@ -53,6 +53,13 @@ class Config:
     def with_parallel_gops(self, slots: int) -> "Config":
         return replace(self, parallel_gops=slots)
 
+    def new_channel(self):
+        """Push-style (sender, receiver) channel; GOP-parallel when
+        ``parallel_gops > 1`` (reference api/channel/mod.rs:54)."""
+        from rav1e_tpu.api.channel import new_channel
+
+        return new_channel(self)
+
     def with_rate_control(self, rc: RateControlConfig) -> "Config":
         return replace(self, rate_control=rc)
 
