@@ -745,3 +745,46 @@ def _lrf_write_methods():
 
 
 _lrf_write_methods()
+
+
+def _segmentation_methods():
+    from rav1e_tpu.encoder.segmentation import neg_interleave
+
+    def get_segment_pred(self, x: int, y: int, last_active: int):
+        """(partition_unit.rs:204-247)"""
+        b = self.bc.blocks
+        prev_ul = int(b.segmentation_idx[y - 1, x - 1]) if x > 0 and y > 0 else -1
+        prev_u = int(b.segmentation_idx[y - 1, x]) if y > 0 else -1
+        prev_l = int(b.segmentation_idx[y, x - 1]) if x > 0 else -1
+        if prev_ul < 0 or prev_u < 0 or prev_l < 0:
+            cdf_index = 0
+        elif prev_ul == prev_u and prev_ul == prev_l:
+            cdf_index = 2
+        elif prev_ul == prev_u or prev_ul == prev_l or prev_u == prev_l:
+            cdf_index = 1
+        else:
+            cdf_index = 0
+        if prev_u == -1:
+            r = 0 if prev_l == -1 else prev_l
+        elif prev_l == -1:
+            r = prev_u
+        else:
+            r = prev_u if prev_ul == prev_u else prev_l
+        return min(r, last_active), cdf_index
+
+    def write_segmentation(self, w, x, y, bsize, skip, last_active, seg_id):
+        """(partition_unit.rs:388-410); stores the id for neighbor preds."""
+        pred, cdf_index = self.get_segment_pred(x, y, last_active)
+        if skip:
+            self.bc.blocks.set_rect("segmentation_idx", x, y, bsize, pred)
+            return pred
+        coded = neg_interleave(int(seg_id), pred, last_active + 1)
+        self._sym(w, coded, self.fc.spatial_segmentation_cdfs, cdf_index)
+        self.bc.blocks.set_rect("segmentation_idx", x, y, bsize, int(seg_id))
+        return int(seg_id)
+
+    ContextWriter.get_segment_pred = get_segment_pred
+    ContextWriter.write_segmentation = write_segmentation
+
+
+_segmentation_methods()

@@ -201,6 +201,18 @@ class TileDecoder:
         )
         self.bc = BlockContext(self.blocks)
         self.cr = ContextReader(self.fc, self.bc)
+        self.seg_last_active = 0
+        self.seg_q = None  # seg_id -> qindex
+        if fh.enable_segmentation and fh.segmentation_features:
+            deltas = []
+            last = 0
+            for i in range(8):
+                d = fh.segmentation_data[i][0] if fh.segmentation_features[i][0] else 0
+                deltas.append(d)
+                if any(fh.segmentation_features[i]):
+                    last = i
+            self.seg_last_active = last
+            self.seg_q = [max(1, min(fh.base_q_idx + d, 255)) for d in deltas]
         cs = seq.chroma_sampling
         self.xdec, self.ydec = (0, 0) if cs == ChromaSampling.Cs400 else cs.decimation()
         self.rec_views = []
@@ -258,6 +270,10 @@ class TileDecoder:
         cs = self.seq.chroma_sampling
         skip = self.cr.read_skip(self.r, x, y)
         self.blocks.set_rect("skip", x, y, bsize, skip)
+        if self.seg_q is not None:
+            self.cr.read_segmentation(
+                self.r, x, y, bsize, skip, self.seg_last_active
+            )
         self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
 
         is_inter = False
@@ -462,12 +478,12 @@ class TileDecoder:
             from rav1e_tpu.native import dequant_recon_native
 
             if not dequant_recon_native(
-                qcoeffs, fh.base_q_idx, tx_size, tx_type, self.seq.bit_depth,
+                qcoeffs, self._block_qidx(part_x, part_y), tx_size, tx_type, self.seq.bit_depth,
                 rec, px, py, fh.dc_delta_q[p], fh.ac_delta_q[p],
             ):
                 pred = rec[py : py + h_px, px : px + w_px].astype(np.int32)
                 rcoeffs = dequantize(
-                    fh.base_q_idx, qcoeffs, tx_size, self.seq.bit_depth,
+                    self._block_qidx(part_x, part_y), qcoeffs, tx_size, self.seq.bit_depth,
                     fh.dc_delta_q[p], fh.ac_delta_q[p],
                 )
                 recon = T.inverse_transform_add(
@@ -538,6 +554,12 @@ class TileDecoder:
                         alpha=alpha, ac=ac_slice,
                     )
 
+    def _block_qidx(self, x: int, y: int) -> int:
+        if self.seg_q is None:
+            return self.fh.base_q_idx
+        sid = int(self.blocks.segmentation_idx[y, x])
+        return self.seg_q[sid]
+
     def _decode_tx_block(
         self, p, part_x, part_y, bx, by, tx_x, tx_y, mode, tx_size,
         uv_tx_type, bsize, skip, angle_delta, alpha=0, ac=None,
@@ -586,11 +608,11 @@ class TileDecoder:
             from rav1e_tpu.native import dequant_recon_native
 
             if not dequant_recon_native(
-                qcoeffs, fh.base_q_idx, tx_size, tx_type, self.seq.bit_depth,
+                qcoeffs, self._block_qidx(part_x, part_y), tx_size, tx_type, self.seq.bit_depth,
                 rec, px, py, fh.dc_delta_q[p], fh.ac_delta_q[p],
             ):
                 rcoeffs = dequantize(
-                    fh.base_q_idx, qcoeffs, tx_size, self.seq.bit_depth,
+                    self._block_qidx(part_x, part_y), qcoeffs, tx_size, self.seq.bit_depth,
                     fh.dc_delta_q[p], fh.ac_delta_q[p],
                 )
                 recon = T.inverse_transform_add(

@@ -212,6 +212,9 @@ class FrameHeader:
     lrf_types: List[int] = field(default_factory=lambda: [0, 0, 0])
     lrf_unit_size: List[int] = field(default_factory=lambda: [256, 128, 128])
     film_grain_params: Optional[object] = None
+    segmentation_update_map: bool = True
+    segmentation_features: Optional[list] = None
+    segmentation_data: Optional[list] = None
     tx_mode_select: bool = False
     reference_mode_select: bool = False
     use_reduced_tx_set: bool = False
@@ -334,7 +337,29 @@ def parse_frame_header(payload: bytes, seq: Sequence) -> FrameHeader:
 
     fh.enable_segmentation = bool(br.read_bit())
     if fh.enable_segmentation:
-        raise DecodeError("segmentation parsing not wired yet")
+        if fh.primary_ref_frame != PRIMARY_REF_NONE:
+            update_map = bool(br.read_bit())
+            if update_map:
+                if br.read_bit():
+                    raise DecodeError("temporal segment prediction unsupported")
+            update_data = bool(br.read_bit())
+        else:
+            update_map = update_data = True
+        fh.segmentation_update_map = update_map
+        if update_data:
+            SEG_FEATURE_BITS = [8, 6, 6, 6, 6, 3, 0, 0]
+            SEG_FEATURE_SIGNED = [True, True, True, True, True, False, False, False]
+            fh.segmentation_features = [[False] * 8 for _ in range(8)]
+            fh.segmentation_data = [[0] * 8 for _ in range(8)]
+            for i in range(8):
+                for j in range(8):
+                    if br.read_bit():
+                        fh.segmentation_features[i][j] = True
+                        bits = SEG_FEATURE_BITS[j]
+                        if SEG_FEATURE_SIGNED[j]:
+                            fh.segmentation_data[i][j] = br.read_signed(bits + 1)
+                        else:
+                            fh.segmentation_data[i][j] = br.read(bits)
 
     fh.delta_q_present = bool(br.read_bit())
     if fh.delta_q_present:

@@ -483,3 +483,26 @@ def _lrf_read_method():
 
 
 _lrf_read_method()
+
+
+def _segmentation_read_method():
+    from rav1e_tpu.encoder.segmentation import neg_deinterleave
+
+    def read_segmentation(self, r, x, y, bsize, skip, last_active) -> int:
+        from rav1e_tpu.context.writer import ContextWriter
+
+        cw = ContextWriter.__new__(ContextWriter)
+        cw.fc, cw.bc = self.fc, self.bc
+        pred, cdf_index = ContextWriter.get_segment_pred(cw, x, y, last_active)
+        if skip:
+            self.bc.blocks.set_rect("segmentation_idx", x, y, bsize, pred)
+            return pred
+        coded = self._sym(r, self.fc.spatial_segmentation_cdfs, cdf_index)
+        sid = neg_deinterleave(coded, pred, last_active + 1)
+        self.bc.blocks.set_rect("segmentation_idx", x, y, bsize, sid)
+        return sid
+
+    ContextReader.read_segmentation = read_segmentation
+
+
+_segmentation_read_method()

@@ -116,6 +116,7 @@ class FrameInvariantsLite:
     mi_rows: int
     ref_frame: Optional[Frame] = None  # forward (LAST) reference reconstruction
     ref_frame_bwd: Optional[Frame] = None  # backward (ALTREF) reference
+    seg: Optional[object] = None  # SegmentationState
 
     @property
     def is_inter_frame(self) -> bool:
@@ -403,6 +404,12 @@ class TileEncoder:
 
         # symbols: skip, mode info
         self.cw.write_skip(self.w, x, y, skip)
+        seg_id = 0
+        if fi.seg is not None:
+            sid = int(fi.seg.seg_map[self.mi_y0 + y, self.mi_x0 + x])
+            seg_id = self.cw.write_segmentation(
+                self.w, x, y, bsize, skip, fi.seg.last_active_segid, sid
+            )
         self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
         self.blocks.set_rect("tx_size", x, y, bsize, int(self._luma_tx_size(bsize)))
         self.blocks.set_rect("is_inter_flag", x, y, bsize, False)
@@ -456,6 +463,15 @@ class TileEncoder:
 
     def _luma_tx_size(self, bsize: BlockSize) -> TxSize:
         return MAX_TXSIZE_RECT[int(bsize)]
+
+    def _block_qidx(self, x: int, y: int) -> int:
+        """Segment-adjusted quantizer for the block at tile-mi (x, y)
+        (SEG_LVL_ALT_Q, segmentation.rs)."""
+        fi = self.fi
+        if fi.seg is None:
+            return fi.base_q_idx
+        sid = int(fi.seg.seg_map[self.mi_y0 + y, self.mi_x0 + x])
+        return fi.seg.qidx(fi.base_q_idx, sid)
 
     def select_cfl(self, x: int, y: int, bsize: BlockSize):
         """Search CfL alphas against the source (reference rdo_cfl_alpha,
@@ -677,6 +693,12 @@ class TileEncoder:
         self.blocks.set_rect("tx_size", x, y, bsize, int(tx_size))
 
         self.cw.write_skip(self.w, x, y, skip)
+        seg_id = 0
+        if fi.seg is not None:
+            sid = int(fi.seg.seg_map[self.mi_y0 + y, self.mi_x0 + x])
+            seg_id = self.cw.write_segmentation(
+                self.w, x, y, bsize, skip, fi.seg.last_active_segid, sid
+            )
         self.cw.write_is_inter(self.w, x, y, True)
         self.blocks.set_rect("is_inter_flag", x, y, bsize, True)
         self.cw.write_ref_frames_single(self.w, x, y, ref_type, counts)
@@ -736,11 +758,11 @@ class TileEncoder:
                 from rav1e_tpu.native import dequant_recon_native
 
                 if not dequant_recon_native(
-                    qcoeffs, fi.base_q_idx, tsz, TxType.DCT_DCT, fi.bit_depth,
+                    qcoeffs, self._block_qidx(x, y), tsz, TxType.DCT_DCT, fi.bit_depth,
                     rec, px, py,
                 ):
                     pred = rec[py : py + tsz.height, px : px + tsz.width].astype(np.int32)
-                    rcoeffs = dequantize(fi.base_q_idx, qcoeffs, tsz, fi.bit_depth)
+                    rcoeffs = dequantize(self._block_qidx(x, y), qcoeffs, tsz, fi.bit_depth)
                     recon = T.inverse_transform_add(
                         rcoeffs[None], pred[None], tsz, TxType.DCT_DCT, fi.bit_depth
                     )[0]
@@ -751,13 +773,14 @@ class TileEncoder:
         (batchable device work). Returns job tuples for the symbol pass."""
         fi = self.fi
         jobs = []
-        self.qc.update(fi.base_q_idx, tx_size, False, fi.bit_depth, 0, 0)
+        q_idx = self._block_qidx(x, y)
+        self.qc.update(q_idx, tx_size, False, fi.bit_depth, 0, 0)
         bw = max(bsize.width_mi // max(tx_size.width >> MI_SIZE_LOG2, 1), 1)
         bh = max(bsize.height_mi // max(tx_size.height >> MI_SIZE_LOG2, 1), 1)
         plane_specs = [(0, tx_size, bw, bh)]
         if do_chroma and fi.seq.chroma_sampling != ChromaSampling.Cs400:
             uv_tx_size = largest_chroma_tx_size(bsize, self.xdec, self.ydec)
-            self.qc_uv.update(fi.base_q_idx, uv_tx_size, False, fi.bit_depth, 0, 0)
+            self.qc_uv.update(q_idx, uv_tx_size, False, fi.bit_depth, 0, 0)
             bw_uv = max(
                 max((bw * (tx_size.width >> MI_SIZE_LOG2)) >> self.xdec, 1)
                 // max(uv_tx_size.width >> MI_SIZE_LOG2, 1), 1,
@@ -884,7 +907,8 @@ class TileEncoder:
         tx_size = self._luma_tx_size(bsize)
         bw = max(bsize.width_mi // max(tx_size.width >> MI_SIZE_LOG2, 1), 1)
         bh = max(bsize.height_mi // max(tx_size.height >> MI_SIZE_LOG2, 1), 1)
-        self.qc.update(fi.base_q_idx, tx_size, True, fi.bit_depth, 0, 0)
+        q_idx = self._block_qidx(x, y)
+        self.qc.update(q_idx, tx_size, True, fi.bit_depth, 0, 0)
 
         tx_type = TxType.DCT_DCT
 
@@ -926,7 +950,7 @@ class TileEncoder:
                 self.xdec, self.ydec, tx_size, fcw, fch,
             )
         for p in (1, 2):
-            self.qc_uv.update(fi.base_q_idx, uv_tx_size, True, fi.bit_depth, 0, 0)
+            self.qc_uv.update(q_idx, uv_tx_size, True, fi.bit_depth, 0, 0)
             alpha = 0 if cfl is None else cfl[p - 1]
             for by in range(bh_uv):
                 for bx in range(bw_uv):
@@ -1022,9 +1046,9 @@ class TileEncoder:
             from rav1e_tpu.native import dequant_recon_native
 
             if not dequant_recon_native(
-                qcoeffs, fi.base_q_idx, tx_size, tx_type, fi.bit_depth, rec, px, py
+                qcoeffs, self._block_qidx(part_x, part_y), tx_size, tx_type, fi.bit_depth, rec, px, py
             ):
-                rcoeffs = dequantize(fi.base_q_idx, qcoeffs, tx_size, fi.bit_depth)
+                rcoeffs = dequantize(self._block_qidx(part_x, part_y), qcoeffs, tx_size, fi.bit_depth)
                 recon = T.inverse_transform_add(
                     rcoeffs[None], pred[None], tx_size, tx_type, fi.bit_depth
                 )[0]
@@ -1098,12 +1122,27 @@ class FramePipeline:
 
         mi_cols = (enc.width + 3) >> 2
         mi_rows = (enc.height + 3) >> 2
+
+        base_q_idx = self.rc.select_qi(frame_type, enc.width, enc.height, plan.level)
+        seg = None
+        from rav1e_tpu.config.speed import SegmentationLevel
+
+        if enc.speed_settings.segmentation != SegmentationLevel.Disabled:
+            from rav1e_tpu.encoder.segmentation import segmentation_optimize
+
+            seg = segmentation_optimize(
+                frame.planes[0].as_array(), base_q_idx, enc.bit_depth,
+                mi_cols, mi_rows,
+            )
+            if not seg.enabled:
+                seg = None
+
         fi = FrameInvariantsLite(
             seq=self.seq,
             width=enc.width,
             height=enc.height,
             frame_type=frame_type,
-            base_q_idx=self.rc.select_qi(frame_type, enc.width, enc.height, plan.level),
+            base_q_idx=base_q_idx,
             bit_depth=enc.bit_depth,
             tx_mode_select=True,
             use_reduced_tx_set=enc.speed_settings.transform.reduced_tx_set,
@@ -1111,6 +1150,7 @@ class FramePipeline:
             mi_rows=mi_rows,
             ref_frame=ref_fwd if frame_type.has_inter() else None,
             ref_frame_bwd=ref_bwd if frame_type.has_inter() else None,
+            seg=seg,
         )
 
         rec = Frame.new(enc.width, enc.height, enc.chroma_sampling, enc.bit_depth)
@@ -1253,6 +1293,9 @@ class FramePipeline:
             cdef_uv_strengths=[cdef_uv] + [0] * 7,
             lrf_types=lrf_types,
             lrf_unit_size=lrf_unit_size,
+            enable_segmentation=seg is not None,
+            segmentation_features=seg.features if seg is not None else None,
+            segmentation_data=seg.data if seg is not None else None,
             film_grain_params=(
                 enc.film_grain_params[0]
                 if self.seq.film_grain_params_present and enc.film_grain_params

@@ -1,0 +1,135 @@
+"""Segmentation: activity-clustered per-segment quantizer offsets.
+
+Counterpart of the reference's ``src/segmentation.rs``: k-means over
+log-activity scales selects up to 8 segments whose SEG_LVL_ALT_Q deltas
+retarget the quantizer (``Q' = Q / sqrt(scale)``, segmentation.rs:76-140);
+per-4x4 segment ids are derived from the dominant segment of each block's
+activity region.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+
+from rav1e_tpu import tables
+
+SEG_LVL_ALT_Q = 0
+MAX_SEGMENTS = 8
+
+
+@dataclass
+class SegmentationState:
+    enabled: bool = False
+    update_map: bool = True
+    update_data: bool = True
+    last_active_segid: int = 0
+    preskip: bool = False
+    features: List[List[bool]] = field(
+        default_factory=lambda: [[False] * 8 for _ in range(MAX_SEGMENTS)]
+    )
+    data: List[List[int]] = field(
+        default_factory=lambda: [[0] * 8 for _ in range(MAX_SEGMENTS)]
+    )
+    # per-mi segment map (rows, cols) uint8
+    seg_map: np.ndarray = None
+
+    def qidx(self, base_q_idx: int, seg_id: int) -> int:
+        if not self.enabled:
+            return base_q_idx
+        d = self.data[seg_id][SEG_LVL_ALT_Q] if self.features[seg_id][SEG_LVL_ALT_Q] else 0
+        return max(1, min(base_q_idx + d, 255))
+
+
+def _kmeans1d(values: np.ndarray, k: int, iters: int = 12) -> np.ndarray:
+    """1-D k-means (counterpart of util/kmeans.rs)."""
+    vmin, vmax = float(values.min()), float(values.max())
+    if vmax - vmin < 1e-9:
+        return np.array([vmin] * k)
+    cents = np.linspace(vmin, vmax, k)
+    for _ in range(iters):
+        assign = np.argmin(np.abs(values[:, None] - cents[None, :]), axis=1)
+        for j in range(k):
+            sel = values[assign == j]
+            if sel.size:
+                cents[j] = sel.mean()
+    return np.sort(cents)
+
+
+def segmentation_optimize(
+    luma_src: np.ndarray, base_q_idx: int, bit_depth: int, mi_cols: int,
+    mi_rows: int, nseg: int = 3,
+) -> SegmentationState:
+    """Build segment ΔQ table + per-mi map from source activity
+    (segmentation.rs:23-160 redesigned around the activity mask)."""
+    from rav1e_tpu.ops.activity import activity_mask, log2_activity_scale
+
+    st = SegmentationState()
+    act = activity_mask(luma_src, bit_depth)
+    if act.size < nseg:
+        return st
+    logs = log2_activity_scale(act)
+    cents = _kmeans1d(logs.reshape(-1), nseg)
+    if cents[-1] - cents[0] < 0.5:
+        return st  # flat content: not worth the signaling
+
+    # ΔQ per segment: Q' = Q * sqrt(scale_rel) where scale_rel is the
+    # centroid's activity relative to the median segment (high activity ->
+    # masking -> higher q)
+    base_q = tables.ac_q(base_q_idx, 0, bit_depth)
+    mid = float(np.median(cents))
+    deltas = []
+    for c in cents:
+        target = base_q * (2.0 ** (0.35 * (c - mid)))
+        qi = max(tables.select_ac_qi(int(round(target)), bit_depth), 1)
+        deltas.append(int(qi) - base_q_idx)
+    st.enabled = True
+    st.last_active_segid = nseg - 1
+    for i, d in enumerate(deltas):
+        st.features[i][SEG_LVL_ALT_Q] = True
+        st.data[i][SEG_LVL_ALT_Q] = max(d, 1 - base_q_idx)
+
+    # per-mi map: nearest centroid of the covering 8x8 activity cell
+    assign8 = np.argmin(np.abs(logs[:, :, None] - cents[None, None, :]), axis=2)
+    ys = np.minimum(np.arange(mi_rows) // 2, assign8.shape[0] - 1)
+    xs = np.minimum(np.arange(mi_cols) // 2, assign8.shape[1] - 1)
+    st.seg_map = assign8[ys[:, None], xs[None, :]].astype(np.uint8)
+    return st
+
+
+def neg_interleave(x: int, r: int, mx: int) -> int:
+    """(partition_unit.rs:359-386)"""
+    assert x < mx
+    if r == 0:
+        return x
+    if r >= mx - 1:
+        return -x + mx - 1
+    diff = x - r
+    if 2 * r < mx:
+        if abs(diff) <= r:
+            return (diff << 1) - 1 if diff > 0 else (-diff) << 1
+        return x
+    if abs(diff) < (mx - r):
+        return (diff << 1) - 1 if diff > 0 else (-diff) << 1
+    return (mx - x) - 1
+
+
+def neg_deinterleave(diff: int, ref: int, mx: int) -> int:
+    """Inverse of :func:`neg_interleave` (spec 5.11.57 neg_deinterleave)."""
+    if ref == 0:
+        return diff
+    if ref >= mx - 1:
+        return mx - diff - 1
+    if 2 * ref < mx:
+        if diff <= 2 * ref:
+            if diff & 1:
+                return ref + ((diff + 1) >> 1)
+            return ref - (diff >> 1)
+        return diff
+    if diff <= 2 * (mx - ref - 1):
+        if diff & 1:
+            return ref + ((diff + 1) >> 1)
+        return ref - (diff >> 1)
+    return mx - (diff + 1)
