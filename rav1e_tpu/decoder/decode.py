@@ -365,10 +365,18 @@ class TileDecoder:
             mv = tuple(stack[0].this_mv) if stack else (0, 0)
         elif mode == PredictionMode.GLOBALMV:
             mv = (0, 0)
-        else:  # NEARMV family
-            from rav1e_tpu.decoder.headers import DecodeError
-
-            raise DecodeError("NEARMV decoding not wired yet")
+        else:  # NEARMV (ref_mv_idx from DRL; spec 5.11.25)
+            ref_mv_idx = 1
+            for idx in (1, 2):
+                if num_found > idx + 1:
+                    ctx = int(stack[idx].weight < REF_CAT_LEVEL) + int(
+                        stack[idx + 1].weight < REF_CAT_LEVEL
+                    )
+                    if self.cr.read_drl_mode(self.r, ctx):
+                        ref_mv_idx = idx + 1
+                        continue
+                    break
+            mv = tuple(stack[ref_mv_idx].this_mv) if len(stack) > ref_mv_idx else (0, 0)
 
         self.blocks.set_rect("mode", x, y, bsize, int(mode))
         self.blocks.ref_frames[y : y + bsize.height_mi, x : x + bsize.width_mi, 0] = ref_frame

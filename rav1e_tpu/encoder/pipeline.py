@@ -670,12 +670,20 @@ class TileEncoder:
 
         fi = self.fi
         # choose inter mode by stack relationship (encoder.rs:2000-2080)
+        near_idx = 0
         if stack and tuple(stack[0].this_mv) == mv:
             mode = PredictionMode.NEARESTMV
-        elif not stack and mv == (0, 0):
-            mode = PredictionMode.GLOBALMV
         else:
-            mode = PredictionMode.NEWMV
+            for k in (1, 2, 3):
+                if len(stack) > k and tuple(stack[k].this_mv) == mv:
+                    mode = PredictionMode.NEAR0MV  # NEARMV, ref_mv_idx = k
+                    near_idx = k
+                    break
+            else:
+                if not stack and mv == (0, 0):
+                    mode = PredictionMode.GLOBALMV
+                else:
+                    mode = PredictionMode.NEWMV
 
         tx_size = self._luma_tx_size(bsize)
         do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, fi.seq.chroma_sampling)
@@ -705,6 +713,19 @@ class TileEncoder:
         self.cw.write_inter_mode(self.w, mode, mode_ctx)
 
         num_found = len(stack)
+        if mode == PredictionMode.NEAR0MV:
+            # DRL for NEARMV (encoder.rs:2048-2066)
+            from rav1e_tpu.context.mv import REF_CAT_LEVEL
+
+            for idx in (1, 2):
+                if num_found > idx + 1:
+                    drl = near_idx > idx
+                    ctx = int(stack[idx].weight < REF_CAT_LEVEL) + int(
+                        stack[idx + 1].weight < REF_CAT_LEVEL
+                    )
+                    self.cw.write_drl_mode(self.w, drl, ctx)
+                    if not drl:
+                        break
         if mode == PredictionMode.NEWMV:
             # DRL for NEWMV (encoder.rs:2004-2021); ref_mv_idx = 0
             from rav1e_tpu.context.mv import REF_CAT_LEVEL

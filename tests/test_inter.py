@@ -91,3 +91,57 @@ def test_inter_speed6_with_intra_fallback():
     a = _translating_content(96, 64, 2)
     b = np.repeat(np.repeat(rng.integers(0, 256, (8, 12)), 8, 0), 8, 1).astype(np.uint8)
     encode_sequence(a + [b], 96, 64, speed=6)
+
+
+def test_nearmv_coded_and_decodes():
+    """NEARMV must be selected when the search lands on a non-nearest stack
+    candidate, and round-trip bit-exactly."""
+    import numpy as np
+    from unittest import mock
+
+    from rav1e_tpu import Config, EncoderConfig, EncoderStatus
+    from rav1e_tpu.context.writer import ContextWriter
+    from rav1e_tpu.decoder import decode_packet
+    from rav1e_tpu.partition import PredictionMode
+
+    modes = []
+    orig = ContextWriter.write_inter_mode
+
+    def spy(self, w, mode, ctx):
+        modes.append(mode)
+        return orig(self, w, mode, ctx)
+
+    cfg = Config(
+        enc=EncoderConfig(
+            width=128, height=96, quantizer=120, low_latency=True,
+            min_key_frame_interval=0, max_key_frame_interval=9999,
+        )
+    ).with_speed_preset(10)
+    ctx = cfg.new_context()
+    rng = np.random.default_rng(12)
+    base = np.clip(np.cumsum(rng.integers(-4, 5, (96 * 2, 128 * 2)), axis=1) + 128, 0, 255)
+    pkts = []
+    with mock.patch.object(ContextWriter, "write_inter_mode", spy):
+        for i in range(5):
+            f = ctx.new_frame()
+            # mixed motion: top half pans, bottom half static
+            for p in f.planes:
+                ch, cw = p.cfg.height, p.cfg.width
+                xs = (i * 6) >> p.cfg.xdec
+                arr = base[:ch, xs : xs + cw].copy()
+                arr[ch // 2 :, :] = base[ch // 2 : ch, :cw]
+                p.copy_from(arr.astype(np.uint8))
+            ctx.send_frame(f)
+        ctx.flush()
+        while True:
+            try:
+                pkts.append(ctx.receive_packet())
+            except EncoderStatus.LimitReached:
+                break
+    state = None
+    for pkt in pkts:
+        dec, state = decode_packet(pkt.data, state)
+        np.testing.assert_array_equal(
+            dec.planes[0].as_array(), pkt.rec.planes[0].as_array()
+        )
+    assert PredictionMode.NEAR0MV in modes, set(modes)
