@@ -36,6 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile-cols", type=int, default=0)
     p.add_argument("-l", "--limit", type=int, default=0, help="max frames to encode")
     p.add_argument("--psnr", action="store_true", help="print per-frame PSNR")
+    p.add_argument("--metrics", action="store_true", help="print per-frame PSNR/SSIM/MS-SSIM")
     p.add_argument("--benchmark", action="store_true", help="print fps at end")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -81,7 +82,7 @@ def main(argv=None) -> int:
                 for plane, arr in zip(f.planes, planes):
                     plane.copy_from(arr)
                 ctx.send_frame(f)
-                if args.psnr:
+                if args.psnr or args.metrics:
                     sources[nframes] = planes
                 nframes += 1
                 _drain(ctx, ivf, args, sources)
@@ -124,6 +125,23 @@ def _drain(ctx, ivf, args, sources, flushing=False) -> None:
                 f"{len(pkt.data)} bytes",
                 file=sys.stderr,
             )
+        if args.metrics and pkt.rec is not None:
+            src = sources.get(pkt.input_frameno)
+            if src is not None:
+                from rav1e_tpu.utils.metrics import frame_metrics
+
+                m = frame_metrics(
+                    [a for a in src],
+                    [p.as_array() for p in pkt.rec.planes],
+                    ctx.config.enc.bit_depth,
+                )
+                print(
+                    f"frame {pkt.input_frameno} "
+                    + " ".join(f"{k}={v:.4f}" for k, v in m.items()),
+                    file=sys.stderr,
+                )
+        if not args.psnr:
+            sources.pop(pkt.input_frameno, None)
         if args.psnr and pkt.rec is not None:
             src = sources.pop(pkt.input_frameno, None)
             if src is not None:
