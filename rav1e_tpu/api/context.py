@@ -167,7 +167,19 @@ class ContextInner:
                     b = prev[max(-dy, 0) : h + min(-dy, 0), max(-dx, 0) : w + min(-dx, 0)]
                     mad = float(np.abs(a - b).mean())
                     best = mad if best is None else min(best, mad)
-            scene_cut = best > 14.0 * (1 << (e.bit_depth - 8))
+            if e.speed_settings.scene_detection_mode == SceneDetectionSpeed.Standard:
+                # Standard mode: inter-vs-intra cost comparison (reference
+                # av-scenechange cost mode, doc/FRAME_TYPE_SELECTION.md):
+                # cut when the temporal prediction error approaches the
+                # spatial (intra) complexity of the frame.
+                gx = np.abs(np.diff(c.astype(np.float64), axis=1)).mean()
+                gy = np.abs(np.diff(c.astype(np.float64), axis=0)).mean()
+                intra_cost = max((gx + gy) * 0.5, 1e-3)
+                scene_cut = best > 0.9 * intra_cost and best > 6.0 * (
+                    1 << (e.bit_depth - 8)
+                )
+            else:
+                scene_cut = best > 14.0 * (1 << (e.bit_depth - 8))
         self._last_luma_ds = cur
         if distance >= e.max_key_frame_interval:
             self.keyframes.add(frameno)

@@ -1202,6 +1202,14 @@ class FramePipeline:
             fi.base_q_idx, fi.bit_depth, frame_type == FrameType.KEY,
             tables.ac_q(fi.base_q_idx, 0, fi.bit_depth),
         )
+        if not enc.speed_settings.fast_deblock:
+            from rav1e_tpu.ops.deblock import deblock_search_levels
+
+            with span("deblock_search"):
+                deblock_levels = deblock_search_levels(
+                    deblock_levels, rec, frame, frame_blocks,
+                    enc.width, enc.height, fi.bit_depth, enc.chroma_sampling,
+                )
         with span("deblock"):
             deblock_filter_frame(
                 deblock_levels, rec, frame_blocks, enc.width, enc.height,

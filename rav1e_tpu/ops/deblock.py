@@ -368,11 +368,11 @@ def deblock_plane(levels, rec, blocks, pli, crop_w, crop_h, bd, xdec, ydec):
                 rec[base_y, base_x] = out.astype(rec.dtype)
 
 
-def deblock_filter_frame(levels, frame, blocks, crop_w, crop_h, bd, cs) -> None:
+def deblock_filter_frame(levels, frame, blocks, crop_w, crop_h, bd, cs, luma_only=False) -> None:
     """Filter all planes of ``frame`` in place (frame-level mi ``blocks``)."""
     from rav1e_tpu.config import ChromaSampling
 
-    nplanes = 1 if cs == ChromaSampling.Cs400 else 3
+    nplanes = 1 if (cs == ChromaSampling.Cs400 or luma_only) else 3
     for pli in range(nplanes):
         plane = frame.planes[pli]
         xd, yd = (0, 0) if pli == 0 else cs.decimation()
@@ -381,3 +381,45 @@ def deblock_filter_frame(levels, frame, blocks, crop_w, crop_h, bd, cs) -> None:
         pw = (crop_w + (1 << xd) - 1) >> xd
         ph = (crop_h + (1 << yd) - 1) >> yd
         deblock_plane(levels, rec, blocks, pli, pw, ph, bd, xd, yd)
+
+
+def deblock_search_levels(
+    fast_levels, rec_frame, src_frame, blocks, crop_w, crop_h, bd, cs,
+):
+    """SSE-driven level search around the q-derived fast levels
+    (reference deblock_filter_optimize, deblock.rs:1620-1668).
+
+    Filters luma on scratch copies for candidate levels and keeps the one
+    minimizing SSE vs the source; chroma levels follow the luma choice.
+    """
+    import numpy as np
+
+    base = fast_levels[0]
+    pad = rec_frame.planes[0].cfg.pad
+    src = src_frame.planes[0].data[pad:, pad:][:crop_h, :crop_w].astype(np.int64)
+
+    candidates = sorted({max(0, min(base + d, 63)) for d in (-4, -2, 0, 2, 4)})
+    best_lv, best_sse = None, None
+    for lv in candidates:
+        work = _luma_scratch(rec_frame)
+        deblock_filter_frame(
+            [lv, lv, fast_levels[2], fast_levels[3]], work, blocks,
+            crop_w, crop_h, bd, cs, luma_only=True,
+        )
+        wl = work.planes[0].data[pad:, pad:][:crop_h, :crop_w].astype(np.int64)
+        sse = int(((wl - src) ** 2).sum())
+        if best_sse is None or sse < best_sse:
+            best_lv, best_sse = lv, sse
+    return [best_lv, best_lv, fast_levels[2], fast_levels[3]]
+
+
+def _luma_scratch(frame):
+    """Shallow frame clone with a private luma plane copy."""
+    import copy as _copy
+
+    work = _copy.copy(frame)
+    work.planes = list(frame.planes)
+    p0 = _copy.copy(frame.planes[0])
+    p0.data = frame.planes[0].data.copy()
+    work.planes[0] = p0
+    return work
