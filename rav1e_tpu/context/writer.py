@@ -103,7 +103,11 @@ class ContextWriter:
         (final-emission pass needs no rollback); the Python path logs for
         RDO rollback.
         """
-        if getattr(w, "symbol_update_row", None) is not None:
+        from rav1e_tpu.utils import desync
+
+        if desync.enabled():
+            desync.log_symbol("enc", s)
+        elif getattr(w, "symbol_update_row", None) is not None:
             w.symbol_update_row(s, arr, idx)
             return
         row = self.log.push(arr, idx)
@@ -515,7 +519,9 @@ class ContextWriter:
         if plane == 0:
             self.write_tx_type(w, tx_size, tx_type, pred_mode, is_inter, use_reduced_tx_set)
 
-        if getattr(w, "lib", None) is not None:
+        from rav1e_tpu.utils import desync as _desync
+
+        if getattr(w, "lib", None) is not None and not _desync.enabled():
             # native fast path: whole coefficient block coded in C++
             eob_multi_size = tx_size.width_log2 + tx_size.height_log2 - 4
             eob_cdf_arr = [

@@ -42,6 +42,10 @@ class ContextReader:
     def _sym(self, r: Reader, arr: np.ndarray, *idx) -> int:
         cdf = arr[idx].tolist()
         s = r.read_symbol(cdf)
+        from rav1e_tpu.utils import desync
+
+        if desync.enabled():
+            desync.log_symbol("dec", s)
         update_cdf(cdf, s)
         arr[idx] = cdf
         return s

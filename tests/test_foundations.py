@@ -69,3 +69,38 @@ def test_config_builders():
     c = Config().with_speed_preset(8).with_threads(4).with_parallel_gops(2)
     assert c.enc.speed_settings.rdo_lookahead_frames == 10
     assert c.threads == 4 and c.parallel_gops == 2
+
+
+def test_desync_finder_traces_match():
+    """RAV1E_TPU_DEBUG symbol traces from encoder and decoder must align
+    (the desync-finder debug aid, reference ec.rs desync_finder)."""
+    import numpy as np
+
+    from rav1e_tpu import Config, EncoderConfig, EncoderStatus
+    from rav1e_tpu.decoder import decode_packet
+    from rav1e_tpu.utils import desync
+
+    desync.enable(True)
+    desync.reset()
+    try:
+        cfg = Config(
+            enc=EncoderConfig(
+                width=64, height=64, quantizer=120, low_latency=True,
+                min_key_frame_interval=0, max_key_frame_interval=9999,
+            )
+        ).with_speed_preset(10)
+        ctx = cfg.new_context()
+        rng = np.random.default_rng(6)
+        f = ctx.new_frame()
+        for p in f.planes:
+            p.copy_from(rng.integers(0, 256, (p.cfg.height, p.cfg.width)).astype(np.uint8))
+        ctx.send_frame(f)
+        ctx.flush()
+        pkt = ctx.receive_packet()
+        decode_packet(pkt.data)
+        enc_t, dec_t = desync.traces()
+        assert len(enc_t) > 0 and len(enc_t) == len(dec_t)
+        assert desync.compare_traces() is None
+    finally:
+        desync.enable(False)
+        desync.reset()
