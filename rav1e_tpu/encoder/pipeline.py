@@ -1084,10 +1084,16 @@ class FramePipeline:
         self.config = config
         enc = config.enc
         self.seq = Sequence.from_config(enc)
+        cols_log2 = (enc.tile_cols.bit_length() - 1) if enc.tile_cols else 0
+        rows_log2 = (enc.tile_rows.bit_length() - 1) if enc.tile_rows else 0
+        if enc.tiles and not (enc.tile_cols or enc.tile_rows):
+            # target tile count -> cols-first split (tiler.rs:56-155)
+            t_log2 = (max(enc.tiles, 1) - 1).bit_length()
+            cols_log2 = (t_log2 + 1) // 2
+            rows_log2 = t_log2 // 2
         self.tiling = TilingInfo.from_target_tiles(
             6, enc.width, enc.height, enc.frame_rate(),
-            (enc.tile_cols.bit_length() - 1) if enc.tile_cols else 0,
-            (enc.tile_rows.bit_length() - 1) if enc.tile_rows else 0,
+            cols_log2, rows_log2,
             enc.chroma_sampling == ChromaSampling.Cs422,
         )
         self.seq.tiling = self.tiling
@@ -1183,14 +1189,9 @@ class FramePipeline:
         tile_payloads: List[bytes] = []
         enc_stats = EncoderStats()
         with span("encode_tiles", frame=input_frameno):
-            for tr in range(self.tiling.rows):
-                for tc in range(self.tiling.cols):
-                    tx, ty, tw, th = self.tiling.tile_rect_mi(tc, tr, mi_cols, mi_rows)
-                    te = TileEncoder(
-                        fi, frame, rec, tx, ty, tw, th, enc.speed_settings, frame_blocks
-                    )
-                    tile_payloads.append(te.encode())
-                    enc_stats += te.stats
+            tile_payloads, enc_stats = self._encode_tiles(
+                fi, frame, rec, frame_blocks, mi_cols, mi_rows
+            )
 
         tile_group = self._build_tile_group(tile_payloads)
 
@@ -1279,17 +1280,9 @@ class FramePipeline:
                     enc.width, enc.height, enc.chroma_sampling, enc.bit_depth
                 )
                 fb_scratch = FrameBlocks(mi_cols, mi_rows)
-                tile_payloads = []
-                for tr in range(self.tiling.rows):
-                    for tc in range(self.tiling.cols):
-                        tx, ty, tw, th = self.tiling.tile_rect_mi(
-                            tc, tr, mi_cols, mi_rows
-                        )
-                        te = TileEncoder(
-                            fi, frame, rec_scratch, tx, ty, tw, th,
-                            enc.speed_settings, fb_scratch, rs=rs,
-                        )
-                        tile_payloads.append(te.encode())
+                tile_payloads, _ = self._encode_tiles(
+                    fi, frame, rec_scratch, fb_scratch, mi_cols, mi_rows, rs=rs
+                )
                 tile_group = self._build_tile_group(tile_payloads)
 
         is_inter = fi.is_inter_frame
@@ -1387,6 +1380,39 @@ class FramePipeline:
             qp=0,
             rec=self.rec_buffer[plan.slot],
         )
+
+    def _encode_tiles(self, fi, frame, rec, frame_blocks, mi_cols, mi_rows, rs=None):
+        """Encode all tiles, in parallel threads when configured
+        (reference encoder.rs:3249-3257 rayon par_iter; disjoint TileBlocksMut
+        views make tiles data-race free by construction)."""
+        enc = self.config.enc
+        rects = [
+            self.tiling.tile_rect_mi(tc, tr, mi_cols, mi_rows)
+            for tr in range(self.tiling.rows)
+            for tc in range(self.tiling.cols)
+        ]
+
+        def one(rect):
+            tx, ty, tw, th = rect
+            te = TileEncoder(
+                fi, frame, rec, tx, ty, tw, th, enc.speed_settings,
+                frame_blocks, rs=rs,
+            )
+            return te.encode(), te.stats
+
+        nthreads = self.config.threads or 0
+        if len(rects) > 1 and nthreads != 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = min(len(rects), nthreads or 8)
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = list(pool.map(one, rects))
+        else:
+            results = [one(r) for r in rects]
+        stats = EncoderStats()
+        for _, st in results:
+            stats += st
+        return [p for p, _ in results], stats
 
     def _build_tile_group(self, tile_payloads: List[bytes]) -> bytes:
         """Tile group OBU payload (spec 5.11.1): with one tile there is no
