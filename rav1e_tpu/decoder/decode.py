@@ -122,6 +122,11 @@ def _decode_tile_group(payload: bytes, seq, fh: FrameHeader, state: "DecoderStat
             raise DecodeError("missing reference frame")
 
     frame_blocks = FrameBlocks(mi_cols, mi_rows)
+    cdef_idx_map = None
+    if fh.cdef_bits > 0:
+        sb_rows_f = (fh.height + 63) // 64
+        sb_cols_f = (fh.width + 63) // 64
+        cdef_idx_map = np.full((sb_rows_f, sb_cols_f), -1, dtype=np.int32)
     rs = None
     if any(t != 0 for t in fh.lrf_types):
         from rav1e_tpu.ops.lrf import RestorationState
@@ -139,7 +144,7 @@ def _decode_tile_group(payload: bytes, seq, fh: FrameHeader, state: "DecoderStat
             tx, ty, tw, th = ti.tile_rect_mi(tc, tr, mi_cols, mi_rows)
             td = TileDecoder(
                 seq, fh, frame, tx, ty, tw, th, mi_cols, mi_rows, ref_frame,
-                frame_blocks, rs,
+                frame_blocks, rs, cdef_idx_map,
             )
             td.decode(tile_data[idx])
             idx += 1
@@ -161,11 +166,18 @@ def _decode_tile_group(payload: bytes, seq, fh: FrameHeader, state: "DecoderStat
     if seq.enable_cdef:
         from rav1e_tpu.ops.cdef import cdef_filter_frame
 
-        cdef_filter_frame(
-            (fh.cdef_damping, fh.cdef_y_strengths[0], fh.cdef_uv_strengths[0]),
-            frame, frame_blocks, seq.bit_depth, seq.chroma_sampling,
-            fh.width, fh.height,
-        )
+        if fh.cdef_bits > 0:
+            cdef_filter_frame(
+                (fh.cdef_damping, list(fh.cdef_y_strengths), list(fh.cdef_uv_strengths)),
+                frame, frame_blocks, seq.bit_depth, seq.chroma_sampling,
+                fh.width, fh.height, cdef_idx_map=cdef_idx_map,
+            )
+        else:
+            cdef_filter_frame(
+                (fh.cdef_damping, fh.cdef_y_strengths[0], fh.cdef_uv_strengths[0]),
+                frame, frame_blocks, seq.bit_depth, seq.chroma_sampling,
+                fh.width, fh.height,
+            )
 
     if rs is not None:
         from rav1e_tpu.ops.lrf import lrf_filter_frame
@@ -180,7 +192,7 @@ def _decode_tile_group(payload: bytes, seq, fh: FrameHeader, state: "DecoderStat
 
 
 class TileDecoder:
-    def __init__(self, seq, fh: FrameHeader, frame: Frame, mi_x0, mi_y0, mi_w, mi_h, mi_cols, mi_rows, ref_frame=None, frame_blocks=None, rs=None):
+    def __init__(self, seq, fh: FrameHeader, frame: Frame, mi_x0, mi_y0, mi_w, mi_h, mi_cols, mi_rows, ref_frame=None, frame_blocks=None, rs=None, cdef_idx_map=None):
         self.seq = seq
         self.fh = fh
         self.frame = frame
@@ -189,6 +201,8 @@ class TileDecoder:
         self.mi_w, self.mi_h = mi_w, mi_h
         self.mi_cols, self.mi_rows = mi_cols, mi_rows
         self.rs = rs
+        self.cdef_idx_map = cdef_idx_map
+        self._cdef_read = False
         if rs is not None:
             from rav1e_tpu.ops.lrf import TileRestorationRefs
 
@@ -238,6 +252,7 @@ class TileDecoder:
         for sby in range(sb_rows):
             self.bc.reset_left_contexts()
             for sbx in range(sb_cols):
+                self._cdef_read = False
                 if self.rs is not None:
                     sb_x = (self.mi_x0 // MIB_SIZE) + sbx
                     sb_y = (self.mi_y0 // MIB_SIZE) + sby
@@ -274,6 +289,11 @@ class TileDecoder:
             self.cr.read_segmentation(
                 self.r, x, y, bsize, skip, self.seg_last_active
             )
+        if self.cdef_idx_map is not None and not skip and not self._cdef_read:
+            sb_x = (self.mi_x0 + x) // MIB_SIZE
+            sb_y = (self.mi_y0 + y) // MIB_SIZE
+            self.cdef_idx_map[sb_y, sb_x] = self.r.read_literal(fh.cdef_bits)
+            self._cdef_read = True
         self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
 
         is_inter = False

@@ -138,11 +138,16 @@ class TileEncoder:
         speed,
         frame_blocks: Optional[FrameBlocks] = None,
         rs=None,
+        cdef_bits: int = 0,
+        cdef_idx_map=None,
     ):
         self.fi = fi
         self.src = src
         self.rec = rec
         self.rs = rs
+        self.cdef_bits = cdef_bits
+        self.cdef_idx_map = cdef_idx_map
+        self._cdef_coded = False
         if rs is not None:
             from rav1e_tpu.ops.lrf import TileRestorationRefs
 
@@ -203,6 +208,7 @@ class TileEncoder:
         for sby in range(sb_rows):
             self.bc.reset_left_contexts()
             for sbx in range(sb_cols):
+                self._cdef_coded = False
                 if self.rs is not None:
                     # LRU params precede the SB's partition tree (spec 5.11.2;
                     # encoder.rs:3439-3450 writes LRF then replays block bits)
@@ -294,10 +300,11 @@ class TileEncoder:
             pw = max(bsize.width >> xd, 4)
             ph = max(bsize.height >> yd, 4)
             recs.append((px, py, rv[py : py + ph, px : px + pw].copy()))
-        return (self.cw.checkpoint(sb_x), blocks, recs, x, y, h, w)
+        return (self.cw.checkpoint(sb_x), blocks, recs, x, y, h, w, self._cdef_coded)
 
     def _rdo_restore(self, snap) -> None:
-        cwck, blocks, recs, x, y, h, w = snap
+        cwck, blocks, recs, x, y, h, w, cdef_coded = snap
+        self._cdef_coded = cdef_coded
         self.cw.rollback(cwck)
         for f, arr in blocks.items():
             getattr(self.blocks, f)[y : y + h, x : x + w] = arr
@@ -410,6 +417,7 @@ class TileEncoder:
             seg_id = self.cw.write_segmentation(
                 self.w, x, y, bsize, skip, fi.seg.last_active_segid, sid
             )
+        self._maybe_write_cdef_idx(x, y, skip)
         self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
         self.blocks.set_rect("tx_size", x, y, bsize, int(self._luma_tx_size(bsize)))
         self.blocks.set_rect("is_inter_flag", x, y, bsize, False)
@@ -463,6 +471,17 @@ class TileEncoder:
 
     def _luma_tx_size(self, bsize: BlockSize) -> TxSize:
         return MAX_TXSIZE_RECT[int(bsize)]
+
+    def _maybe_write_cdef_idx(self, x: int, y: int, skip: bool) -> None:
+        """cdef_idx literal at the first non-skip block of the SB
+        (spec 5.11.56 read_cdef; encoder.rs:3452-3457 splice point)."""
+        if self.cdef_bits == 0 or skip or self._cdef_coded:
+            return
+        sb_x = (self.mi_x0 + x) // MIB_SIZE
+        sb_y = (self.mi_y0 + y) // MIB_SIZE
+        idx = int(self.cdef_idx_map[sb_y, sb_x])
+        self.w.literal(self.cdef_bits, idx)
+        self._cdef_coded = True
 
     def _block_qidx(self, x: int, y: int) -> int:
         """Segment-adjusted quantizer for the block at tile-mi (x, y)
@@ -707,6 +726,7 @@ class TileEncoder:
             seg_id = self.cw.write_segmentation(
                 self.w, x, y, bsize, skip, fi.seg.last_active_segid, sid
             )
+        self._maybe_write_cdef_idx(x, y, skip)
         self.cw.write_is_inter(self.w, x, y, True)
         self.blocks.set_rect("is_inter_flag", x, y, bsize, True)
         self.cw.write_ref_frames_single(self.w, x, y, ref_type, counts)
@@ -1230,20 +1250,42 @@ class FramePipeline:
                 p.data[p.cfg.pad :, p.cfg.pad :].copy() for p in rec.planes
             ]
 
-        # CDEF (after deblock, before LRF; cdef.rs:574-600).  Single-strength
-        # (cdef_bits=0) with q-derived strengths; per-SB RDO arrives later.
+        # CDEF (after deblock, before LRF; cdef.rs:574-600): q-derived
+        # single strength at fast speeds, per-64x64 RDO over a 4-entry
+        # preset (cdef_bits=2) at quality speeds (rdo.rs:2104 CDEF axis).
         cdef_damping, cdef_y, cdef_uv = 3, 0, 0
+        cdef_bits = 0
+        cdef_map = None
+        cdef_y_list = None
+        cdef_uv_list = None
         if self.seq.enable_cdef:
-            from rav1e_tpu.ops.cdef import cdef_filter_frame, cdef_strengths_fast
+            from rav1e_tpu.ops.cdef import (
+                cdef_filter_frame, cdef_rdo_frame, cdef_strengths_fast,
+            )
 
             cdef_y, cdef_uv = cdef_strengths_fast(
                 tables.ac_q(fi.base_q_idx, 0, fi.bit_depth) >> (fi.bit_depth - 8)
             )
-            with span("cdef"):
-                cdef_filter_frame(
-                    (cdef_damping, cdef_y, cdef_uv), rec, frame_blocks,
-                    fi.bit_depth, enc.chroma_sampling, enc.width, enc.height,
-                )
+            if not enc.speed_settings.fast_deblock and cdef_y > 0:
+                with span("cdef_rdo"):
+                    cdef_y_list, cdef_uv_list, cdef_map = cdef_rdo_frame(
+                        rec, frame, frame_blocks, fi.bit_depth,
+                        enc.chroma_sampling, enc.width, enc.height,
+                        cdef_damping, cdef_y, cdef_uv,
+                    )
+                cdef_bits = 2
+                with span("cdef"):
+                    cdef_filter_frame(
+                        (cdef_damping, cdef_y_list, cdef_uv_list), rec,
+                        frame_blocks, fi.bit_depth, enc.chroma_sampling,
+                        enc.width, enc.height, cdef_idx_map=cdef_map,
+                    )
+            else:
+                with span("cdef"):
+                    cdef_filter_frame(
+                        (cdef_damping, cdef_y, cdef_uv), rec, frame_blocks,
+                        fi.bit_depth, enc.chroma_sampling, enc.width, enc.height,
+                    )
 
         # Loop restoration: per-LRU SgrProj solve + SSE decision; when any
         # unit selects a filter the tiles are re-encoded with the LRF symbols
@@ -1276,14 +1318,24 @@ class FramePipeline:
                     rs.planes[1].cfg.unit_size,
                     rs.planes[2].cfg.unit_size,
                 ]
-                rec_scratch = Frame.new(
-                    enc.width, enc.height, enc.chroma_sampling, enc.bit_depth
-                )
-                fb_scratch = FrameBlocks(mi_cols, mi_rows)
-                tile_payloads, _ = self._encode_tiles(
-                    fi, frame, rec_scratch, fb_scratch, mi_cols, mi_rows, rs=rs
-                )
-                tile_group = self._build_tile_group(tile_payloads)
+            else:
+                rs = None
+        else:
+            rs = None
+
+        # symbols added after pass 1 (per-SB cdef_idx, per-LRU filters)
+        # require a tile re-encode; the recon is unchanged so pass 2
+        # reproduces pass 1's decisions exactly
+        if cdef_bits > 0 or rs is not None:
+            rec_scratch = Frame.new(
+                enc.width, enc.height, enc.chroma_sampling, enc.bit_depth
+            )
+            fb_scratch = FrameBlocks(mi_cols, mi_rows)
+            tile_payloads, _ = self._encode_tiles(
+                fi, frame, rec_scratch, fb_scratch, mi_cols, mi_rows, rs=rs,
+                cdef_bits=cdef_bits, cdef_idx_map=cdef_map,
+            )
+            tile_group = self._build_tile_group(tile_payloads)
 
         is_inter = fi.is_inter_frame
         n_hint = self.seq.order_hint_bits_minus_1 + 1
@@ -1310,9 +1362,13 @@ class FramePipeline:
             default_filter=0,
             deblock_levels=deblock_levels,
             cdef_damping=cdef_damping,
-            cdef_bits=0,
-            cdef_y_strengths=[cdef_y] + [0] * 7,
-            cdef_uv_strengths=[cdef_uv] + [0] * 7,
+            cdef_bits=cdef_bits,
+            cdef_y_strengths=(
+                (cdef_y_list + [0] * 4) if cdef_bits else [cdef_y] + [0] * 7
+            ),
+            cdef_uv_strengths=(
+                (cdef_uv_list + [0] * 4) if cdef_bits else [cdef_uv] + [0] * 7
+            ),
             lrf_types=lrf_types,
             lrf_unit_size=lrf_unit_size,
             enable_segmentation=seg is not None,
@@ -1381,7 +1437,8 @@ class FramePipeline:
             rec=self.rec_buffer[plan.slot],
         )
 
-    def _encode_tiles(self, fi, frame, rec, frame_blocks, mi_cols, mi_rows, rs=None):
+    def _encode_tiles(self, fi, frame, rec, frame_blocks, mi_cols, mi_rows, rs=None,
+                      cdef_bits=0, cdef_idx_map=None):
         """Encode all tiles, in parallel threads when configured
         (reference encoder.rs:3249-3257 rayon par_iter; disjoint TileBlocksMut
         views make tiles data-race free by construction)."""
@@ -1396,7 +1453,8 @@ class FramePipeline:
             tx, ty, tw, th = rect
             te = TileEncoder(
                 fi, frame, rec, tx, ty, tw, th, enc.speed_settings,
-                frame_blocks, rs=rs,
+                frame_blocks, rs=rs, cdef_bits=cdef_bits,
+                cdef_idx_map=cdef_idx_map,
             )
             return te.encode(), te.stats
 

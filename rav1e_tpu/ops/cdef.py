@@ -179,24 +179,35 @@ def cdef_strengths_fast(ac_quant: int):
     return y, uv
 
 
-def cdef_filter_frame(fh_params, frame, blocks, bd: int, cs, crop_w: int, crop_h: int) -> None:
+def cdef_filter_frame(
+    fh_params, frame, blocks, bd: int, cs, crop_w: int, crop_h: int,
+    cdef_idx_map=None,
+) -> None:
     """Apply CDEF in place over the whole frame.
 
-    ``fh_params``: (damping, y_strength, uv_strength) — single-strength
-    (cdef_bits == 0) operation; per-SB indices arrive with the RDO search.
+    ``fh_params``: (damping, y_strength, uv_strength) for single-strength
+    (cdef_bits == 0) operation, or (damping, y_strengths, uv_strengths)
+    lists with a per-64x64 ``cdef_idx_map`` (sb_rows, sb_cols) int array;
+    SBs with index < 0 are left unfiltered (never-coded cdef_idx).
     """
     from rav1e_tpu.config import ChromaSampling
 
     damping, y_str, uv_str = fh_params
-    if y_str == 0 and uv_str == 0:
+    if cdef_idx_map is None:
+        y_list = [y_str]
+        uv_list = [uv_str]
+    else:
+        y_list = list(y_str)
+        uv_list = list(uv_str)
+    if all(v == 0 for v in y_list) and all(v == 0 for v in uv_list):
         return
     coeff_shift = bd - 8
-    pri_y = y_str // CDEF_SEC_STRENGTHS
-    sec_y = y_str % CDEF_SEC_STRENGTHS
-    sec_y += int(sec_y == 3)
-    pri_uv = uv_str // CDEF_SEC_STRENGTHS
-    sec_uv = uv_str % CDEF_SEC_STRENGTHS
-    sec_uv += int(sec_uv == 3)
+
+    def unpack(v):
+        pri = v // CDEF_SEC_STRENGTHS
+        sec = v % CDEF_SEC_STRENGTHS
+        sec += int(sec == 3)
+        return pri, sec
 
     mi_cols, mi_rows = blocks.cols, blocks.rows
     nbx = (mi_cols + 1) // 2  # 8x8 luma units
@@ -209,9 +220,25 @@ def cdef_filter_frame(fh_params, frame, blocks, bd: int, cs, crop_w: int, crop_h
     sk = np.ones((pad_rows, pad_cols), dtype=bool)
     sk[:mi_rows, :mi_cols] = skip
     sk8 = sk.reshape(nby, 2, nbx, 2).all(axis=(1, 3))
-    by, bx = np.nonzero(~sk8)
+    filt = ~sk8
+    if cdef_idx_map is not None:
+        sb_idx8 = cdef_idx_map[
+            np.minimum(np.arange(nby) // 8, cdef_idx_map.shape[0] - 1)[:, None],
+            np.minimum(np.arange(nbx) // 8, cdef_idx_map.shape[1] - 1)[None, :],
+        ]
+        filt &= sb_idx8 >= 0
+    by, bx = np.nonzero(filt)
     if by.size == 0:
         return
+    if cdef_idx_map is not None:
+        blk_idx = sb_idx8[by, bx].astype(np.int64)
+    else:
+        blk_idx = np.zeros(by.size, dtype=np.int64)
+
+    pri_y_arr = np.array([unpack(v)[0] for v in y_list], dtype=np.int64)[blk_idx]
+    sec_y_arr = np.array([unpack(v)[1] for v in y_list], dtype=np.int64)[blk_idx]
+    pri_uv_arr = np.array([unpack(v)[0] for v in uv_list], dtype=np.int64)[blk_idx]
+    sec_uv_arr = np.array([unpack(v)[1] for v in uv_list], dtype=np.int64)[blk_idx]
 
     # direction analysis on pre-CDEF luma
     from rav1e_tpu import native
@@ -258,52 +285,131 @@ def cdef_filter_frame(fh_params, frame, blocks, bd: int, cs, crop_w: int, crop_h
         pre = parr.copy()  # all reads from the pre-CDEF copy
 
         if p == 0:
-            pri = _adjust_strength(pri_y << coeff_shift, variances)
-            pri = np.where(pri_y != 0, pri, 0)
-            ldirs = np.where(pri_y != 0, dirs, 0)
-            sec = sec_y << coeff_shift
+            pri = _adjust_strength(pri_y_arr << coeff_shift, variances)
+            pri = np.where(pri_y_arr != 0, pri, 0)
+            ldirs = np.where(pri_y_arr != 0, dirs, 0)
+            sec_arr = sec_y_arr << coeff_shift
             damp = damping + coeff_shift
         else:
-            pri = np.full(by.shape, pri_uv << coeff_shift, dtype=np.int64)
+            pri = pri_uv_arr << coeff_shift
             if xd != yd:
                 ldirs = CDEF_UV_DIR_422[dirs]
             else:
                 ldirs = dirs
-            ldirs = np.where(pri_uv != 0, ldirs, 0)
-            sec = sec_uv << coeff_shift
+            ldirs = np.where(pri_uv_arr != 0, ldirs, 0)
+            sec_arr = sec_uv_arr << coeff_shift
             damp = damping + coeff_shift - 1
 
-        if lib is not None and parr.itemsize in (1, 2):
-            # keep the ctypes-passed arrays alive in locals for the call
-            by32 = np.ascontiguousarray(by, dtype=np.int32)
-            bx32 = np.ascontiguousarray(bx, dtype=np.int32)
-            dirs32 = np.ascontiguousarray(ldirs, dtype=np.int32)
-            pri32 = np.ascontiguousarray(pri, dtype=np.int32)
-            ht = np.ascontiguousarray(have_top, dtype=np.uint8)
-            hl = np.ascontiguousarray(have_left, dtype=np.uint8)
-            hr = np.ascontiguousarray(have_right, dtype=np.uint8)
-            hb = np.ascontiguousarray(have_bottom, dtype=np.uint8)
-            lib.enc_cdef_filter(
-                pre.ctypes.data, pre.shape[1], pre.itemsize,
-                parr.ctypes.data, parr.strides[0] // parr.itemsize,
-                len(by), by32.ctypes.data, bx32.ctypes.data,
-                dirs32.ctypes.data, pri32.ctypes.data,
-                int(sec), damp, bd, xs, ys,
-                ht.ctypes.data, hl.ctypes.data, hr.ctypes.data, hb.ctypes.data,
+        # group by secondary strength (the filter cores take a scalar sec)
+        for sec in np.unique(sec_arr):
+            sel = sec_arr == sec
+            gby, gbx = by[sel], bx[sel]
+            gpri, gdirs = pri[sel], ldirs[sel]
+            g_ht, g_hl = have_top[sel], have_left[sel]
+            g_hr, g_hb = have_right[sel], have_bottom[sel]
+            if int(sec) == 0 and np.all(gpri == 0):
+                continue
+            if lib is not None and parr.itemsize in (1, 2):
+                # keep the ctypes-passed arrays alive in locals for the call
+                by32 = np.ascontiguousarray(gby, dtype=np.int32)
+                bx32 = np.ascontiguousarray(gbx, dtype=np.int32)
+                dirs32 = np.ascontiguousarray(gdirs, dtype=np.int32)
+                pri32 = np.ascontiguousarray(gpri, dtype=np.int32)
+                ht = np.ascontiguousarray(g_ht, dtype=np.uint8)
+                hl = np.ascontiguousarray(g_hl, dtype=np.uint8)
+                hr = np.ascontiguousarray(g_hr, dtype=np.uint8)
+                hb = np.ascontiguousarray(g_hb, dtype=np.uint8)
+                lib.enc_cdef_filter(
+                    pre.ctypes.data, pre.shape[1], pre.itemsize,
+                    parr.ctypes.data, parr.strides[0] // parr.itemsize,
+                    len(gby), by32.ctypes.data, bx32.ctypes.data,
+                    dirs32.ctypes.data, pri32.ctypes.data,
+                    int(sec), damp, bd, xs, ys,
+                    ht.ctypes.data, hl.ctypes.data, hr.ctypes.data, hb.ctypes.data,
+                )
+                continue
+
+            wy = (gby * ys - 2)[:, None, None] + np.arange(ys + 4)[None, :, None]
+            wx = (gbx * xs - 2)[:, None, None] + np.arange(xs + 4)[None, None, :]
+            windows = pre[wy, wx].astype(np.int32)
+            # missing rings -> VERY_LARGE
+            ring = CDEF_VERY_LARGE
+            windows[~g_ht, :2, :] = ring
+            windows[~g_hl, :, :2] = ring
+            windows[~g_hr, :, -2:] = ring
+            windows[~g_hb, -2:, :] = ring
+
+            out = cdef_filter_blocks(windows, gdirs, gpri, int(sec), damp, bd)
+            oy = (gby * ys)[:, None, None] + np.arange(ys)[None, :, None]
+            ox = (gbx * xs)[:, None, None] + np.arange(xs)[None, None, :]
+            parr[oy, ox] = out.astype(parr.dtype)
+
+
+def _frame_scratch(frame):
+    """Clone with private plane data (for candidate filtering)."""
+    import copy as _copy
+
+    work = _copy.copy(frame)
+    work.planes = []
+    for p in frame.planes:
+        q = _copy.copy(p)
+        q.data = p.data.copy()
+        work.planes.append(q)
+    return work
+
+
+def cdef_rdo_frame(
+    rec_frame, src_frame, blocks, bd: int, cs, crop_w: int, crop_h: int,
+    damping: int, base_y: int, base_uv: int,
+):
+    """Per-64x64 CDEF strength selection (counterpart of the reference's
+    rdo_loop_decision CDEF axis, rdo.rs:2104): evaluate a 4-entry strength
+    preset over the whole frame, pick the per-SB SSE argmin.
+
+    Returns (y_strengths[4], uv_strengths[4], idx_map) with idx_map shaped
+    (sb_rows, sb_cols); SBs where no candidate beats "off" get index 0 with
+    strength 0 in slot 0.
+    """
+    pri = base_y // CDEF_SEC_STRENGTHS
+    sec = base_y % CDEF_SEC_STRENGTHS
+    y_strengths = [0, base_y, max(pri // 2, 1) * CDEF_SEC_STRENGTHS + sec,
+                   min(pri * 2 + 1, 15) * CDEF_SEC_STRENGTHS + sec]
+    pri_uv = base_uv // CDEF_SEC_STRENGTHS
+    sec_uv = base_uv % CDEF_SEC_STRENGTHS
+    uv_strengths = [0, base_uv, max(pri_uv // 2, 0) * CDEF_SEC_STRENGTHS + sec_uv,
+                    min(pri_uv * 2 + 1, 15) * CDEF_SEC_STRENGTHS + sec_uv]
+
+    sb_rows = (crop_h + 63) // 64
+    sb_cols = (crop_w + 63) // 64
+
+    def per_sb_sse(frame_obj):
+        total = np.zeros((sb_rows, sb_cols), dtype=np.int64)
+        for p, plane in enumerate(frame_obj.planes):
+            xd, yd = plane.cfg.xdec, plane.cfg.ydec
+            pad = plane.cfg.pad
+            pw = (crop_w + (1 << xd) - 1) >> xd
+            ph = (crop_h + (1 << yd) - 1) >> yd
+            d = (
+                plane.data[pad : pad + ph, pad : pad + pw].astype(np.int64)
+                - src_frame.planes[p].data[pad : pad + ph, pad : pad + pw]
             )
-            continue
+            d *= d
+            sbs = 64 >> xd
+            sbr = 64 >> yd
+            pad_h = sb_rows * sbr
+            pad_w = sb_cols * sbs
+            dd = np.zeros((pad_h, pad_w), dtype=np.int64)
+            dd[:ph, :pw] = d
+            total += dd.reshape(sb_rows, sbr, sb_cols, sbs).sum(axis=(1, 3))
+        return total
 
-        wy = (by * ys - 2)[:, None, None] + np.arange(ys + 4)[None, :, None]
-        wx = (bx * xs - 2)[:, None, None] + np.arange(xs + 4)[None, None, :]
-        windows = pre[wy, wx].astype(np.int32)
-        # missing rings -> VERY_LARGE
-        ring = CDEF_VERY_LARGE
-        windows[~have_top, :2, :] = ring
-        windows[~have_left, :, :2] = ring
-        windows[~have_right, :, -2:] = ring
-        windows[~have_bottom, -2:, :] = ring
-
-        out = cdef_filter_blocks(windows, ldirs, pri, sec, damp, bd)
-        oy = (by * ys)[:, None, None] + np.arange(ys)[None, :, None]
-        ox = (bx * xs)[:, None, None] + np.arange(xs)[None, None, :]
-        parr[oy, ox] = out.astype(parr.dtype)
+    sses = []
+    for ci in range(4):
+        work = _frame_scratch(rec_frame)
+        cdef_filter_frame(
+            (damping, y_strengths[ci], uv_strengths[ci]), work, blocks,
+            bd, cs, crop_w, crop_h,
+        )
+        sses.append(per_sb_sse(work))
+    idx_map = np.argmin(np.stack(sses), axis=0).astype(np.int32)
+    return y_strengths, uv_strengths, idx_map
