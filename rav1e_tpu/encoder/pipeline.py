@@ -507,11 +507,7 @@ class TileEncoder:
             self.src_views[0], x << MI_SIZE_LOG2, y << MI_SIZE_LOG2, bsize,
             self.xdec, self.ydec, self._luma_tx_size(bsize), fcw, fch,
         ).astype(np.int64)
-        cand = np.arange(-16, 17)
-        scaled = cand[:, None, None] * ac[None]
-        q0 = np.where(
-            scaled < 0, -((np.abs(scaled) + 32) >> 6), (np.abs(scaled) + 32) >> 6
-        )
+        ac_var = int((ac * ac).sum())
         alphas = []
         gain = 0
         base_sse = 0
@@ -523,11 +519,25 @@ class TileEncoder:
             src = self.src_views[p][py : py + ph, px : px + pw].astype(np.int64)
             dc = int(round(src.mean()))
             d = src - dc
+            # least-squares seed (alpha is Q3 over Q3 ac -> Q6 scale = 64),
+            # then integer refine over {hat-1, hat, hat+1, 0}
+            if ac_var == 0:
+                alphas.append(0)
+                base_sse += int((d * d).sum())
+                continue
+            hat = int(round(64.0 * float((d * ac).sum()) / ac_var))
+            hat = max(-16, min(hat, 16))
+            cand = np.unique(np.clip([0, hat - 1, hat, hat + 1], -16, 16))
+            scaled = cand[:, None, None] * ac[None]
+            q0 = np.where(
+                scaled < 0, -((np.abs(scaled) + 32) >> 6), (np.abs(scaled) + 32) >> 6
+            )
             sse = ((d[None] - q0) ** 2).sum(axis=(1, 2))
             bi = int(np.argmin(sse))
+            zi = int(np.nonzero(cand == 0)[0][0])
             alphas.append(int(cand[bi]))
-            gain += int(sse[16]) - int(sse[bi])
-            base_sse += int(sse[16])
+            gain += int(sse[zi]) - int(sse[bi])
+            base_sse += int(sse[zi])
         if alphas == [0, 0]:
             return None
         # require a real gain to pay the alpha signaling cost
