@@ -117,6 +117,7 @@ class FrameInvariantsLite:
     ref_frame: Optional[Frame] = None  # forward (LAST) reference reconstruction
     ref_frame_bwd: Optional[Frame] = None  # backward (ALTREF) reference
     seg: Optional[object] = None  # SegmentationState
+    prev_mvs: Optional[np.ndarray] = None  # (mi_rows, mi_cols, 2) last frame MV field
 
     @property
     def is_inter_frame(self) -> bool:
@@ -619,6 +620,11 @@ class TileEncoder:
             return ((mv[0] >> 3) << 3, (mv[1] >> 3) << 3)
 
         seeds = [(0, 0)] + [fullpel(c.this_mv) for c in stack[:2]]
+        if fi.prev_mvs is not None:
+            # temporal predictor: co-located MV from the previous coded frame
+            # (capability analog of FrameMEStats seeding, reference me.rs:38)
+            pm = fi.prev_mvs[self.mi_y0 + y, self.mi_x0 + x]
+            seeds.append(fullpel((int(pm[0]), int(pm[1]))))
 
         from rav1e_tpu import native as _native
 
@@ -1132,6 +1138,7 @@ class FramePipeline:
         # reference slot buffer (reference: ReferenceFramesSet, encoder.rs:340)
         self.rec_buffer: list = [None] * 8
         self._fallback_slot = 0
+        self.prev_mvs = None  # last coded frame's MV field (ME stats analog)
         from rav1e_tpu.rc import RCState
 
         self.rc = RCState(
@@ -1208,6 +1215,7 @@ class FramePipeline:
             ref_frame=ref_fwd if frame_type.has_inter() else None,
             ref_frame_bwd=ref_bwd if frame_type.has_inter() else None,
             seg=seg,
+            prev_mvs=self.prev_mvs if frame_type.has_inter() else None,
         )
 
         rec = Frame.new(enc.width, enc.height, enc.chroma_sampling, enc.bit_depth)
@@ -1406,6 +1414,7 @@ class FramePipeline:
 
         rec.pad()
         self.rec_frame = rec
+        self.prev_mvs = frame_blocks.mv[:, :, 0, :].copy()
         for i in range(8):
             if (refresh >> i) & 1:
                 self.rec_buffer[i] = rec
