@@ -24,6 +24,7 @@ from rav1e_tpu.config import ChromaSampling
 from rav1e_tpu.context import BlockContext, CDFContext, ContextWriter, FrameBlocks
 from rav1e_tpu.context.writer import (
     MAX_TXSIZE_RECT,
+    SUB_TX_SIZE_MAP,
     cfl_allowed,
     uv_intra_mode_to_tx_type_context,
 )
@@ -394,11 +395,26 @@ class TileEncoder:
         else:
             self.encode_block_intra(x, y, bsize, in_inter_frame=False)
 
-    def encode_block_intra(self, x: int, y: int, bsize: BlockSize, in_inter_frame: bool) -> None:
+    def encode_block_intra(
+        self, x: int, y: int, bsize: BlockSize, in_inter_frame: bool,
+        tx_size_override=None,
+    ) -> None:
         fi = self.fi
         cs = fi.seq.chroma_sampling
         skip = False
         self.blocks.set_rect("skip", x, y, bsize, skip)
+
+        if tx_size_override is not None:
+            tx_size = tx_size_override
+        elif (
+            self.speed.transform.rdo_tx_decision
+            and fi.tx_mode_select
+            and bsize > BlockSize.BLOCK_4X4
+            and not self._in_trial()
+        ):
+            tx_size = self._select_intra_tx_size(x, y, bsize, in_inter_frame)
+        else:
+            tx_size = self._luma_tx_size(bsize)
 
         luma_mode = self.select_luma_mode(x, y, bsize)
         chroma_mode = luma_mode if luma_mode < PredictionMode.UV_CFL_PRED else PredictionMode.DC_PRED
@@ -420,7 +436,7 @@ class TileEncoder:
             )
         self._maybe_write_cdef_idx(x, y, skip)
         self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
-        self.blocks.set_rect("tx_size", x, y, bsize, int(self._luma_tx_size(bsize)))
+        self.blocks.set_rect("tx_size", x, y, bsize, int(tx_size))
         self.blocks.set_rect("is_inter_flag", x, y, bsize, False)
         self.blocks.set_rect("ref_frames", x, y, bsize, 0)
 
@@ -457,7 +473,6 @@ class TileEncoder:
         if fi.seq.enable_filter_intra and luma_mode == PredictionMode.DC_PRED and bsize.width <= 32 and bsize.height <= 32:
             self.cw.write_use_filter_intra(self.w, False, bsize)
 
-        tx_size = self._luma_tx_size(bsize)
         if fi.tx_mode_select:
             if bsize > BlockSize.BLOCK_4X4:
                 self.cw.write_tx_size_intra(self.w, x, y, bsize, tx_size)
@@ -468,10 +483,42 @@ class TileEncoder:
             self.bc.update_tx_size_context(x, y, bsize, tx_size, False)
 
         self._bump_stats(bsize, luma_mode, chroma_mode, skip)
-        self.write_tx_blocks(x, y, bsize, luma_mode, chroma_mode, angle_delta_y, angle_delta_uv, skip, do_chroma, cfl)
+        self.write_tx_blocks(x, y, bsize, luma_mode, chroma_mode, angle_delta_y, angle_delta_uv, skip, do_chroma, cfl, tx_size=tx_size)
 
     def _luma_tx_size(self, bsize: BlockSize) -> TxSize:
         return MAX_TXSIZE_RECT[int(bsize)]
+
+    def _in_trial(self) -> bool:
+        from rav1e_tpu.ec import WriterCounter
+
+        return isinstance(self.w, WriterCounter)
+
+    def _select_intra_tx_size(self, x, y, bsize, in_inter_frame):
+        """Intra tx-size RD search: full-size vs one split level, trial-coded
+        with rollback (counterpart of rdo_tx_size_type, rdo.rs:725)."""
+        from rav1e_tpu.ec import WriterCounter
+
+        max_tx = self._luma_tx_size(bsize)
+        sub_tx = SUB_TX_SIZE_MAP[int(max_tx)]
+        if sub_tx == max_tx:
+            return max_tx
+        best_tx, best_cost = None, None
+        for cand in (max_tx, sub_tx):
+            snap = self._rdo_snapshot(x, y, bsize)
+            w_sav = self.w
+            self.w = WriterCounter()
+            t0 = self.w.tell_frac()
+            try:
+                self.encode_block_intra(x, y, bsize, in_inter_frame, tx_size_override=cand)
+                bits = (self.w.tell_frac() - t0) / 8.0
+            finally:
+                self.w = w_sav
+            sse = self._region_sse(x, y, bsize)
+            self._rdo_restore(snap)
+            cost = sse + self._rdo_lambda * bits
+            if best_cost is None or cost < best_cost:
+                best_tx, best_cost = cand, cost
+        return best_tx
 
     def _maybe_write_cdef_idx(self, x: int, y: int, skip: bool) -> None:
         """cdef_idx literal at the first non-skip block of the SB
@@ -959,9 +1006,11 @@ class TileEncoder:
         skip: bool,
         do_chroma: bool,
         cfl=None,
+        tx_size=None,
     ) -> None:
         fi = self.fi
-        tx_size = self._luma_tx_size(bsize)
+        if tx_size is None:
+            tx_size = self._luma_tx_size(bsize)
         bw = max(bsize.width_mi // max(tx_size.width >> MI_SIZE_LOG2, 1), 1)
         bh = max(bsize.height_mi // max(tx_size.height >> MI_SIZE_LOG2, 1), 1)
         q_idx = self._block_qidx(x, y)
