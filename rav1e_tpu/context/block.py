@@ -215,13 +215,16 @@ class BlockContext:
     ):
         """(txb_skip_ctx, dc_sign_ctx) — reference block_unit.rs:441-527."""
         y_sb = y & (MIB_SIZE - 1)
-        above = self.above_coeff_context[plane][(x >> xdec) : (x >> xdec) + (frame_clipped_txw >> 2)]
-        left = self.left_coeff_context[plane][(y_sb >> ydec) : (y_sb >> ydec) + (frame_clipped_txh >> 2)]
+        # tiny slices (<=16 elements): plain-python loops beat numpy overhead
+        above = self.above_coeff_context[plane][(x >> xdec) : (x >> xdec) + (frame_clipped_txw >> 2)].tolist()
+        left = self.left_coeff_context[plane][(y_sb >> ydec) : (y_sb >> ydec) + (frame_clipped_txh >> 2)].tolist()
 
-        signs = np.array([0, -1, 1], dtype=np.int16)
-        dc_sign = int(signs[above >> COEFF_CONTEXT_BITS].sum()) + int(
-            signs[left >> COEFF_CONTEXT_BITS].sum()
-        )
+        _SIGNS = (0, -1, 1)
+        dc_sign = 0
+        for v in above:
+            dc_sign += _SIGNS[v >> COEFF_CONTEXT_BITS]
+        for v in left:
+            dc_sign += _SIGNS[v >> COEFF_CONTEXT_BITS]
         if dc_sign < 0:
             dc_sign_ctx = 1
         elif dc_sign > 0:
@@ -233,8 +236,14 @@ class BlockContext:
             if plane_bsize.width == tx_size.width and plane_bsize.height == tx_size.height:
                 txb_skip_ctx = 0
             else:
-                top = int(np.bitwise_or.reduce(above)) & COEFF_CONTEXT_MASK if above.size else 0
-                lft = int(np.bitwise_or.reduce(left)) & COEFF_CONTEXT_MASK if left.size else 0
+                top = 0
+                for v in above:
+                    top |= v
+                top &= COEFF_CONTEXT_MASK
+                lft = 0
+                for v in left:
+                    lft |= v
+                lft &= COEFF_CONTEXT_MASK
                 mx = min(top | lft, 4)
                 mn = min(min(top, lft), 4)
                 if mx == 0:
@@ -248,8 +257,12 @@ class BlockContext:
                 else:
                     txb_skip_ctx = 6
         else:
-            top = int(np.bitwise_or.reduce(above)) if above.size else 0
-            lft = int(np.bitwise_or.reduce(left)) if left.size else 0
+            top = 0
+            for v in above:
+                top |= v
+            lft = 0
+            for v in left:
+                lft |= v
             ctx_base = int(top != 0) + int(lft != 0)
             ctx_offset = 10 if plane_bsize.width * plane_bsize.height > tx_size.area else 7
             txb_skip_ctx = ctx_base + ctx_offset

@@ -185,14 +185,11 @@ def itx_inverse_add_native(coeffs, pred, tx_size, tx_type, bd: int):
     return out
 
 
-def dequant_recon_native(
-    qcoeffs, qindex: int, tx_size, tx_type, bd: int, rec_view, px: int, py: int,
-    dc_delta_q: int = 0, ac_delta_q: int = 0,
-) -> bool:
-    """Fused dequant + inverse transform + recon add in place on the strided
-    recon view.  Returns False when the native path is unavailable."""
-    import numpy as np
+import functools
 
+
+@functools.lru_cache(maxsize=4096)
+def _dequant_recon_params(qindex, tx_size, tx_type, bd, dc_delta_q, ac_delta_q):
     from rav1e_tpu import tables
     from rav1e_tpu.tx import (
         INV_INTERMEDIATE_SHIFTS,
@@ -201,20 +198,37 @@ def dequant_recon_native(
         get_log_tx_scale,
     )
 
+    vert, horiz = get_1d_tx_types(tx_type)
+    return (
+        tx_size.width, tx_size.height,
+        int(tables.dc_q(qindex, dc_delta_q, bd)),
+        int(tables.ac_q(qindex, ac_delta_q, bd)),
+        get_log_tx_scale(tx_size), int(vert), int(horiz),
+        INV_INTERMEDIATE_SHIFTS[tx_size], int(tx_size.is_rect()),
+        int(tx_type == TxType.WHT_WHT),
+    )
+
+
+def dequant_recon_native(
+    qcoeffs, qindex: int, tx_size, tx_type, bd: int, rec_view, px: int, py: int,
+    dc_delta_q: int = 0, ac_delta_q: int = 0,
+) -> bool:
+    """Fused dequant + inverse transform + recon add in place on the strided
+    recon view.  Returns False when the native path is unavailable."""
+    import numpy as np
+
     lib = get_lib()
     if lib is None or rec_view.itemsize not in (1, 2):
         return False
-    vert, horiz = get_1d_tx_types(tx_type)
-    h, w = tx_size.height, tx_size.width
+    w, h, dcq, acq, lts, vert, horiz, ishift, rect, wht = _dequant_recon_params(
+        qindex, tx_size, tx_type, bd, dc_delta_q, ac_delta_q
+    )
     q = np.ascontiguousarray(qcoeffs, dtype=np.int32)
     lib.itx_dequant_recon(
-        q.ctypes.data, w, h,
-        tables.dc_q(qindex, dc_delta_q, bd), tables.ac_q(qindex, ac_delta_q, bd),
-        get_log_tx_scale(tx_size),
+        q.ctypes.data, w, h, dcq, acq, lts,
         rec_view.ctypes.data, rec_view.strides[0] // rec_view.itemsize,
         rec_view.itemsize, px, py,
-        int(vert), int(horiz), INV_INTERMEDIATE_SHIFTS[tx_size],
-        int(tx_size.is_rect()), int(tx_type == TxType.WHT_WHT), bd,
+        vert, horiz, ishift, rect, wht, bd,
     )
     return True
 
