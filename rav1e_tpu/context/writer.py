@@ -524,11 +524,16 @@ class ContextWriter:
         if getattr(w, "lib", None) is not None and not _desync.enabled():
             # native fast path: whole coefficient block coded in C++
             eob_multi_size = tx_size.width_log2 + tx_size.height_log2 - 4
-            eob_cdf_arr = [
-                self.fc.eob_flag_cdf16, self.fc.eob_flag_cdf32, self.fc.eob_flag_cdf64,
-                self.fc.eob_flag_cdf128, self.fc.eob_flag_cdf256, self.fc.eob_flag_cdf512,
-                self.fc.eob_flag_cdf1024,
-            ][min(eob_multi_size, 6)]
+            eob_arrs = getattr(self.fc, "_eob_arrs", None)
+            if eob_arrs is None:
+                eob_arrs = (
+                    self.fc.eob_flag_cdf16, self.fc.eob_flag_cdf32,
+                    self.fc.eob_flag_cdf64, self.fc.eob_flag_cdf128,
+                    self.fc.eob_flag_cdf256, self.fc.eob_flag_cdf512,
+                    self.fc.eob_flag_cdf1024,
+                )
+                self.fc._eob_arrs = eob_arrs
+            eob_cdf_arr = eob_arrs[min(eob_multi_size, 6)]
             eob_row = eob_cdf_arr[plane_type, int(cls != lvmap.TX_CLASS_2D)]
             q = np.ascontiguousarray(qcoeffs, dtype=np.int32)
             scan_arr = _scan_u16(cw, ch, _scan_kind(tx_type))

@@ -405,14 +405,14 @@ class TileDecoder:
         self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 0, 1] = mv[1]
 
         tx_size = MAX_TXSIZE_RECT[int(bsize)]
-        self.blocks.set_rect("tx_size", x, y, bsize, int(tx_size))
         if fh.tx_mode_select:
             if bsize > BlockSize.BLOCK_4X4 and not skip:
-                self.cr.read_tx_size_inter(self.r, x, y, bsize, tx_size, 0, 0, 0)
+                tx_size = self.cr.read_tx_size_inter(self.r, x, y, bsize, tx_size, 0, 0, 0)
             else:
                 self.bc.update_tx_size_context(x, y, bsize, tx_size, skip)
         else:
             self.bc.update_tx_size_context(x, y, bsize, tx_size, skip)
+        self.blocks.set_rect("tx_size", x, y, bsize, int(tx_size))
 
         if skip:
             self.bc.reset_skip_context(

@@ -270,22 +270,35 @@ class ContextReader:
         mag = base + (d << 3) + (fr << 1) + hp + 1
         return -mag if sign else mag
 
-    def read_tx_size_inter(self, r: Reader, x: int, y: int, bsize: BlockSize, tx_size: TxSize, tbx: int, tby: int, depth: int) -> None:
-        """Mirror of write_tx_size_inter with txfm_split always expected 0."""
-        from rav1e_tpu.context.writer import ContextWriter
+    def read_tx_size_inter(self, r: Reader, x: int, y: int, bsize: BlockSize, tx_size: TxSize, tbx: int, tby: int, depth: int) -> "TxSize":
+        """Mirror of write_tx_size_inter; returns the leaf tx size (uniform
+        trees only — matching the encoder's whole-block split decision)."""
+        from rav1e_tpu.context.writer import SUB_TX_SIZE_MAP, ContextWriter
 
         if x >= self.bc.blocks.cols or y >= self.bc.blocks.rows:
-            return
+            return tx_size
         cw = ContextWriter.__new__(ContextWriter)
         cw.fc, cw.bc = self.fc, self.bc
+        split = False
         if tx_size != TxSize.TX_4X4 and depth < 2:
             ctx = ContextWriter._txfm_partition_context(cw, x, y, bsize, tx_size, tbx, tby)
             split = self._sym(r, self.fc.txfm_partition_cdf, ctx) == 1
-            if split:
-                raise ValueError("txfm split decoding not supported yet")
-        self.bc.update_tx_size_context(
-            x, y, BlockSize.from_wh(tx_size.width, tx_size.height), tx_size, False
-        )
+        if not split:
+            self.bc.update_tx_size_context(
+                x, y, BlockSize.from_wh(tx_size.width, tx_size.height), tx_size, False
+            )
+            return tx_size
+        sub = SUB_TX_SIZE_MAP[int(tx_size)]
+        bw = bsize.width_mi // max(sub.width >> 2, 1)
+        bh = bsize.height_mi // max(sub.height >> 2, 1)
+        leaf = sub
+        for by in range(bh):
+            for bx in range(bw):
+                leaf = self.read_tx_size_inter(
+                    r, x + bx * (sub.width >> 2), y + by * (sub.height >> 2),
+                    bsize, sub, bx, by, depth + 1,
+                )
+        return leaf
 
     # --- coefficients -----------------------------------------------------
 

@@ -767,14 +767,28 @@ class TileEncoder:
                 else:
                     mode = PredictionMode.NEWMV
 
-        tx_size = self._luma_tx_size(bsize)
+        max_tx = self._luma_tx_size(bsize)
         do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, fi.seq.chroma_sampling)
 
         # device-style compute-first: MC + quantize everything, then decide
         # skip before any symbol is coded
         self.motion_compensate(x, y, bsize, mv, ref_obj)
+
+        txfm_split = False
+        sub_tx = SUB_TX_SIZE_MAP[int(max_tx)]
+        if fi.tx_mode_select and sub_tx != max_tx and not self._in_trial():
+            if self.speed.transform.enable_inter_tx_split:
+                txfm_split = True
+            elif self.speed.transform.rdo_tx_decision:
+                txfm_split = self._select_inter_tx_split(x, y, bsize, max_tx, sub_tx)
+        tx_size = sub_tx if txfm_split else max_tx
         tx_jobs = self._quantize_inter_blocks(x, y, bsize, tx_size, do_chroma)
         skip = all(job[7] == 0 for job in tx_jobs)
+        if skip:
+            # nothing coded: tx tree not signaled, contexts use the max size
+            # (matches the decoder's inference for skip blocks)
+            txfm_split = False
+            tx_size = max_tx
 
         counts = fill_neighbours_ref_counts(self.blocks, x, y)
         self._bump_stats(bsize, mode, None, skip)
@@ -833,7 +847,7 @@ class TileEncoder:
         # tx size signaling (encode_block_post_cdef:2132-2167)
         if fi.tx_mode_select:
             if bsize > BlockSize.BLOCK_4X4 and not skip:
-                self.cw.write_tx_size_inter(self.w, x, y, bsize, tx_size, False, 0, 0, 0)
+                self.cw.write_tx_size_inter(self.w, x, y, bsize, max_tx, txfm_split, 0, 0, 0)
             else:
                 self.bc.update_tx_size_context(x, y, bsize, tx_size, skip)
         else:
@@ -871,6 +885,47 @@ class TileEncoder:
                         rcoeffs[None], pred[None], tsz, TxType.DCT_DCT, fi.bit_depth
                     )[0]
                     rec[py : py + tsz.height, px : px + tsz.width] = recon
+
+    def _select_inter_tx_split(self, x, y, bsize, max_tx, sub_tx) -> bool:
+        """Inter tx split decision: luma rate/distortion compare of the
+        whole-block tx vs one split level (rdo_tx_size_type, rdo.rs:725)."""
+        fi = self.fi
+        q_idx = self._block_qidx(x, y)
+        best = None
+        for tsz in (max_tx, sub_tx):
+            qc = QuantizationContext()
+            qc.update(q_idx, tsz, False, fi.bit_depth, 0, 0)
+            bw = max(bsize.width_mi // max(tsz.width >> MI_SIZE_LOG2, 1), 1)
+            bh = max(bsize.height_mi // max(tsz.height >> MI_SIZE_LOG2, 1), 1)
+            sse = 0
+            rate = 0.0
+            for by in range(bh):
+                for bx in range(bw):
+                    tx_x = x + bx * (tsz.width >> MI_SIZE_LOG2)
+                    tx_y = y + by * (tsz.height >> MI_SIZE_LOG2)
+                    if tx_x >= self.mi_w or tx_y >= self.mi_h:
+                        continue
+                    px = tx_x << MI_SIZE_LOG2
+                    py = tx_y << MI_SIZE_LOG2
+                    pred = self.rec_views[0][py : py + tsz.height, px : px + tsz.width].astype(np.int32)
+                    src = self.src_views[0][py : py + tsz.height, px : px + tsz.width].astype(np.int32)
+                    residual = src - pred
+                    coeffs = T.forward_transform(residual[None], tsz, TxType.DCT_DCT, fi.bit_depth)[0]
+                    qcoeffs, eob = qc.quantize_block(coeffs, tsz, TxType.DCT_DCT)
+                    rate += 6.0 + 2.0 * float(np.abs(np.asarray(qcoeffs)).sum())
+                    if eob > 0:
+                        rcoeffs = dequantize(q_idx, qcoeffs, tsz, fi.bit_depth)
+                        recon = T.inverse_transform_add(
+                            rcoeffs[None], pred[None], tsz, TxType.DCT_DCT, fi.bit_depth
+                        )[0]
+                    else:
+                        recon = pred
+                    d = (src.astype(np.int64) - recon) ** 2
+                    sse += int(d.sum())
+            cost = sse + self._rdo_lambda * rate
+            if best is None or cost < best[0]:
+                best = (cost, tsz)
+        return best[1] == sub_tx
 
     def _quantize_inter_blocks(self, x, y, bsize: BlockSize, tx_size: TxSize, do_chroma):
         """Forward-transform + quantize every tx block of an inter block
