@@ -953,6 +953,10 @@ class TileEncoder:
             xd = 0 if p == 0 else self.xdec
             yd = 0 if p == 0 else self.ydec
             qc = self.qc if p == 0 else self.qc_uv
+            rec = self.rec_views[p]
+            src = self.src_views[p]
+            spots = []
+            residuals = []
             for by in range(nby):
                 for bx in range(nbx):
                     if p == 0:
@@ -967,13 +971,21 @@ class TileEncoder:
                         py = ((y << MI_SIZE_LOG2) >> yd) + by * tsz.height
                     if tx_x >= self.mi_w or tx_y >= self.mi_h:
                         continue
-                    rec = self.rec_views[p]
-                    src = self.src_views[p]
-                    pred = rec[py : py + tsz.height, px : px + tsz.width].astype(np.int32)
-                    residual = src[py : py + tsz.height, px : px + tsz.width].astype(np.int32) - pred
-                    coeffs = T.forward_transform(residual[None], tsz, TxType.DCT_DCT, fi.bit_depth)[0]
-                    qcoeffs, eob = qc.quantize_block(coeffs, tsz, TxType.DCT_DCT)
-                    jobs.append((p, tx_x, tx_y, px, py, tsz, qcoeffs, eob))
+                    residuals.append(
+                        src[py : py + tsz.height, px : px + tsz.width].astype(np.int32)
+                        - rec[py : py + tsz.height, px : px + tsz.width]
+                    )
+                    spots.append((tx_x, tx_y, px, py))
+            if not spots:
+                continue
+            # batched forward transform over all tx blocks of the plane
+            # (one GEMM batch — the MXU-shaped form)
+            coeffs_all = T.forward_transform(
+                np.stack(residuals), tsz, TxType.DCT_DCT, fi.bit_depth
+            )
+            for (tx_x, tx_y, px, py), coeffs in zip(spots, coeffs_all):
+                qcoeffs, eob = qc.quantize_block(coeffs, tsz, TxType.DCT_DCT)
+                jobs.append((p, tx_x, tx_y, px, py, tsz, qcoeffs, eob))
         return jobs
 
     def motion_compensate(self, x: int, y: int, bsize: BlockSize, mv, ref_obj=None) -> None:
