@@ -25,7 +25,7 @@ from rav1e_tpu.decoder.headers import (
 )
 from rav1e_tpu.decoder.reader import ContextReader
 from rav1e_tpu.ec import Reader
-from rav1e_tpu.encoder.obu import ObuType
+from rav1e_tpu.encoder.obu import ObuType, PRIMARY_REF_NONE
 from rav1e_tpu.encoder.pipeline import MIB_SIZE, has_chroma, largest_chroma_tx_size
 from rav1e_tpu.frame import Frame
 from rav1e_tpu.ops import transforms as T
@@ -42,6 +42,7 @@ class DecoderState:
     def __init__(self, seq=None):
         self.seq = seq
         self.refs: List[Optional[Frame]] = [None] * 8
+        self.cdf_refs: List[Optional[object]] = [None] * 8  # saved CDF states
 
 
 def decode_packet(data: bytes, state=None):
@@ -138,16 +139,28 @@ def _decode_tile_group(payload: bytes, seq, fh: FrameHeader, state: "DecoderStat
             unit_sizes=(fh.lrf_unit_size[0], fh.lrf_unit_size[1]),
             lrf_types=tuple(fh.lrf_types),
         )
+    init_cdfs = None
+    if fh.primary_ref_frame != PRIMARY_REF_NONE and not fh.intra_only:
+        init_cdfs = state.cdf_refs[fh.ref_frames[fh.primary_ref_frame]]
+        if init_cdfs is None:
+            raise DecodeError("primary_ref_frame slot has no saved CDFs")
     idx = 0
+    tile_cdfs = []
     for tr in range(ti.rows):
         for tc in range(ti.cols):
             tx, ty, tw, th = ti.tile_rect_mi(tc, tr, mi_cols, mi_rows)
             td = TileDecoder(
                 seq, fh, frame, tx, ty, tw, th, mi_cols, mi_rows, ref_frame,
-                frame_blocks, rs, cdef_idx_map,
+                frame_blocks, rs, cdef_idx_map, init_cdfs,
             )
             td.decode(tile_data[idx])
+            tile_cdfs.append((tw * th, td.fc))
             idx += 1
+    # save frame-end CDFs (largest tile) into refreshed slots
+    frame_cdfs = max(tile_cdfs, key=lambda t: t[0])[1]
+    for i in range(8):
+        if (fh.refresh_frame_flags >> i) & 1:
+            state.cdf_refs[i] = frame_cdfs
 
     # in-loop filters (frame-level, across tiles)
     from rav1e_tpu.ops.deblock import deblock_filter_frame
@@ -192,7 +205,7 @@ def _decode_tile_group(payload: bytes, seq, fh: FrameHeader, state: "DecoderStat
 
 
 class TileDecoder:
-    def __init__(self, seq, fh: FrameHeader, frame: Frame, mi_x0, mi_y0, mi_w, mi_h, mi_cols, mi_rows, ref_frame=None, frame_blocks=None, rs=None, cdef_idx_map=None):
+    def __init__(self, seq, fh: FrameHeader, frame: Frame, mi_x0, mi_y0, mi_w, mi_h, mi_cols, mi_rows, ref_frame=None, frame_blocks=None, rs=None, cdef_idx_map=None, init_cdfs=None):
         self.seq = seq
         self.fh = fh
         self.frame = frame
@@ -207,7 +220,7 @@ class TileDecoder:
             from rav1e_tpu.ops.lrf import TileRestorationRefs
 
             self.lrf_refs = TileRestorationRefs()
-        self.fc = CDFContext(fh.base_q_idx)
+        self.fc = init_cdfs.copy() if init_cdfs is not None else CDFContext(fh.base_q_idx)
         self.blocks = (
             frame_blocks.subgrid(mi_x0, mi_y0, mi_w, mi_h)
             if frame_blocks is not None

@@ -119,6 +119,7 @@ class FrameInvariantsLite:
     ref_frame_bwd: Optional[Frame] = None  # backward (ALTREF) reference
     seg: Optional[object] = None  # SegmentationState
     prev_mvs: Optional[np.ndarray] = None  # (mi_rows, mi_cols, 2) last frame MV field
+    init_cdfs: Optional[object] = None  # CDFContext inherited via primary_ref_frame
 
     @property
     def is_inter_frame(self) -> bool:
@@ -159,7 +160,9 @@ class TileEncoder:
         self.mi_w = tile_mi_w
         self.mi_h = tile_mi_h
         self.speed = speed
-        self.fc = CDFContext(fi.base_q_idx)
+        self.fc = (
+            fi.init_cdfs.copy() if fi.init_cdfs is not None else CDFContext(fi.base_q_idx)
+        )
         self.blocks = (
             frame_blocks.subgrid(tile_mi_x, tile_mi_y, tile_mi_w, tile_mi_h)
             if frame_blocks is not None
@@ -1255,6 +1258,7 @@ class FramePipeline:
         self.rec_buffer: list = [None] * 8
         self._fallback_slot = 0
         self.prev_mvs = None  # last coded frame's MV field (ME stats analog)
+        self.cdf_buffer: list = [None] * 8  # per-slot end-of-frame CDF states
         from rav1e_tpu.rc import RCState
 
         self.rc = RCState(
@@ -1293,12 +1297,19 @@ class FramePipeline:
             self._fallback_slot += 1
 
         ref_fwd = ref_bwd = None
+        primary_ref = 7  # PRIMARY_REF_NONE
+        init_cdfs = None
         if frame_type.has_inter():
             ref_fwd = self.rec_buffer[plan.ref_slot_fwd]
             if plan.ref_slot_bwd is not None:
                 ref_bwd = self.rec_buffer[plan.ref_slot_bwd]
             if ref_fwd is None:
                 frame_type = FrameType.KEY
+            elif self.cdf_buffer[plan.ref_slot_fwd] is not None:
+                # inherit symbol probabilities from the forward reference
+                # (primary_ref_frame = LAST; encoder.rs:1040-1046)
+                primary_ref = 0
+                init_cdfs = self.cdf_buffer[plan.ref_slot_fwd]
 
         mi_cols = (enc.width + 3) >> 2
         mi_rows = (enc.height + 3) >> 2
@@ -1332,6 +1343,7 @@ class FramePipeline:
             ref_frame_bwd=ref_bwd if frame_type.has_inter() else None,
             seg=seg,
             prev_mvs=self.prev_mvs if frame_type.has_inter() else None,
+            init_cdfs=init_cdfs if frame_type.has_inter() else None,
         )
 
         rec = Frame.new(enc.width, enc.height, enc.chroma_sampling, enc.bit_depth)
@@ -1343,7 +1355,7 @@ class FramePipeline:
         tile_payloads: List[bytes] = []
         enc_stats = EncoderStats()
         with span("encode_tiles", frame=input_frameno):
-            tile_payloads, enc_stats = self._encode_tiles(
+            tile_payloads, enc_stats, frame_cdfs = self._encode_tiles(
                 fi, frame, rec, frame_blocks, mi_cols, mi_rows
             )
 
@@ -1465,7 +1477,7 @@ class FramePipeline:
                 enc.width, enc.height, enc.chroma_sampling, enc.bit_depth
             )
             fb_scratch = FrameBlocks(mi_cols, mi_rows)
-            tile_payloads, _ = self._encode_tiles(
+            tile_payloads, _, frame_cdfs = self._encode_tiles(
                 fi, frame, rec_scratch, fb_scratch, mi_cols, mi_rows, rs=rs,
                 cdef_bits=cdef_bits, cdef_idx_map=cdef_map,
             )
@@ -1485,6 +1497,7 @@ class FramePipeline:
             sb_width=sb_w,
             sb_height=sb_h,
             order_hint=plan.order_hint & ((1 << n_hint) - 1),
+            primary_ref_frame=primary_ref if is_inter else 7,
             show_frame=plan.show_frame,
             showable_frame=not plan.show_frame,
             allow_screen_content_tools=0,
@@ -1531,6 +1544,10 @@ class FramePipeline:
         rec.pad()
         self.rec_frame = rec
         self.prev_mvs = frame_blocks.mv[:, :, 0, :].copy()
+        if frame_cdfs is not None:
+            for i in range(8):
+                if (refresh >> i) & 1:
+                    self.cdf_buffer[i] = frame_cdfs
         for i in range(8):
             if (refresh >> i) & 1:
                 self.rec_buffer[i] = rec
@@ -1591,7 +1608,7 @@ class FramePipeline:
                 frame_blocks, rs=rs, cdef_bits=cdef_bits,
                 cdef_idx_map=cdef_idx_map,
             )
-            return te.encode(), te.stats
+            return te.encode(), te.stats, te.fc, tw * th
 
         nthreads = self.config.threads or 0
         if len(rects) > 1 and nthreads != 1:
@@ -1603,9 +1620,11 @@ class FramePipeline:
         else:
             results = [one(r) for r in rects]
         stats = EncoderStats()
-        for _, st in results:
+        for _, st, _, _ in results:
             stats += st
-        return [p for p, _ in results], stats
+        # frame-end CDFs: largest tile wins (encoder.rs:3331-3336)
+        frame_cdfs = max(results, key=lambda r: r[3])[2]
+        return [p for p, _, _, _ in results], stats, frame_cdfs
 
     def _build_tile_group(self, tile_payloads: List[bytes]) -> bytes:
         """Tile group OBU payload (spec 5.11.1): with one tile there is no
