@@ -1259,6 +1259,7 @@ class FramePipeline:
         self._fallback_slot = 0
         self.prev_mvs = None  # last coded frame's MV field (ME stats analog)
         self.cdf_buffer: list = [None] * 8  # per-slot end-of-frame CDF states
+        self.slot_order_hints = [0] * 8
         from rav1e_tpu.rc import RCState
 
         self.rc = RCState(
@@ -1305,7 +1306,10 @@ class FramePipeline:
                 ref_bwd = self.rec_buffer[plan.ref_slot_bwd]
             if ref_fwd is None:
                 frame_type = FrameType.KEY
-            elif self.cdf_buffer[plan.ref_slot_fwd] is not None:
+            elif (
+                self.cdf_buffer[plan.ref_slot_fwd] is not None
+                and not enc.error_resilient
+            ):
                 # inherit symbol probabilities from the forward reference
                 # (primary_ref_frame = LAST; encoder.rs:1040-1046)
                 primary_ref = 0
@@ -1498,6 +1502,8 @@ class FramePipeline:
             sb_height=sb_h,
             order_hint=plan.order_hint & ((1 << n_hint) - 1),
             primary_ref_frame=primary_ref if is_inter else 7,
+            error_resilient=enc.error_resilient and is_inter,
+            ref_order_hints=list(self.slot_order_hints),
             show_frame=plan.show_frame,
             showable_frame=not plan.show_frame,
             allow_screen_content_tools=0,
@@ -1548,6 +1554,10 @@ class FramePipeline:
             for i in range(8):
                 if (refresh >> i) & 1:
                     self.cdf_buffer[i] = frame_cdfs
+        n_hint_bits = self.seq.order_hint_bits_minus_1 + 1
+        for i in range(8):
+            if (refresh >> i) & 1:
+                self.slot_order_hints[i] = plan.order_hint & ((1 << n_hint_bits) - 1)
         for i in range(8):
             if (refresh >> i) & 1:
                 self.rec_buffer[i] = rec
