@@ -417,3 +417,102 @@ extern "C" void enc_cdef_dirs(const void* luma, long stride, int bytespp,
     enc_cdef_dir(luma, stride, bytespp, (long)by[b] * 8, (long)bx[b] * 8, bd,
                  out_dirs + b, out_vars + b);
 }
+
+// --- SATD (dist.py::get_satd; reference dist.rs:156-221) -------------------
+
+namespace {
+
+static void hadamard_1d(int32_t* b, int n, int stride) {
+  // in-place radix-2 butterflies (order matches the +/- block construction
+  // H_{2n} = [[H, H], [H, -H]] used by the numpy path)
+  for (int len = 1; len < n; len <<= 1)
+    for (int start = 0; start < n; start += len << 1)
+      for (int i = start; i < start + len; i++) {
+        int32_t a = b[i * stride], c = b[(i + len) * stride];
+        b[i * stride] = a + c;
+        b[(i + len) * stride] = a - c;
+      }
+}
+
+static long satd_tile(const int32_t* diff, int stride, int n) {
+  int32_t buf[64];
+  for (int r = 0; r < n; r++)
+    for (int c = 0; c < n; c++) buf[r * n + c] = diff[r * stride + c];
+  for (int r = 0; r < n; r++) hadamard_1d(buf + r * n, n, 1);
+  for (int c = 0; c < n; c++) hadamard_1d(buf + c, n, n);
+  long s = 0;
+  for (int i = 0; i < n * n; i++) s += buf[i] < 0 ? -buf[i] : buf[i];
+  return s;
+}
+
+static long satd_block(const int32_t* diff, int w, int h) {
+  int size = w < h ? w : h;
+  if (size > 8) size = 8;
+  long total = 0;
+  for (int cy = 0; cy < h; cy += size) {
+    int ch = h - cy < size ? h - cy : size;
+    for (int cx = 0; cx < w; cx += size) {
+      int cw = w - cx < size ? w - cx : size;
+      const int32_t* d = diff + cy * w + cx;
+      if (cw != size || ch != size) {
+        for (int r = 0; r < ch; r++)
+          for (int c = 0; c < cw; c++)
+            total += d[r * w + c] < 0 ? -d[r * w + c] : d[r * w + c];
+        continue;
+      }
+      total += satd_tile(d, w, size);
+    }
+  }
+  int ln = 0;
+  while ((1 << (ln + 1)) <= size) ln++;
+  return (total + (1 << ln >> 1)) >> ln;
+}
+
+}  // namespace
+
+// Variant of enc_me_search using SATD for the subpel stage
+// (speed_settings.motion.use_satd_subpel; reference me.rs sub_pixel_me).
+extern "C" long enc_me_search_satd(
+    const void* ref, long rstride, long rh, long rw, int bytespp, long ax,
+    long ay, const void* src, long sstride, long spx, long spy, int w, int h,
+    int bd, const int32_t* seeds, int nseeds, int max_off, int32_t* out_mv) {
+  long sad = enc_me_search(ref, rstride, rh, rw, bytespp, ax, ay, src, sstride,
+                           spx, spy, w, h, bd, seeds, nseeds, max_off, out_mv);
+  if (sad < 0) return sad;
+  int best_r = out_mv[0], best_c = out_mv[1];
+
+  std::vector<int32_t> pred(w * h), diff(w * h);
+  auto satd_at = [&](int mvr, int mvc) -> long {
+    long dy = mvr >> 3, dx = mvc >> 3;
+    if (dy < -(max_off - 1) || dy > max_off - 1 || dx < -(max_off - 1) ||
+        dx > max_off - 1)
+      return -1;
+    int row_frac = (mvr << 1) & 0xF, col_frac = (mvc << 1) & 0xF;
+    enc_put_8tap(ref, rstride, bytespp, ax + (mvc >> 3), ay + (mvr >> 3), w, h,
+                 col_frac, row_frac, 0, 0, bd, pred.data());
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++)
+        diff[y * w + x] =
+            px_at(src, sstride, bytespp, spy + y, spx + x) - pred[y * w + x];
+    return satd_block(diff.data(), w, h);
+  };
+
+  long best = satd_at(best_r, best_c);
+  static const int dirs[4][2] = {{-1, 0}, {1, 0}, {0, -1}, {0, 1}};
+  for (int step : {4, 2}) {
+    bool improved = true;
+    while (improved) {
+      improved = false;
+      for (auto& d : dirs) {
+        int r = best_r + d[0] * step, c = best_c + d[1] * step;
+        long s = satd_at(r, c);
+        if (s >= 0 && s < best) {
+          best = s; best_r = r; best_c = c; improved = true;
+        }
+      }
+    }
+  }
+  out_mv[0] = best_r;
+  out_mv[1] = best_c;
+  return best;
+}

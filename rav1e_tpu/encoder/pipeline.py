@@ -682,7 +682,12 @@ class TileEncoder:
         if lib is not None:
             seeds_arr = np.ascontiguousarray(np.array(seeds, dtype=np.int32))
             out_mv = np.zeros(2, dtype=np.int32)
-            best_sad = lib.enc_me_search(
+            search_fn = (
+                lib.enc_me_search_satd
+                if self.speed.motion.use_satd_subpel
+                else lib.enc_me_search
+            )
+            best_sad = search_fn(
                 ref.ctypes.data, ref.strides[0] // ref.itemsize,
                 ref.shape[0], ref.shape[1], ref.itemsize, ax, ay,
                 src.ctypes.data, src.strides[0] // src.itemsize,

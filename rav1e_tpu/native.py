@@ -97,6 +97,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         c.c_void_p, c.c_int, c.c_int, c.c_void_p,
     ]
     lib.enc_me_search.restype = c.c_long
+    lib.enc_me_search_satd.argtypes = lib.enc_me_search.argtypes
+    lib.enc_me_search_satd.restype = c.c_long
     lib.enc_quantize.argtypes = [
         c.c_void_p, c.c_int, c.c_int, c.c_int, c.c_int, c.c_void_p, c.c_int,
         c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_void_p,
