@@ -121,6 +121,24 @@ class MvFinder:
         if not self._is_inter_blk(mode, refs):
             return False, newmv_count
         found = False
+        if isinstance(ref_frame, tuple):
+            # compound pair match (block_unit.rs add_ref_mv_candidate, compound arm)
+            if refs[0] == ref_frame[0] and refs[1] == ref_frame[1]:
+                key = (mvs[0], mvs[1])
+                matched = False
+                for cand in stack:
+                    if (cand.this_mv, cand.comp_mv) == key:
+                        cand.weight += weight
+                        matched = True
+                        break
+                if not matched and len(stack) < MAX_REF_MV_STACK_SIZE:
+                    stack.append(
+                        CandidateMV(this_mv=mvs[0], comp_mv=mvs[1], weight=weight)
+                    )
+                if has_newmv(mode):
+                    newmv_count += 1
+                found = True
+            return found, newmv_count
         for i in range(2):
             if refs[i] == ref_frame:
                 mv = mvs[i]

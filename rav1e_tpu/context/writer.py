@@ -799,3 +799,133 @@ def _segmentation_methods():
 
 
 _segmentation_methods()
+
+
+def _compound_methods():
+    from rav1e_tpu.context import mv as MV
+
+    def _comp_neighbors(self, x, y):
+        b = self.bc.blocks
+        if x > 0:
+            left = (int(b.ref_frames[y, x - 1, 0]), int(b.ref_frames[y, x - 1, 1]))
+        else:
+            left = (0, -1)  # (INTRA_FRAME, NONE_FRAME)
+        if y > 0:
+            above = (int(b.ref_frames[y - 1, x, 0]), int(b.ref_frames[y - 1, x, 1]))
+        else:
+            above = (0, -1)
+        return above, left
+
+    def get_comp_mode_ctx(self, x, y):
+        """(block_unit.rs:1533-1582)"""
+        avail_left = x > 0
+        avail_up = y > 0
+        (above0, above1), (left0, left1) = self._comp_neighbors(x, y)
+        left_single = left1 == -1
+        above_single = above1 == -1
+        left_intra = left0 == 0
+        above_intra = above0 == 0
+        left_backward = MV.is_bwd_ref(left0)
+        above_backward = MV.is_bwd_ref(above0)
+        if avail_left and avail_up:
+            if above_single and left_single:
+                return int(above_backward != left_backward)
+            if above_single:
+                return 2 + int(above_backward or above_intra)
+            if left_single:
+                return 2 + int(left_backward or left_intra)
+            return 4
+        if avail_up:
+            return int(above_backward) if above_single else 3
+        if avail_left:
+            return int(left_backward) if left_single else 3
+        return 1
+
+    def get_comp_ref_type_ctx(self, x, y):
+        """(block_unit.rs:1584-1658)"""
+
+        def samedir(r0, r1):
+            return (MV.is_bwd_ref(r0) and r0 != -1) == (MV.is_bwd_ref(r1) and r1 != -1)
+
+        avail_left = x > 0
+        avail_up = y > 0
+        (above0, above1), (left0, left1) = self._comp_neighbors(x, y)
+        left_single = left1 == -1
+        above_single = above1 == -1
+        left_intra = left0 == 0
+        above_intra = above0 == 0
+        above_comp_inter = avail_up and not above_intra and not above_single
+        left_comp_inter = avail_left and not left_intra and not left_single
+        above_uni_comp = above_comp_inter and samedir(above0, above1)
+        left_uni_comp = left_comp_inter and samedir(left0, left1)
+
+        if avail_up and not above_intra and avail_left and not left_intra:
+            sd = int(samedir(above0, left0))
+            if not above_comp_inter and not left_comp_inter:
+                return 1 + 2 * sd
+            if not above_comp_inter:
+                return 1 if not left_uni_comp else 3 + sd
+            if not left_comp_inter:
+                return 1 if not above_uni_comp else 3 + sd
+            if not above_uni_comp and not left_uni_comp:
+                return 0
+            if not above_uni_comp or not left_uni_comp:
+                return 2
+            return 3 + int((above0 == MV.BWDREF_FRAME) == (left0 == MV.BWDREF_FRAME))
+        if avail_up and avail_left:
+            if above_comp_inter:
+                return 1 + 2 * int(above_uni_comp)
+            if left_comp_inter:
+                return 1 + 2 * int(left_uni_comp)
+            return 2
+        if above_comp_inter:
+            return 4 * int(above_uni_comp)
+        if left_comp_inter:
+            return 4 * int(left_uni_comp)
+        return 2
+
+    def write_comp_mode(self, w, x, y, is_compound: bool) -> None:
+        """comp_mode bit under reference_mode SELECT (frame_header.rs:76-81)."""
+        ctx = self.get_comp_mode_ctx(x, y)
+        self._sym(w, int(is_compound), self.fc.comp_mode_cdf, ctx)
+
+    def write_ref_frames_compound(self, w, x, y, counts) -> None:
+        """Bidir LAST+ALTREF pair (frame_header.rs:85-120)."""
+        rctx = MV.ref_count_ctx
+        # comp_ref_type = 1 (bidir)
+        self._sym(w, 1, self.fc.comp_ref_type_cdf, self.get_comp_ref_type_ctx(x, y))
+        # fwd: LAST group (not LAST3/GOLDEN), then LAST (not LAST2)
+        ctx = rctx(counts[0] + counts[1], counts[2] + counts[3])
+        self._sym(w, 0, self.fc.comp_ref_cdf, ctx, 0)
+        ctx = rctx(counts[0], counts[1])
+        self._sym(w, 0, self.fc.comp_ref_cdf, ctx, 1)
+        # bwd: ALTREF
+        ctx = rctx(counts[4] + counts[5], counts[6])
+        self._sym(w, 1, self.fc.comp_bwd_ref_cdf, ctx, 0)
+
+    def write_compound_mode(self, w, mode, ctx: int) -> None:
+        """(block_unit.rs:1660-1693)"""
+        newmv_ctx = ctx & MV.NEWMV_CTX_MASK
+        refmv_ctx = (ctx >> MV.REFMV_OFFSET) & MV.REFMV_CTX_MASK
+        if refmv_ctx < 2:
+            cctx = min(newmv_ctx, 1)
+        elif refmv_ctx < 4:
+            cctx = min(newmv_ctx + 1, 4)
+        else:
+            cctx = min(max(newmv_ctx, 1) + 3, 7)
+        val = {
+            PredictionMode.NEAREST_NEARESTMV: 0,
+            PredictionMode.GLOBAL_GLOBALMV: 6,
+            PredictionMode.NEW_NEWMV: 7,
+        }[mode]
+        self._sym(w, val, self.fc.compound_mode_cdf, cctx)
+
+    ContextWriter._comp_neighbors = _comp_neighbors
+    ContextWriter.get_comp_mode_ctx = get_comp_mode_ctx
+    ContextWriter.get_comp_ref_type_ctx = get_comp_ref_type_ctx
+    ContextWriter.write_comp_mode = write_comp_mode
+    ContextWriter.write_ref_frames_compound = write_ref_frames_compound
+    ContextWriter.write_compound_mode = write_compound_mode
+
+
+_compound_methods()

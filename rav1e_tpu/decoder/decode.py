@@ -376,8 +376,11 @@ class TileDecoder:
 
         fh = self.fh
         counts = fill_neighbours_ref_counts(self.blocks, x, y)
-        ref_frame = self.cr.read_ref_frames_single(self.r, counts)
         finder = MvFinder(self.blocks, self.mi_cols, self.mi_rows, self.mi_x0, self.mi_y0)
+        if fh.reference_mode_select and self.cr.read_comp_mode(self.r, x, y):
+            self._decode_block_inter_compound(x, y, bsize, skip, counts, finder)
+            return
+        ref_frame = self.cr.read_ref_frames_single(self.r, counts)
         stack, mode_ctx = finder.find_mvrefs(x, y, ref_frame, bsize, lambda r: 0)
         mode = self.cr.read_inter_mode(self.r, mode_ctx)
         num_found = len(stack)
@@ -443,6 +446,99 @@ class TileDecoder:
         do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, self.seq.chroma_sampling)
         if not skip:
             self._decode_inter_residual(x, y, bsize, mode, tx_size, do_chroma)
+
+    def _decode_block_inter_compound(self, x, y, bsize, skip, counts, finder) -> None:
+        """Compound bidirectional block (mirror of
+        _encode_block_inter_compound)."""
+        from rav1e_tpu.context.mv import REF_CAT_LEVEL
+        from rav1e_tpu.context.writer import MAX_TXSIZE_RECT
+
+        fh = self.fh
+        rf0, rf1 = self.cr.read_ref_frames_compound(self.r, x, y, counts)
+        stack, mode_ctx = finder.find_mvrefs(x, y, (rf0, rf1), bsize, lambda r: 0)
+        mode = self.cr.read_compound_mode(self.r, mode_ctx)
+        num_found = len(stack)
+        if mode == PredictionMode.NEW_NEWMV:
+            ref_mv_idx = 0
+            for idx in range(2):
+                if num_found > idx + 1:
+                    ctx = int(stack[idx].weight < REF_CAT_LEVEL) + int(
+                        stack[idx + 1].weight < REF_CAT_LEVEL
+                    )
+                    if self.cr.read_drl_mode(self.r, ctx):
+                        ref_mv_idx = idx + 1
+                        continue
+                    break
+            ref0 = tuple(stack[ref_mv_idx].this_mv) if num_found > 0 else (0, 0)
+            ref1 = tuple(stack[ref_mv_idx].comp_mv) if num_found > 0 else (0, 0)
+            mv0 = self.cr.read_mv(self.r, ref0, precision=1)
+            mv1 = self.cr.read_mv(self.r, ref1, precision=1)
+        elif mode == PredictionMode.NEAREST_NEARESTMV:
+            mv0 = tuple(stack[0].this_mv) if stack else (0, 0)
+            mv1 = tuple(stack[0].comp_mv) if stack else (0, 0)
+        else:  # GLOBAL_GLOBALMV
+            mv0 = (0, 0)
+            mv1 = (0, 0)
+
+        self.blocks.set_rect("mode", x, y, bsize, int(mode))
+        self.blocks.ref_frames[y : y + bsize.height_mi, x : x + bsize.width_mi, 0] = rf0
+        self.blocks.ref_frames[y : y + bsize.height_mi, x : x + bsize.width_mi, 1] = rf1
+        self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 0, 0] = mv0[0]
+        self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 0, 1] = mv0[1]
+        self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 1, 0] = mv1[0]
+        self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 1, 1] = mv1[1]
+
+        tx_size = MAX_TXSIZE_RECT[int(bsize)]
+        if fh.tx_mode_select:
+            if bsize > BlockSize.BLOCK_4X4 and not skip:
+                tx_size = self.cr.read_tx_size_inter(self.r, x, y, bsize, tx_size, 0, 0, 0)
+            else:
+                self.bc.update_tx_size_context(x, y, bsize, tx_size, skip)
+        else:
+            self.bc.update_tx_size_context(x, y, bsize, tx_size, skip)
+        self.blocks.set_rect("tx_size", x, y, bsize, int(tx_size))
+
+        if skip:
+            self.bc.reset_skip_context(
+                x, y, bsize, self.xdec, self.ydec,
+                self.seq.chroma_sampling == ChromaSampling.Cs400,
+                has_chroma(x, y, bsize, self.xdec, self.ydec, self.seq.chroma_sampling),
+            )
+
+        ref_obj0 = self.ref_frame[rf0 - 1]
+        ref_obj1 = self.ref_frame[rf1 - 1]
+        if ref_obj0 is None or ref_obj1 is None:
+            raise DecodeError("missing compound reference frame")
+        self._motion_compensate_compound(x, y, bsize, mv0, mv1, ref_obj0, ref_obj1)
+        do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, self.seq.chroma_sampling)
+        if not skip:
+            self._decode_inter_residual(x, y, bsize, mode, tx_size, do_chroma)
+
+    def _motion_compensate_compound(self, x, y, bsize, mv0, mv1, ref0, ref1) -> None:
+        from rav1e_tpu.ops.mc import mc_avg, mv_to_offsets, prep_8tap
+
+        do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, self.seq.chroma_sampling)
+        nplanes = 3 if (do_chroma and self.seq.chroma_sampling != ChromaSampling.Cs400) else 1
+        for p in range(nplanes):
+            xd = 0 if p == 0 else self.xdec
+            yd = 0 if p == 0 else self.ydec
+            w_px = max(bsize.width >> xd, 4)
+            h_px = max(bsize.height >> yd, 4)
+            px = ((self.mi_x0 + x) << MI_SIZE_LOG2) >> xd
+            py = ((self.mi_y0 + y) << MI_SIZE_LOG2) >> yd
+            tmps = []
+            for ref_obj, mv in ((ref0, mv0), (ref1, mv1)):
+                plane = ref_obj.planes[p]
+                pad = plane.cfg.pad
+                ri, ci, rf, cf = mv_to_offsets(mv[0], mv[1], xd, yd)
+                tmps.append(prep_8tap(
+                    plane.data, pad + px + ci, pad + py + ri, w_px, h_px,
+                    cf, rf, 0, 0, self.seq.bit_depth,
+                ))
+            pred = mc_avg(tmps[0], tmps[1], self.seq.bit_depth)
+            rel_x = (x << MI_SIZE_LOG2) >> xd
+            rel_y = (y << MI_SIZE_LOG2) >> yd
+            self.rec_views[p][rel_y : rel_y + h_px, rel_x : rel_x + w_px] = pred
 
     def _motion_compensate(self, x: int, y: int, bsize: BlockSize, mv, ref_obj) -> None:
         from rav1e_tpu.ops.mc import REGULAR, mv_to_offsets, put_8tap

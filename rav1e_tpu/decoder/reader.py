@@ -523,3 +523,82 @@ def _segmentation_read_method():
 
 
 _segmentation_read_method()
+
+
+def _compound_read_methods():
+    from rav1e_tpu.context import mv as MV
+
+    def _cw(self):
+        from rav1e_tpu.context.writer import ContextWriter
+
+        cw = ContextWriter.__new__(ContextWriter)
+        cw.fc, cw.bc = self.fc, self.bc
+        return cw
+
+    def read_comp_mode(self, r, x, y) -> bool:
+        from rav1e_tpu.context.writer import ContextWriter
+
+        ctx = ContextWriter.get_comp_mode_ctx(self._cw(), x, y)
+        return self._sym(r, self.fc.comp_mode_cdf, ctx) == 1
+
+    def read_ref_frames_compound(self, r, x, y, counts):
+        from rav1e_tpu.context.writer import ContextWriter
+        from rav1e_tpu.decoder.headers import DecodeError
+
+        rctx = MV.ref_count_ctx
+        cw = self._cw()
+        t = self._sym(
+            r, self.fc.comp_ref_type_cdf,
+            ContextWriter.get_comp_ref_type_ctx(cw, x, y),
+        )
+        if t == 0:
+            raise DecodeError("unidirectional compound unsupported")
+        ctx = rctx(counts[0] + counts[1], counts[2] + counts[3])
+        b2 = self._sym(r, self.fc.comp_ref_cdf, ctx, 0)
+        if b2 == 0:
+            ctx = rctx(counts[0], counts[1])
+            b3 = self._sym(r, self.fc.comp_ref_cdf, ctx, 1)
+            rf0 = MV.LAST_FRAME if b3 == 0 else MV.LAST2_FRAME
+        else:
+            ctx = rctx(counts[2], counts[3])
+            b4 = self._sym(r, self.fc.comp_ref_cdf, ctx, 2)
+            rf0 = MV.LAST3_FRAME if b4 == 0 else MV.GOLDEN_FRAME
+        ctx = rctx(counts[4] + counts[5], counts[6])
+        b0 = self._sym(r, self.fc.comp_bwd_ref_cdf, ctx, 0)
+        if b0:
+            rf1 = MV.ALTREF_FRAME
+        else:
+            ctx = rctx(counts[4], counts[5])
+            b1 = self._sym(r, self.fc.comp_bwd_ref_cdf, ctx, 1)
+            rf1 = MV.ALTREF2_FRAME if b1 else MV.BWDREF_FRAME
+        return rf0, rf1
+
+    def read_compound_mode(self, r, ctx: int):
+        from rav1e_tpu.decoder.headers import DecodeError
+        from rav1e_tpu.partition import PredictionMode
+
+        newmv_ctx = ctx & MV.NEWMV_CTX_MASK
+        refmv_ctx = (ctx >> MV.REFMV_OFFSET) & MV.REFMV_CTX_MASK
+        if refmv_ctx < 2:
+            cctx = min(newmv_ctx, 1)
+        elif refmv_ctx < 4:
+            cctx = min(newmv_ctx + 1, 4)
+        else:
+            cctx = min(max(newmv_ctx, 1) + 3, 7)
+        val = self._sym(r, self.fc.compound_mode_cdf, cctx)
+        table = {
+            0: PredictionMode.NEAREST_NEARESTMV,
+            6: PredictionMode.GLOBAL_GLOBALMV,
+            7: PredictionMode.NEW_NEWMV,
+        }
+        if val not in table:
+            raise DecodeError(f"compound mode {val} unsupported")
+        return table[val]
+
+    ContextReader._cw = _cw
+    ContextReader.read_comp_mode = read_comp_mode
+    ContextReader.read_ref_frames_compound = read_ref_frames_compound
+    ContextReader.read_compound_mode = read_compound_mode
+
+
+_compound_read_methods()

@@ -625,13 +625,54 @@ class TileEncoder:
             candidates.append((ALTREF_FRAME, fi.ref_frame_bwd))
 
         best = None  # (sad, ref_type, ref_obj, mv, stack, mode_ctx)
+        per_ref = {}
         for ref_type, ref_obj in candidates:
             r = self._me_search_one(x, y, bsize, ref_type, ref_obj, block, px, py)
-            if r is not None and (best is None or r[0] < best[0]):
-                best = (r[0], ref_type, ref_obj, r[1], r[2], r[3])
+            if r is not None:
+                per_ref[ref_type] = r
+                if best is None or r[0] < best[0]:
+                    best = (r[0], ref_type, ref_obj, r[1], r[2], r[3])
         if best is None:
             return None
         best_sad = best[0]
+
+        # compound (LAST, ALTREF) candidate: average of both best predictions
+        # (reference_mode SELECT; rdo.rs inter loop compound arm)
+        if (
+            fi.ref_frame_bwd is not None
+            and LAST_FRAME in per_ref
+            and ALTREF_FRAME in per_ref
+        ):
+            from rav1e_tpu.ops.mc import mc_avg, mv_to_offsets, prep_8tap
+
+            mv0 = per_ref[LAST_FRAME][1]
+            mv1 = per_ref[ALTREF_FRAME][1]
+
+            def prep_for(ref_obj, mv):
+                plane = ref_obj.planes[0]
+                pad = plane.cfg.pad
+                ri, ci, rf, cf = mv_to_offsets(mv[0], mv[1], 0, 0)
+                return prep_8tap(
+                    plane.data,
+                    pad + ((self.mi_x0 + x) << MI_SIZE_LOG2) + ci,
+                    pad + ((self.mi_y0 + y) << MI_SIZE_LOG2) + ri,
+                    w_px, h_px, cf, rf, 0, 0, fi.bit_depth,
+                )
+
+            t0 = prep_for(fi.ref_frame, mv0)
+            t1 = prep_for(fi.ref_frame_bwd, mv1)
+            comp_pred = mc_avg(t0, t1, fi.bit_depth)
+            comp_sad = int(np.abs(block - comp_pred).sum())
+            if comp_sad < best_sad:
+                finder = self._mv_finder()
+                stack_p, ctx_p = finder.find_mvrefs(
+                    x, y, (LAST_FRAME, ALTREF_FRAME), bsize, lambda r: 0
+                )
+                best = (
+                    comp_sad, (LAST_FRAME, ALTREF_FRAME),
+                    (fi.ref_frame, fi.ref_frame_bwd), (mv0, mv1), stack_p, ctx_p,
+                )
+                best_sad = comp_sad
 
         # compare against a cheap intra proxy (DC from source neighbors)
         base = 128 << (fi.bit_depth - 8)
@@ -758,6 +799,12 @@ class TileEncoder:
     ) -> None:
         from rav1e_tpu.context.mv import fill_neighbours_ref_counts
 
+        if isinstance(ref_type, tuple):
+            self._encode_block_inter_compound(
+                x, y, bsize, ref_type, ref_obj, mv, stack, mode_ctx
+            )
+            return
+
         fi = self.fi
         # choose inter mode by stack relationship (encoder.rs:2000-2080)
         near_idx = 0
@@ -814,6 +861,9 @@ class TileEncoder:
         self._maybe_write_cdef_idx(x, y, skip)
         self.cw.write_is_inter(self.w, x, y, True)
         self.blocks.set_rect("is_inter_flag", x, y, bsize, True)
+        if fi.ref_frame_bwd is not None:
+            # reference_mode SELECT: signal single prediction
+            self.cw.write_comp_mode(self.w, x, y, False)
         self.cw.write_ref_frames_single(self.w, x, y, ref_type, counts)
         self.cw.write_inter_mode(self.w, mode, mode_ctx)
 
@@ -893,6 +943,153 @@ class TileEncoder:
                         rcoeffs[None], pred[None], tsz, TxType.DCT_DCT, fi.bit_depth
                     )[0]
                     rec[py : py + tsz.height, px : px + tsz.width] = recon
+
+    def _encode_block_inter_compound(
+        self, x, y, bsize: BlockSize, ref_pair, ref_objs, mvs, stack, mode_ctx
+    ) -> None:
+        """Compound (LAST, ALTREF) block: averaged bidirectional prediction
+        (reference write_ref_frames compound arm + write_compound_mode)."""
+        from rav1e_tpu.context.mv import ALTREF_FRAME, LAST_FRAME, REF_CAT_LEVEL, fill_neighbours_ref_counts
+
+        fi = self.fi
+        mv0, mv1 = mvs
+        if stack and tuple(stack[0].this_mv) == mv0 and tuple(stack[0].comp_mv) == mv1:
+            mode = PredictionMode.NEAREST_NEARESTMV
+        elif not stack and mv0 == (0, 0) and mv1 == (0, 0):
+            mode = PredictionMode.GLOBAL_GLOBALMV
+        else:
+            mode = PredictionMode.NEW_NEWMV
+
+        max_tx = self._luma_tx_size(bsize)
+        do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, fi.seq.chroma_sampling)
+
+        self.motion_compensate_compound(x, y, bsize, mv0, mv1, ref_objs[0], ref_objs[1])
+
+        txfm_split = False
+        sub_tx = SUB_TX_SIZE_MAP[int(max_tx)]
+        if fi.tx_mode_select and sub_tx != max_tx and not self._in_trial():
+            if self.speed.transform.enable_inter_tx_split:
+                txfm_split = True
+            elif self.speed.transform.rdo_tx_decision:
+                txfm_split = self._select_inter_tx_split(x, y, bsize, max_tx, sub_tx)
+        tx_size = sub_tx if txfm_split else max_tx
+        tx_jobs = self._quantize_inter_blocks(x, y, bsize, tx_size, do_chroma)
+        skip = all(job[7] == 0 for job in tx_jobs)
+        if skip:
+            txfm_split = False
+            tx_size = max_tx
+
+        counts = fill_neighbours_ref_counts(self.blocks, x, y)
+        self._bump_stats(bsize, mode, None, skip)
+        self.blocks.set_rect("skip", x, y, bsize, skip)
+        self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
+        self.blocks.set_rect("tx_size", x, y, bsize, int(tx_size))
+
+        self.cw.write_skip(self.w, x, y, skip)
+        seg_id = 0
+        if fi.seg is not None:
+            sid = int(fi.seg.seg_map[self.mi_y0 + y, self.mi_x0 + x])
+            seg_id = self.cw.write_segmentation(
+                self.w, x, y, bsize, skip, fi.seg.last_active_segid, sid
+            )
+        self._maybe_write_cdef_idx(x, y, skip)
+        self.cw.write_is_inter(self.w, x, y, True)
+        self.blocks.set_rect("is_inter_flag", x, y, bsize, True)
+        self.cw.write_comp_mode(self.w, x, y, True)
+        self.cw.write_ref_frames_compound(self.w, x, y, counts)
+        self.cw.write_compound_mode(self.w, mode, mode_ctx)
+
+        num_found = len(stack)
+        if mode == PredictionMode.NEW_NEWMV:
+            for idx in range(2):
+                if num_found > idx + 1:
+                    ctx = int(stack[idx].weight < REF_CAT_LEVEL) + int(
+                        stack[idx + 1].weight < REF_CAT_LEVEL
+                    )
+                    self.cw.write_drl_mode(self.w, False, ctx)
+                    break
+            ref0 = tuple(stack[0].this_mv) if num_found > 0 else (0, 0)
+            ref1 = tuple(stack[0].comp_mv) if num_found > 0 else (0, 0)
+            self.cw.write_mv(self.w, mv0, ref0, precision=1)
+            self.cw.write_mv(self.w, mv1, ref1, precision=1)
+
+        # record block state (both refs)
+        self.blocks.set_rect("mode", x, y, bsize, int(mode))
+        self.blocks.ref_frames[y : y + bsize.height_mi, x : x + bsize.width_mi, 0] = LAST_FRAME
+        self.blocks.ref_frames[y : y + bsize.height_mi, x : x + bsize.width_mi, 1] = ALTREF_FRAME
+        self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 0, 0] = mv0[0]
+        self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 0, 1] = mv0[1]
+        self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 1, 0] = mv1[0]
+        self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 1, 1] = mv1[1]
+
+        if fi.tx_mode_select:
+            if bsize > BlockSize.BLOCK_4X4 and not skip:
+                self.cw.write_tx_size_inter(self.w, x, y, bsize, max_tx, txfm_split, 0, 0, 0)
+            else:
+                self.bc.update_tx_size_context(x, y, bsize, tx_size, skip)
+        else:
+            self.bc.update_tx_size_context(x, y, bsize, tx_size, skip)
+
+        if skip:
+            self.bc.reset_skip_context(
+                x, y, bsize, self.xdec, self.ydec,
+                fi.seq.chroma_sampling == ChromaSampling.Cs400, do_chroma,
+            )
+            return
+
+        for (p, tx_x, tx_y, px, py, tsz, qcoeffs, eob) in tx_jobs:
+            xd = 0 if p == 0 else self.xdec
+            yd = 0 if p == 0 else self.ydec
+            plane_bsize = bsize.chroma_block_size(xd, yd) if p else bsize
+            fct_w = min(((fi.mi_cols - (self.mi_x0 + tx_x)) << MI_SIZE_LOG2) >> xd, tsz.width)
+            fct_h = min(((fi.mi_rows - (self.mi_y0 + tx_y)) << MI_SIZE_LOG2) >> yd, tsz.height)
+            self.cw.write_coeffs_lv_map(
+                self.w, p, tx_x, tx_y, qcoeffs, eob, mode, tsz, TxType.DCT_DCT,
+                plane_bsize, xd, yd, fi.use_reduced_tx_set, fct_w, fct_h,
+            )
+            if eob > 0:
+                rec = self.rec_views[p]
+                from rav1e_tpu.native import dequant_recon_native
+
+                if not dequant_recon_native(
+                    qcoeffs, self._block_qidx(x, y), tsz, TxType.DCT_DCT, fi.bit_depth,
+                    rec, px, py,
+                ):
+                    pred = rec[py : py + tsz.height, px : px + tsz.width].astype(np.int32)
+                    rcoeffs = dequantize(self._block_qidx(x, y), qcoeffs, tsz, fi.bit_depth)
+                    recon = T.inverse_transform_add(
+                        rcoeffs[None], pred[None], tsz, TxType.DCT_DCT, fi.bit_depth
+                    )[0]
+                    rec[py : py + tsz.height, px : px + tsz.width] = recon
+
+    def motion_compensate_compound(self, x, y, bsize, mv0, mv1, ref0, ref1) -> None:
+        """Bidirectional averaged prediction into the recon
+        (prep_8tap + mc_avg; mc.rs:360-480)."""
+        from rav1e_tpu.ops.mc import mc_avg, mv_to_offsets, prep_8tap
+
+        fi = self.fi
+        do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, fi.seq.chroma_sampling)
+        nplanes = 3 if (do_chroma and fi.seq.chroma_sampling != ChromaSampling.Cs400) else 1
+        for p in range(nplanes):
+            xd = 0 if p == 0 else self.xdec
+            yd = 0 if p == 0 else self.ydec
+            w_px = max(bsize.width >> xd, 4)
+            h_px = max(bsize.height >> yd, 4)
+            px = ((self.mi_x0 + x) << MI_SIZE_LOG2) >> xd
+            py = ((self.mi_y0 + y) << MI_SIZE_LOG2) >> yd
+            tmps = []
+            for ref_obj, mv in ((ref0, mv0), (ref1, mv1)):
+                plane = ref_obj.planes[p]
+                pad = plane.cfg.pad
+                ri, ci, rf, cf = mv_to_offsets(mv[0], mv[1], xd, yd)
+                tmps.append(prep_8tap(
+                    plane.data, pad + px + ci, pad + py + ri, w_px, h_px,
+                    cf, rf, 0, 0, fi.bit_depth,
+                ))
+            pred = mc_avg(tmps[0], tmps[1], fi.bit_depth)
+            tx_rel = px - (((self.mi_x0) << MI_SIZE_LOG2) >> xd)
+            ty_rel = py - (((self.mi_y0) << MI_SIZE_LOG2) >> yd)
+            self.rec_views[p][ty_rel : ty_rel + h_px, tx_rel : tx_rel + w_px] = pred
 
     def _select_inter_tx_split(self, x, y, bsize, max_tx, sub_tx) -> bool:
         """Inter tx split decision: luma rate/distortion compare of the
@@ -1507,6 +1704,7 @@ class FramePipeline:
             sb_height=sb_h,
             order_hint=plan.order_hint & ((1 << n_hint) - 1),
             primary_ref_frame=primary_ref if is_inter else 7,
+            reference_mode_select=fi.ref_frame_bwd is not None,
             error_resilient=enc.error_resilient and is_inter,
             ref_order_hints=list(self.slot_order_hints),
             show_frame=plan.show_frame,

@@ -162,3 +162,67 @@ def put_8tap(
         acc += yf[k] * horiz[k : k + h]
     out = _round_shift(acc, 7 + inter_bits)
     return np.clip(out, 0, max_val).astype(np.int32)
+
+
+PREP_BIAS = 8192  # mc.rs:357 (keeps the compound intermediate in i16)
+
+
+def prep_8tap(
+    ref: np.ndarray,
+    x0: int,
+    y0: int,
+    w: int,
+    h: int,
+    col_frac: int,
+    row_frac: int,
+    mode_x: int,
+    mode_y: int,
+    bd: int,
+) -> np.ndarray:
+    """Compound-prediction intermediate: like :func:`put_8tap` but keeping
+    ``intermediate_bits`` extra precision and no final clamp
+    (reference mc.rs:360-452).  Returns int32 (h, w) in the i16 domain.
+    """
+    inter_bits = 4 - (2 if bd == 12 else 0)
+    prep_bias = 0 if bd == 8 else PREP_BIAS
+
+    xf = _get_filter(mode_x, col_frac, w)
+    yf = _get_filter(mode_y, row_frac, h)
+
+    if col_frac == 0 and row_frac == 0:
+        t = (ref[y0 : y0 + h, x0 : x0 + w].astype(np.int64) << inter_bits) - prep_bias
+        return t.astype(np.int32)
+    if col_frac == 0:
+        src = ref[y0 - 3 : y0 + h + 4, x0 : x0 + w].astype(np.int64)
+        acc = np.zeros((h, w), dtype=np.int64)
+        for k in range(8):
+            acc += yf[k] * src[k : k + h]
+        return (_round_shift(acc, 7 - inter_bits) - prep_bias).astype(np.int32)
+    if row_frac == 0:
+        src = ref[y0 : y0 + h, x0 - 3 : x0 + w + 4].astype(np.int64)
+        acc = np.zeros((h, w), dtype=np.int64)
+        for k in range(8):
+            acc += xf[k] * src[:, k : k + w]
+        return (_round_shift(acc, 7 - inter_bits) - prep_bias).astype(np.int32)
+
+    src = ref[y0 - 3 : y0 + h + 4, x0 - 3 : x0 + w + 4].astype(np.int64)
+    horiz = np.zeros((h + 7, w), dtype=np.int64)
+    for k in range(8):
+        horiz += xf[k] * src[:, k : k + w]
+    horiz = _round_shift(horiz, 7 - inter_bits)
+    # intermediate is i16 in the reference
+    horiz = ((horiz + (1 << 15)) & 0xFFFF) - (1 << 15)
+    acc = np.zeros((h, w), dtype=np.int64)
+    for k in range(8):
+        acc += yf[k] * horiz[k : k + h]
+    return (_round_shift(acc, 7) - prep_bias).astype(np.int32)
+
+
+def mc_avg(tmp1: np.ndarray, tmp2: np.ndarray, bd: int) -> np.ndarray:
+    """Compound average of two prep_8tap intermediates (mc.rs:454-480)."""
+    inter_bits = 4 - (2 if bd == 12 else 0)
+    prep_bias = 0 if bd == 8 else PREP_BIAS * 2
+    v = _round_shift(
+        tmp1.astype(np.int64) + tmp2.astype(np.int64) + prep_bias, inter_bits + 1
+    )
+    return np.clip(v, 0, (1 << bd) - 1).astype(np.int32)

@@ -126,3 +126,54 @@ def test_pyramid_beats_low_latency_rate():
     a = sum(len(p.data) for p in _encode(9, low_latency=False, shift_per_frame=1))
     b = sum(len(p.data) for p in _encode(9, low_latency=True, shift_per_frame=1))
     assert a <= b * 1.1, (a, b)
+
+
+def test_compound_prediction_used_and_decodes():
+    """B frames must select compound (LAST+ALTREF averaged) blocks on noisy
+    motion content, and the stream must round-trip bit-exactly."""
+    from unittest import mock
+
+    from rav1e_tpu.context.writer import ContextWriter
+    from rav1e_tpu.decoder import decode_packet
+
+    comp = []
+    orig = ContextWriter.write_compound_mode
+
+    def spy(self, w, mode, ctx):
+        comp.append(mode)
+        return orig(self, w, mode, ctx)
+
+    cfg = Config(
+        enc=EncoderConfig(
+            width=128, height=96, quantizer=110, low_latency=False,
+            min_key_frame_interval=0, max_key_frame_interval=9999,
+        )
+    ).with_speed_preset(10)
+    ctx = cfg.new_context()
+    rng = np.random.default_rng(10)
+    base = np.clip(np.cumsum(rng.integers(-4, 5, (96 * 2, 128 * 3)), axis=1) + 128, 0, 255)
+    pkts = []
+    with mock.patch.object(ContextWriter, "write_compound_mode", spy):
+        for i in range(9):
+            f = ctx.new_frame()
+            for p in f.planes:
+                ch, cw = p.cfg.height, p.cfg.width
+                xs = (i * 4) >> p.cfg.xdec
+                arr = np.clip(base[:ch, xs : xs + cw] + rng.integers(-2, 3, (ch, cw)), 0, 255)
+                p.copy_from(arr.astype(np.uint8))
+            ctx.send_frame(f)
+        ctx.flush()
+        while True:
+            try:
+                pkts.append(ctx.receive_packet())
+            except EncoderStatus.LimitReached:
+                break
+    assert comp, "compound never selected"
+    state = None
+    for i, pkt in enumerate(pkts):
+        dec, state = decode_packet(pkt.data, state)
+        for pl in range(3):
+            np.testing.assert_array_equal(
+                dec.planes[pl].as_array(), pkt.rec.planes[pl].as_array(),
+                err_msg=f"packet {i} plane {pl}",
+            )
