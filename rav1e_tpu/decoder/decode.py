@@ -43,6 +43,7 @@ class DecoderState:
         self.seq = seq
         self.refs: List[Optional[Frame]] = [None] * 8
         self.cdf_refs: List[Optional[object]] = [None] * 8  # saved CDF states
+        self.order_hints: List[int] = [0] * 8  # per-slot order hints
 
 
 def decode_packet(data: bytes, state=None):
@@ -66,7 +67,7 @@ def decode_packet(data: bytes, state=None):
         elif obu_type == ObuType.OBU_FRAME_HEADER:
             if state.seq is None:
                 raise DecodeError("frame header before sequence header")
-            fh = parse_frame_header(payload, state.seq)
+            fh = parse_frame_header(payload, state.seq, state.order_hints)
             if fh.show_existing_frame:
                 shown = state.refs[fh.frame_to_show_map_idx]
                 if shown is None:
@@ -84,6 +85,7 @@ def decode_packet(data: bytes, state=None):
         for i in range(8):
             if (fh.refresh_frame_flags >> i) & 1:
                 state.refs[i] = frame
+                state.order_hints[i] = fh.order_hint
     return frame, state
 
 

@@ -215,6 +215,7 @@ class FrameHeader:
     segmentation_update_map: bool = True
     segmentation_features: Optional[list] = None
     segmentation_data: Optional[list] = None
+    ref_order_hints: List[int] = field(default_factory=lambda: [0] * 8)
     tx_mode_select: bool = False
     reference_mode_select: bool = False
     use_reduced_tx_set: bool = False
@@ -223,7 +224,7 @@ class FrameHeader:
     tile_size_bytes: int = 4
 
 
-def parse_frame_header(payload: bytes, seq: Sequence) -> FrameHeader:
+def parse_frame_header(payload: bytes, seq: Sequence, ref_order_hints=None) -> FrameHeader:
     br = BitReader(payload)
     fh = FrameHeader()
     fh.width = seq.max_frame_width
@@ -415,7 +416,12 @@ def parse_frame_header(payload: bytes, seq: Sequence) -> FrameHeader:
     fh.tx_mode_select = bool(br.read_bit())
     if not fh.intra_only:
         fh.reference_mode_select = bool(br.read_bit())
-    # skip mode not allowed in our subset
+    from rav1e_tpu.encoder.obu import _skip_mode_allowed
+
+    fh.ref_order_hints = list(ref_order_hints) if ref_order_hints is not None else [0] * 8
+    if _skip_mode_allowed(seq, fh):
+        if br.read_bit():
+            raise DecodeError("skip mode unsupported")
     if not (fh.intra_only or fh.error_resilient or not seq.enable_warped_motion):
         br.read_bit()
     fh.use_reduced_tx_set = bool(br.read_bit())

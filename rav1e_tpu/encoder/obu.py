@@ -501,11 +501,28 @@ def _write_film_grain(bw: BitWriter, seq: Sequence, fh: FrameHeaderInfo, gp) -> 
 
 
 def _skip_mode_allowed(seq: Sequence, fh: FrameHeaderInfo) -> bool:
-    """Spec skip mode allowed derivation; false for intra / no reference
-    select (reference: Sequence::get_skip_mode_allowed)."""
+    """Spec 7.8 skip-mode derivation (reference Sequence::get_skip_mode_allowed):
+    allowed when reference select is on and both a forward and a backward
+    reference (by order hint) exist."""
     if fh.intra_only or not fh.reference_mode_select or not seq.enable_order_hint:
         return False
-    return False  # conservative until compound prediction lands
+    bits = seq.order_hint_bits_minus_1 + 1
+
+    def rel(a, b):
+        d = (a - b) & ((1 << bits) - 1)
+        m = 1 << (bits - 1)
+        return (d & (m - 1)) - (d & m)
+
+    fwd = bwd = None
+    for i in range(INTER_REFS_PER_FRAME):
+        hint = fh.ref_order_hints[fh.ref_frames[i]]
+        if rel(hint, fh.order_hint) < 0:
+            if fwd is None or rel(hint, fwd) > 0:
+                fwd = hint
+        elif rel(hint, fh.order_hint) > 0:
+            if bwd is None or rel(hint, bwd) < 0:
+                bwd = hint
+    return fwd is not None and bwd is not None
 
 
 def _write_frame_size(bw: BitWriter, seq: Sequence, fh: FrameHeaderInfo) -> None:

@@ -47,17 +47,23 @@ def _headers(pkt):
         if t == 1:
             seq = parse_sequence_header(payload)
         elif t == 3:
-            fh = parse_frame_header(payload, _headers.seq or seq)
+            fh = parse_frame_header(payload, _headers.seq or seq, _headers.hints)
             if seq is not None:
                 _headers.seq = seq
+            if not fh.show_existing_frame:
+                for i in range(8):
+                    if (fh.refresh_frame_flags >> i) & 1:
+                        _headers.hints[i] = fh.order_hint
     return fh
 
 
 _headers.seq = None
+_headers.hints = [0] * 8
 
 
 def test_group_structure_and_display_order():
     _headers.seq = None
+    _headers.hints = [0] * 8
     pkts = _encode(9)  # key + two full groups
     assert len(pkts) == 1 + 6 + 6
     # coding order input framenos per the reference layout (internal.rs:63-77)
@@ -75,6 +81,7 @@ def test_group_structure_and_display_order():
 
 def test_pyramid_decode_parity():
     _headers.seq = None
+    _headers.hints = [0] * 8
     pkts = _encode(9)
     state = None
     for i, pkt in enumerate(pkts):
@@ -88,6 +95,7 @@ def test_pyramid_decode_parity():
 
 def test_pyramid_partial_tail_fallback():
     _headers.seq = None
+    _headers.hints = [0] * 8
     pkts = _encode(7)  # key + one group (1-4) + P,P tail (5,6)
     got = [p.input_frameno for p in pkts]
     assert got == [0, 4, 2, 1, 2, 3, 4, 5, 6], got
