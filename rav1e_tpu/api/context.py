@@ -253,7 +253,16 @@ class ContextInner:
         else:
             slot = (s - self.gop_input_start) % 4
             prev = (slot + 3) % 4
-        self.plan.append(ic.plan_p(s, self.gop_input_start, prev, slot))
+        p = ic.plan_p(s, self.gop_input_start, prev, slot)
+        sfi = self.config.enc.switch_frame_interval
+        if (
+            sfi > 0
+            and not ic.reorder
+            and s != self.gop_input_start
+            and (s - self.gop_input_start) % sfi == 0
+        ):
+            p.switch = True
+        self.plan.append(p)
         self.plan_next_input = s + 1
 
     def receive_packet(self, pipeline, is_flushing: bool) -> Packet:

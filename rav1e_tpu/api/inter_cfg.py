@@ -29,6 +29,7 @@ def pos_to_lvl(pos: int, pyramid_depth: int) -> int:
 class PlannedFrame:
     kind: str                     # "key" | "inter" | "sef"
     input_frameno: int
+    switch: bool = False          # encode as an S-frame (spec 6.8.2)
     order_hint: int = 0           # relative to GOP start
     level: int = 0
     show_frame: bool = True

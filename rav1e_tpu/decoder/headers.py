@@ -246,6 +246,8 @@ def parse_frame_header(payload: bytes, seq: Sequence, ref_order_hints=None) -> F
             fh.frame_type == FrameType.KEY and fh.show_frame
         ):
             fh.error_resilient = bool(br.read_bit())
+        elif fh.frame_type == FrameType.SWITCH:
+            fh.error_resilient = True  # implied (spec 5.9.2)
 
     fh.intra_only = fh.frame_type in (FrameType.KEY, FrameType.INTRA_ONLY)
     fh.disable_cdf_update = bool(br.read_bit())
@@ -296,9 +298,19 @@ def parse_frame_header(payload: bytes, seq: Sequence, ref_order_hints=None) -> F
                 raise DecodeError("frame_refs_short_signaling unsupported")
         for i in range(INTER_REFS_PER_FRAME):
             fh.ref_frames[i] = br.read(3)
-        if frame_size_override:
-            raise DecodeError("frame size with refs unsupported")
-        if bool(br.read_bit()):
+        if fh.frame_type == FrameType.SWITCH or frame_size_override:
+            # frame_size_with_refs (spec 5.9.7)
+            for _ in range(INTER_REFS_PER_FRAME):
+                if br.read_bit():
+                    raise DecodeError("found_ref frame sizes unsupported")
+            wbits = max((seq.max_frame_width - 1).bit_length(), 1)
+            hbits = max((seq.max_frame_height - 1).bit_length(), 1)
+            fh.width = br.read(wbits) + 1
+            fh.height = br.read(hbits) + 1
+            if bool(br.read_bit()):  # render size different
+                br.read(16)
+                br.read(16)
+        elif bool(br.read_bit()):
             br.read(16)
             br.read(16)
         if fh.force_integer_mv == 0:

@@ -300,8 +300,15 @@ def frame_header_payload(seq: Sequence, fh: FrameHeaderInfo, tiling) -> bytes:
             bw.write_bit(0)  # frame_refs_short_signaling
         for i in range(INTER_REFS_PER_FRAME):
             bw.write(3, fh.ref_frames[i])
-        _write_frame_size(bw, seq, fh)
-        _write_render_size(bw, fh)
+        if fh.frame_type == FrameType.SWITCH or fh.frame_size_override_flag:
+            # frame_size_with_refs (spec 5.9.7): no ref matches, explicit size
+            for _ in range(INTER_REFS_PER_FRAME):
+                bw.write_bit(0)  # found_ref
+            _write_frame_size(bw, seq, fh, force_override=True)
+            _write_render_size(bw, fh)
+        else:
+            _write_frame_size(bw, seq, fh)
+            _write_render_size(bw, fh)
         if fh.force_integer_mv == 0:
             bw.write_bit(int(fh.allow_high_precision_mv))
         bw.write_bit(int(fh.is_filter_switchable))
@@ -525,13 +532,13 @@ def _skip_mode_allowed(seq: Sequence, fh: FrameHeaderInfo) -> bool:
     return fwd is not None and bwd is not None
 
 
-def _write_frame_size(bw: BitWriter, seq: Sequence, fh: FrameHeaderInfo) -> None:
-    if fh.frame_size_override_flag:
-        width, height = fh.width - 1, fh.height - 1
-        wbits = max(width.bit_length(), 1)
-        hbits = max(height.bit_length(), 1)
-        bw.write(wbits, width)
-        bw.write(hbits, height)
+def _write_frame_size(bw: BitWriter, seq: Sequence, fh: FrameHeaderInfo, force_override=False) -> None:
+    if fh.frame_size_override_flag or force_override:
+        # bit widths come from the sequence header (spec 5.9.5 frame_size)
+        wbits = max((seq.max_frame_width - 1).bit_length(), 1)
+        hbits = max((seq.max_frame_height - 1).bit_length(), 1)
+        bw.write(wbits, fh.width - 1)
+        bw.write(hbits, fh.height - 1)
     # superres disabled (not written when disabled in sequence)
 
 

@@ -1499,6 +1499,13 @@ class FramePipeline:
             )
             self._fallback_slot += 1
 
+        if (
+            getattr(plan, "switch", False)
+            and frame_type == FrameType.INTER
+            and self.rec_buffer[plan.ref_slot_fwd] is not None
+        ):
+            frame_type = FrameType.SWITCH
+
         ref_fwd = ref_bwd = None
         primary_ref = 7  # PRIMARY_REF_NONE
         init_cdfs = None
@@ -1511,6 +1518,7 @@ class FramePipeline:
             elif (
                 self.cdf_buffer[plan.ref_slot_fwd] is not None
                 and not enc.error_resilient
+                and frame_type != FrameType.SWITCH
             ):
                 # inherit symbol probabilities from the forward reference
                 # (primary_ref_frame = LAST; encoder.rs:1040-1046)
@@ -1691,7 +1699,11 @@ class FramePipeline:
 
         is_inter = fi.is_inter_frame
         n_hint = self.seq.order_hint_bits_minus_1 + 1
-        refresh = 0xFF if frame_type == FrameType.KEY else (1 << plan.slot)
+        refresh = (
+            0xFF
+            if frame_type in (FrameType.KEY, FrameType.SWITCH)
+            else (1 << plan.slot)
+        )
         fh = FrameHeaderInfo(
             width=enc.width,
             height=enc.height,
@@ -1705,7 +1717,7 @@ class FramePipeline:
             order_hint=plan.order_hint & ((1 << n_hint) - 1),
             primary_ref_frame=primary_ref if is_inter else 7,
             reference_mode_select=fi.ref_frame_bwd is not None,
-            error_resilient=enc.error_resilient and is_inter,
+            error_resilient=(enc.error_resilient or frame_type == FrameType.SWITCH) and is_inter,
             ref_order_hints=list(self.slot_order_hints),
             show_frame=plan.show_frame,
             showable_frame=not plan.show_frame,

@@ -185,3 +185,45 @@ def test_compound_prediction_used_and_decodes():
                 dec.planes[pl].as_array(), pkt.rec.planes[pl].as_array(),
                 err_msg=f"packet {i} plane {pl}",
             )
+
+
+def test_switch_frames():
+    """S-frames at switch_frame_interval (low-latency): full refresh,
+    implied error resilience, explicit frame size, decode parity."""
+    from rav1e_tpu.api.util import FrameType
+    from rav1e_tpu.decoder import decode_packet
+
+    cfg = Config(
+        enc=EncoderConfig(
+            width=96, height=64, quantizer=120, low_latency=True,
+            min_key_frame_interval=0, max_key_frame_interval=9999,
+            switch_frame_interval=3,
+        )
+    ).with_speed_preset(10)
+    ctx = cfg.new_context()
+    rng = np.random.default_rng(2)
+    base = np.clip(np.cumsum(rng.integers(-4, 5, (64, 140)), axis=1) + 128, 0, 255)
+    pkts = []
+    for i in range(8):
+        f = ctx.new_frame()
+        for p in f.planes:
+            ch, cw = p.cfg.height, p.cfg.width
+            xs = (i * 2) >> p.cfg.xdec
+            p.copy_from(base[:ch, xs : xs + cw].astype(np.uint8))
+        ctx.send_frame(f)
+    ctx.flush()
+    while True:
+        try:
+            pkts.append(ctx.receive_packet())
+        except EncoderStatus.LimitReached:
+            break
+    types = [p.frame_type for p in pkts]
+    assert types.count(FrameType.SWITCH) == 2, types
+    state = None
+    for i, pkt in enumerate(pkts):
+        dec, state = decode_packet(pkt.data, state)
+        for pl in range(3):
+            np.testing.assert_array_equal(
+                dec.planes[pl].as_array(), pkt.rec.planes[pl].as_array(),
+                err_msg=f"packet {i} plane {pl}",
+            )
