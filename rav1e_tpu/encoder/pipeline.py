@@ -400,7 +400,7 @@ class TileEncoder:
 
     def encode_block_intra(
         self, x: int, y: int, bsize: BlockSize, in_inter_frame: bool,
-        tx_size_override=None,
+        tx_size_override=None, luma_mode_override=None,
     ) -> None:
         fi = self.fi
         cs = fi.seq.chroma_sampling
@@ -419,7 +419,23 @@ class TileEncoder:
         else:
             tx_size = self._luma_tx_size(bsize)
 
-        luma_mode = self.select_luma_mode(x, y, bsize)
+        if luma_mode_override is not None:
+            luma_mode = luma_mode_override
+        else:
+            ranked = self.select_luma_mode(x, y, bsize)
+            luma_mode = ranked[0]
+            from rav1e_tpu.config import PredictionModesSetting
+
+            if (
+                self.speed.transform.rdo_tx_decision
+                and not self._in_trial()
+                and len(ranked) > 1
+            ):
+                # trial-code the top candidates with real rate+distortion
+                # (rdo.rs intra_frame_rdo_mode_decision, SATD-pruned to 2)
+                luma_mode = self._select_intra_mode_rd(
+                    x, y, bsize, in_inter_frame, ranked[:2]
+                )
         chroma_mode = luma_mode if luma_mode < PredictionMode.UV_CFL_PRED else PredictionMode.DC_PRED
         do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, cs)
 
@@ -495,6 +511,30 @@ class TileEncoder:
         from rav1e_tpu.ec import WriterCounter
 
         return isinstance(self.w, WriterCounter)
+
+    def _select_intra_mode_rd(self, x, y, bsize, in_inter_frame, modes):
+        """RD compare of top SATD-ranked intra modes via trial coding."""
+        from rav1e_tpu.ec import WriterCounter
+
+        best_mode, best_cost = None, None
+        for m in modes:
+            snap = self._rdo_snapshot(x, y, bsize)
+            w_sav = self.w
+            self.w = WriterCounter()
+            t0 = self.w.tell_frac()
+            try:
+                self.encode_block_intra(
+                    x, y, bsize, in_inter_frame, luma_mode_override=m
+                )
+                bits = (self.w.tell_frac() - t0) / 8.0
+            finally:
+                self.w = w_sav
+            sse = self._region_sse(x, y, bsize)
+            self._rdo_restore(snap)
+            cost = sse + self._rdo_lambda * bits
+            if best_cost is None or cost < best_cost:
+                best_mode, best_cost = m, cost
+        return best_mode
 
     def _select_intra_tx_size(self, x, y, bsize, in_inter_frame):
         """Intra tx-size RD search: full-size vs one split level, trial-coded
@@ -1221,7 +1261,7 @@ class TileEncoder:
             ty_rel = py - (((self.mi_y0) << MI_SIZE_LOG2) >> yd)
             self.rec_views[p][ty_rel : ty_rel + h_px, tx_rel : tx_rel + w_px] = pred
 
-    def select_luma_mode(self, x: int, y: int, bsize: BlockSize) -> PredictionMode:
+    def select_luma_mode(self, x: int, y: int, bsize: BlockSize) -> list:
         """Batched SATD-style mode pre-selection over candidate intra modes.
 
         Uses source neighbors as prediction references (the reference's own
@@ -1235,7 +1275,7 @@ class TileEncoder:
         src = self.src_views[0]
         rect_w, rect_h = self.plane_rect[0]
         if px >= rect_w or py >= rect_h:
-            return PredictionMode.DC_PRED
+            return [PredictionMode.DC_PRED]
         block = src[py : py + h_px, px : px + w_px].astype(np.int32)
         base = 128 << (self.fi.bit_depth - 8)
         above = src[py - 1, px : px + 2 * w_px].astype(np.int32) if py > 0 else np.full(2 * w_px, base - 1, np.int32)
@@ -1254,15 +1294,15 @@ class TileEncoder:
                 PredictionMode.PAETH_PRED,
                 PredictionMode.SMOOTH_PRED,
             ]
-        best, best_cost = PredictionMode.DC_PRED, None
+        scored = []
         for m in candidates:
             pred = predict_intra(m, edge, w_px, h_px, self.fi.bit_depth)
             cost = int(np.abs(block - pred).sum())
             # small fixed mode-cost bias favoring DC
             cost += 0 if m == PredictionMode.DC_PRED else w_px
-            if best_cost is None or cost < best_cost:
-                best, best_cost = m, cost
-        return best
+            scored.append((cost, int(m)))
+        scored.sort()
+        return [PredictionMode(m) for _, m in scored]
 
     # --- transform blocks -------------------------------------------------
 
