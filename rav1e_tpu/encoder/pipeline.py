@@ -1575,9 +1575,14 @@ class FramePipeline:
         if enc.speed_settings.segmentation != SegmentationLevel.Disabled:
             from rav1e_tpu.encoder.segmentation import segmentation_optimize
 
+            ref_luma = None
+            if frame_type.has_inter():
+                ref0 = self.rec_buffer[plan.ref_slot_fwd]
+                if ref0 is not None:
+                    ref_luma = ref0.planes[0].as_array()
             seg = segmentation_optimize(
                 frame.planes[0].as_array(), base_q_idx, enc.bit_depth,
-                mi_cols, mi_rows,
+                mi_cols, mi_rows, ref_luma=ref_luma,
             )
             if not seg.enabled:
                 seg = None

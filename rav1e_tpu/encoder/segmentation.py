@@ -60,10 +60,12 @@ def _kmeans1d(values: np.ndarray, k: int, iters: int = 12) -> np.ndarray:
 
 def segmentation_optimize(
     luma_src: np.ndarray, base_q_idx: int, bit_depth: int, mi_cols: int,
-    mi_rows: int, nseg: int = 3,
+    mi_rows: int, nseg: int = 3, ref_luma: np.ndarray = None,
 ) -> SegmentationState:
-    """Build segment ΔQ table + per-mi map from source activity
-    (segmentation.rs:23-160 redesigned around the activity mask)."""
+    """Build segment ΔQ table + per-mi map from source activity and (for
+    inter frames) temporal predictability — the spatiotemporal-score analog
+    of segmentation.rs:23-160: well-predicted static regions earn lower q
+    because their quality propagates through the reference chain."""
     from rav1e_tpu.ops.activity import activity_mask, log2_activity_scale
 
     st = SegmentationState()
@@ -71,6 +73,14 @@ def segmentation_optimize(
     if act.size < nseg:
         return st
     logs = log2_activity_scale(act)
+    if ref_luma is not None and ref_luma.shape == luma_src.shape:
+        h8, w8 = act.shape
+        d = np.abs(
+            luma_src[: h8 * 8, : w8 * 8].astype(np.float64)
+            - ref_luma[: h8 * 8, : w8 * 8]
+        )
+        terr = d.reshape(h8, 8, w8, 8).mean(axis=(1, 3)) / (1 << (bit_depth - 8))
+        logs = logs + 0.5 * np.log2(np.maximum(terr, 0.25) / 4.0)
     cents = _kmeans1d(logs.reshape(-1), nseg)
     if cents[-1] - cents[0] < 0.5:
         return st  # flat content: not worth the signaling
