@@ -285,6 +285,18 @@ class TileDecoder:
         if partition == PartitionType.PARTITION_NONE:
             self.decode_block(x, y, bsize)
             self.bc.update_partition_context(x, y, bsize, bsize)
+        elif partition == PartitionType.PARTITION_HORZ:
+            sub = bsize.subsize(PartitionType.PARTITION_HORZ)
+            self.decode_block(x, y, sub)
+            if (y + sub.height_mi) < self.mi_h:
+                self.decode_block(x, y + sub.height_mi, sub)
+            self.bc.update_partition_context(x, y, sub, bsize)
+        elif partition == PartitionType.PARTITION_VERT:
+            sub = bsize.subsize(PartitionType.PARTITION_VERT)
+            self.decode_block(x, y, sub)
+            if (x + sub.width_mi) < self.mi_w:
+                self.decode_block(x + sub.width_mi, y, sub)
+            self.bc.update_partition_context(x, y, sub, bsize)
         elif partition == PartitionType.PARTITION_SPLIT:
             sub = bsize.subsize(PartitionType.PARTITION_SPLIT)
             sw, sh = sub.width_mi, sub.height_mi

@@ -255,20 +255,21 @@ class TileEncoder:
             if must_split or want_split:
                 partition = PartitionType.PARTITION_SPLIT
             elif can_search:
-                # RD search NONE vs SPLIT (counterpart of rdo.rs
-                # rdo_partition_decision:1949, trial-coded on WriterCounter
-                # with CDF/context rollback)
-                cost_none = self._partition_trial_cost(
-                    x, y, bsize, PartitionType.PARTITION_NONE
-                )
-                cost_split = self._partition_trial_cost(
-                    x, y, bsize, PartitionType.PARTITION_SPLIT
-                )
-                partition = (
-                    PartitionType.PARTITION_NONE
-                    if cost_none <= cost_split
-                    else PartitionType.PARTITION_SPLIT
-                )
+                # RD search over NONE/SPLIT/HORZ/VERT (counterpart of
+                # rdo.rs rdo_partition_decision:1949, trial-coded on
+                # WriterCounter with CDF/context rollback)
+                cands = [PartitionType.PARTITION_NONE, PartitionType.PARTITION_SPLIT]
+                if (
+                    self.speed.partition.non_square_partition_max_threshold_log2
+                    >= bsize.width_log2
+                ):
+                    cands += [PartitionType.PARTITION_HORZ, PartitionType.PARTITION_VERT]
+                best = None
+                for p in cands:
+                    c = self._partition_trial_cost(x, y, bsize, p)
+                    if best is None or c < best[0]:
+                        best = (c, p)
+                partition = best[1]
             else:
                 partition = PartitionType.PARTITION_NONE
 
@@ -278,6 +279,18 @@ class TileEncoder:
         if partition == PartitionType.PARTITION_NONE:
             self.encode_block(x, y, bsize)
             self.bc.update_partition_context(x, y, bsize, bsize)
+        elif partition == PartitionType.PARTITION_HORZ:
+            sub = bsize.subsize(PartitionType.PARTITION_HORZ)
+            self.encode_block(x, y, sub)
+            if (y + sub.height_mi) < self.mi_h:
+                self.encode_block(x, y + sub.height_mi, sub)
+            self.bc.update_partition_context(x, y, sub, bsize)
+        elif partition == PartitionType.PARTITION_VERT:
+            sub = bsize.subsize(PartitionType.PARTITION_VERT)
+            self.encode_block(x, y, sub)
+            if (x + sub.width_mi) < self.mi_w:
+                self.encode_block(x + sub.width_mi, y, sub)
+            self.bc.update_partition_context(x, y, sub, bsize)
         else:
             sub = bsize.subsize(PartitionType.PARTITION_SPLIT)
             sw, sh = sub.width_mi, sub.height_mi
@@ -353,6 +366,18 @@ class TileEncoder:
             if partition == PartitionType.PARTITION_NONE:
                 self.encode_block(x, y, bsize)
                 self.bc.update_partition_context(x, y, bsize, bsize)
+            elif partition == PartitionType.PARTITION_HORZ:
+                sub = bsize.subsize(PartitionType.PARTITION_HORZ)
+                self.encode_block(x, y, sub)
+                if (y + sub.height_mi) < self.mi_h:
+                    self.encode_block(x, y + sub.height_mi, sub)
+                self.bc.update_partition_context(x, y, sub, bsize)
+            elif partition == PartitionType.PARTITION_VERT:
+                sub = bsize.subsize(PartitionType.PARTITION_VERT)
+                self.encode_block(x, y, sub)
+                if (x + sub.width_mi) < self.mi_w:
+                    self.encode_block(x + sub.width_mi, y, sub)
+                self.bc.update_partition_context(x, y, sub, bsize)
             else:
                 sub = bsize.subsize(PartitionType.PARTITION_SPLIT)
                 sw, sh = sub.width_mi, sub.height_mi

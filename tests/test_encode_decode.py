@@ -235,3 +235,50 @@ def test_film_grain_passthrough():
             dec.planes[0].as_array(), pkt.rec.planes[0].as_array()
         )
     assert found == len(pkts)
+
+
+def test_rect_partitions():
+    """HORZ/VERT partitions selected on banded content and decoded bit-exactly."""
+    import numpy as np
+    from unittest import mock
+
+    from rav1e_tpu import Config, EncoderConfig, EncoderStatus
+    from rav1e_tpu.context.writer import ContextWriter
+    from rav1e_tpu.decoder import decode_packet
+    from rav1e_tpu.partition import PartitionType
+
+    parts = []
+    orig = ContextWriter.write_partition
+
+    def spy(self, w, x, y, p, bsize):
+        parts.append(p)
+        return orig(self, w, x, y, p, bsize)
+
+    cfg = Config(
+        enc=EncoderConfig(
+            width=128, height=128, quantizer=110, low_latency=True,
+            min_key_frame_interval=0, max_key_frame_interval=9999,
+        )
+    ).with_speed_preset(5)
+    cfg.enc.speed_settings.partition.non_square_partition_max_threshold_log2 = 6
+    ctx = cfg.new_context()
+    rng = np.random.default_rng(4)
+    img = np.zeros((128, 128))
+    for r in range(0, 128, 16):
+        img[r : r + 16] = 60 + (r * 17) % 160
+    img = np.clip(img + rng.integers(-3, 4, (128, 128)), 0, 255)
+    f = ctx.new_frame()
+    with mock.patch.object(ContextWriter, "write_partition", spy):
+        for p in f.planes:
+            ch, cw = p.cfg.height, p.cfg.width
+            p.copy_from(img[:ch, :cw].astype(np.uint8))
+        ctx.send_frame(f)
+        ctx.flush()
+        pkt = ctx.receive_packet()
+    dec, _ = decode_packet(pkt.data)
+    for pl in range(3):
+        np.testing.assert_array_equal(
+            dec.planes[pl].as_array(), pkt.rec.planes[pl].as_array()
+        )
+    rect = {PartitionType.PARTITION_HORZ, PartitionType.PARTITION_VERT}
+    assert rect & set(parts), set(parts)
