@@ -1472,9 +1472,44 @@ class TileEncoder:
         residual = (
             src[py : py + h_px, px : px + w_px].astype(np.int32) - pred
         )
-        coeffs = T.forward_transform(residual[None], tx_size, tx_type, fi.bit_depth)[0]
         qc = self.qc if p == 0 else self.qc_uv
-        qcoeffs, eob = qc.quantize_block(coeffs, tx_size, tx_type)
+
+        # tx-type RD choice for luma intra at quality speeds
+        # (rdo_tx_type_decision, rdo.rs:1701): DCT vs the mode-preferred type
+        if (
+            p == 0
+            and self.speed.transform.rdo_tx_decision
+            and w_px <= 32
+            and h_px <= 32
+            and mode.is_intra()
+        ):
+            from rav1e_tpu.tx import TX_SET_MEMBERS, get_tx_set
+
+            pref = uv_intra_mode_to_tx_type_context(mode)
+            tx_set = get_tx_set(tx_size, False, fi.use_reduced_tx_set)
+            cands = [TxType.DCT_DCT]
+            if pref != TxType.DCT_DCT and pref in TX_SET_MEMBERS.get(tx_set, ()):
+                cands.append(pref)
+            best = None
+            for tt in cands:
+                c = T.forward_transform(residual[None], tx_size, tt, fi.bit_depth)[0]
+                q, e = qc.quantize_block(c, tx_size, tt)
+                if e > 0:
+                    rc = dequantize(self._block_qidx(part_x, part_y), q, tx_size, fi.bit_depth)
+                    rec_c = T.inverse_transform_add(
+                        rc[None], pred[None], tx_size, tt, fi.bit_depth
+                    )[0]
+                else:
+                    rec_c = pred
+                sse = int(((src[py : py + h_px, px : px + w_px].astype(np.int64) - rec_c) ** 2).sum())
+                rate = 8.0 + 2.0 * float(np.abs(np.asarray(q)).sum())
+                cost = sse + self._rdo_lambda * rate
+                if best is None or cost < best[0]:
+                    best = (cost, tt, q, e)
+            tx_type, qcoeffs, eob = best[1], best[2], best[3]
+        else:
+            coeffs = T.forward_transform(residual[None], tx_size, tx_type, fi.bit_depth)[0]
+            qcoeffs, eob = qc.quantize_block(coeffs, tx_size, tx_type)
 
         frame_clipped_txw = min(((fi.mi_cols - (self.mi_x0 + tx_x)) << MI_SIZE_LOG2) >> xd, w_px)
         frame_clipped_txh = min(((fi.mi_rows - (self.mi_y0 + tx_y)) << MI_SIZE_LOG2) >> yd, h_px)
