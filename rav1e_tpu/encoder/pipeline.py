@@ -425,7 +425,7 @@ class TileEncoder:
 
     def encode_block_intra(
         self, x: int, y: int, bsize: BlockSize, in_inter_frame: bool,
-        tx_size_override=None, luma_mode_override=None,
+        tx_size_override=None, luma_mode_override=None, angle_delta_override=0,
     ) -> None:
         fi = self.fi
         cs = fi.seq.chroma_sampling
@@ -457,9 +457,15 @@ class TileEncoder:
                 and len(ranked) > 1
             ):
                 # trial-code the top candidates with real rate+distortion
-                # (rdo.rs intra_frame_rdo_mode_decision, SATD-pruned to 2)
-                luma_mode = self._select_intra_mode_rd(
-                    x, y, bsize, in_inter_frame, ranked[:2]
+                # (rdo.rs intra_frame_rdo_mode_decision, SATD-pruned to 2;
+                # best directional mode also trials its SATD-picked delta)
+                cand_pairs = [(m, 0) for m in ranked[:2]]
+                if ranked[0].is_directional() and bsize >= BlockSize.BLOCK_8X8:
+                    d = self._select_angle_delta(x, y, bsize, ranked[0])
+                    if d != 0:
+                        cand_pairs.append((ranked[0], d))
+                luma_mode, angle_delta_override = self._select_intra_mode_rd(
+                    x, y, bsize, in_inter_frame, cand_pairs
                 )
         chroma_mode = luma_mode if luma_mode < PredictionMode.UV_CFL_PRED else PredictionMode.DC_PRED
         do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, cs)
@@ -494,7 +500,7 @@ class TileEncoder:
         # record mode AFTER kf context derivation uses neighbors
         self.blocks.set_rect("mode", x, y, bsize, int(luma_mode))
 
-        angle_delta_y = 0
+        angle_delta_y = angle_delta_override
         angle_delta_uv = 0
         if luma_mode.is_directional() and bsize >= BlockSize.BLOCK_8X8:
             self.cw.write_angle_delta(self.w, angle_delta_y, luma_mode)
@@ -537,19 +543,20 @@ class TileEncoder:
 
         return isinstance(self.w, WriterCounter)
 
-    def _select_intra_mode_rd(self, x, y, bsize, in_inter_frame, modes):
-        """RD compare of top SATD-ranked intra modes via trial coding."""
+    def _select_intra_mode_rd(self, x, y, bsize, in_inter_frame, pairs):
+        """RD compare of (mode, angle_delta) candidates via trial coding."""
         from rav1e_tpu.ec import WriterCounter
 
-        best_mode, best_cost = None, None
-        for m in modes:
+        best, best_cost = None, None
+        for m, d in pairs:
             snap = self._rdo_snapshot(x, y, bsize)
             w_sav = self.w
             self.w = WriterCounter()
             t0 = self.w.tell_frac()
             try:
                 self.encode_block_intra(
-                    x, y, bsize, in_inter_frame, luma_mode_override=m
+                    x, y, bsize, in_inter_frame, luma_mode_override=m,
+                    angle_delta_override=d,
                 )
                 bits = (self.w.tell_frac() - t0) / 8.0
             finally:
@@ -558,8 +565,8 @@ class TileEncoder:
             self._rdo_restore(snap)
             cost = sse + self._rdo_lambda * bits
             if best_cost is None or cost < best_cost:
-                best_mode, best_cost = m, cost
-        return best_mode
+                best, best_cost = (m, d), cost
+        return best
 
     def _select_intra_tx_size(self, x, y, bsize, in_inter_frame):
         """Intra tx-size RD search: full-size vs one split level, trial-coded
@@ -607,6 +614,32 @@ class TileEncoder:
             return fi.base_q_idx
         sid = int(fi.seg.seg_map[self.mi_y0 + y, self.mi_x0 + x])
         return fi.seg.qidx(fi.base_q_idx, sid)
+
+    def _select_angle_delta(self, x, y, bsize, mode) -> int:
+        """SATD pick of the directional angle delta on source edges
+        (reference rdo angle-delta refinement)."""
+        from rav1e_tpu.ops.dist import get_satd
+
+        w_px = min(bsize.width, 32)
+        h_px = min(bsize.height, 32)
+        px, py = x << MI_SIZE_LOG2, y << MI_SIZE_LOG2
+        src = self.src_views[0]
+        rect_w, rect_h = self.plane_rect[0]
+        if px >= rect_w or py >= rect_h:
+            return 0
+        block = src[py : py + h_px, px : px + w_px].astype(np.int32)
+        base = 128 << (self.fi.bit_depth - 8)
+        above = src[py - 1, px : px + 2 * w_px].astype(np.int32) if py > 0 else np.full(2 * w_px, base - 1, np.int32)
+        left = src[py : py + 2 * h_px, px - 1].astype(np.int32) if px > 0 else np.full(2 * h_px, base + 1, np.int32)
+        tl = int(src[py - 1, px - 1]) if px > 0 and py > 0 else base
+        edge = IntraEdge(above=above, left=left, top_left=tl, have_above=py > 0, have_left=px > 0)
+        best_d, best_c = 0, None
+        for d in (-3, -2, -1, 0, 1, 2, 3):
+            pred = predict_intra(mode, edge, w_px, h_px, self.fi.bit_depth, d)
+            c = get_satd(block, pred) + (0 if d == 0 else 4)
+            if best_c is None or c < best_c:
+                best_d, best_c = d, c
+        return best_d
 
     def select_cfl(self, x: int, y: int, bsize: BlockSize):
         """Search CfL alphas against the source (reference rdo_cfl_alpha,
