@@ -516,3 +516,118 @@ extern "C" long enc_me_search_satd(
   out_mv[1] = best_c;
   return best;
 }
+
+// --- fused forward transform + quantize -----------------------------------
+// (integer Q12 forward matching ops/transforms.py exactly; quant matching
+//  enc_quantize)
+
+namespace {
+// matrices registered per (tx_size_id 0..18, tx_type_id 0..15)
+struct FwdMats {
+  std::vector<int32_t> fv, fh;
+  int h = 0, w = 0;
+  bool set = false;
+};
+FwdMats g_fwd[19][16];
+const int FWD_MAT_SHIFT = 12;
+
+inline int64_t rshift12(int64_t v) {
+  return (v + (1 << (FWD_MAT_SHIFT - 1))) >> FWD_MAT_SHIFT;
+}
+}  // namespace
+
+extern "C" void enc_register_fwd(int tx_size_id, int tx_type_id,
+                                 const int32_t* fv, int h, const int32_t* fh,
+                                 int w) {
+  FwdMats& m = g_fwd[tx_size_id][tx_type_id];
+  m.fv.assign(fv, fv + (size_t)h * h);
+  m.fh.assign(fh, fh + (size_t)w * w);
+  m.h = h;
+  m.w = w;
+  m.set = true;
+}
+
+// Residual from (src - rec) at (px, py), forward Q12 transform, quantize.
+// qcoeffs must be pre-zeroed (tx_h * tx_w int32).  Returns eob or -1 when
+// the matrices for this (size, type) were not registered.
+extern "C" int enc_fwd_quant(
+    const void* src, long sstride, const void* rec, long rstride, int bytespp,
+    long px, long py, int tx_size_id, int tx_type_id, int coded_w, int coded_h,
+    const uint16_t* scan, int log_tx_scale, long dc_quant, long ac_quant,
+    long dc_offset, long ac_offset0, long ac_offset1, long ac_offset_eob,
+    int32_t* qcoeffs) {
+  FwdMats& m = g_fwd[tx_size_id][tx_type_id];
+  if (!m.set) return -1;
+  int w = m.w, h = m.h;
+
+  // residual
+  int64_t R[64 * 64];
+  for (int r = 0; r < h; r++)
+    for (int c = 0; c < w; c++)
+      R[r * w + c] = px_at(src, sstride, bytespp, py + r, px + c) -
+                     px_at(rec, rstride, bytespp, py + r, px + c);
+
+  // stage 1: FV (h x h) @ R (h x w), round-shift 12
+  static thread_local std::vector<int64_t> t1;
+  t1.assign((size_t)h * w, 0);
+  for (int i = 0; i < h; i++) {
+    const int32_t* row = m.fv.data() + (size_t)i * h;
+    for (int k = 0; k < h; k++) {
+      int64_t f = row[k];
+      if (!f) continue;
+      const int64_t* rk = R + (size_t)k * w;
+      int64_t* ti = t1.data() + (size_t)i * w;
+      for (int j = 0; j < w; j++) ti[j] += f * rk[j];
+    }
+  }
+  for (size_t i = 0; i < t1.size(); i++) t1[i] = rshift12(t1[i]);
+
+  // stage 2: T (h x w) @ FH^T (w x w) -> C (h x w), round-shift 12
+  static thread_local std::vector<int64_t> C2;
+  C2.assign((size_t)h * w, 0);
+  for (int i = 0; i < h; i++) {
+    const int64_t* ti = t1.data() + (size_t)i * w;
+    int64_t* ci = C2.data() + (size_t)i * w;
+    for (int j = 0; j < w; j++) {
+      const int32_t* fr = m.fh.data() + (size_t)j * w;
+      int64_t acc = 0;
+      for (int k = 0; k < w; k++) acc += ti[k] * fr[k];
+      ci[j] = rshift12(acc);
+    }
+  }
+
+  // quantize the coded region (mirror of enc_quantize)
+  int area = coded_w * coded_h;
+  std::vector<int64_t> sub(area);
+  for (int r = 0; r < coded_h; r++)
+    for (int c = 0; c < coded_w; c++) sub[r * coded_w + c] = C2[(size_t)r * w + c];
+
+  int64_t scaled0 = sub[0] << log_tx_scale;
+  int64_t dc_level = (std::abs(scaled0) + dc_offset) / dc_quant;
+  int64_t dc_q = (scaled0 > 0 ? 1 : (scaled0 < 0 ? -1 : 0)) * dc_level;
+  int64_t deadzone =
+      (ac_quant - ac_offset_eob + (1 << log_tx_scale) - 1) >> log_tx_scale;
+  int eob = (dc_q != 0) ? 1 : 0;
+  for (int c = area - 1; c >= 1; c--) {
+    int64_t a = sub[scan[c]];
+    if ((a < 0 ? -a : a) >= deadzone) { eob = c + 1; break; }
+  }
+  std::vector<int64_t> q(area, 0);
+  for (int c = 1; c < eob; c++) {
+    int pos = scan[c];
+    int64_t scaled = sub[pos] << log_tx_scale;
+    int64_t a = scaled < 0 ? -scaled : scaled;
+    int64_t level0 = a / ac_quant;
+    int64_t offset = level0 > 0 ? ac_offset1 : ac_offset0;
+    int64_t qabs = level0 + ((a + offset) >= (level0 + 1) * ac_quant ? 1 : 0);
+    q[pos] = (scaled > 0 ? 1 : (scaled < 0 ? -1 : 0)) * qabs;
+  }
+  q[0] = dc_q;
+  eob = 0;
+  for (int c = area - 1; c >= 0; c--)
+    if (q[scan[c]] != 0) { eob = c + 1; break; }
+  for (int r = 0; r < coded_h; r++)
+    for (int c = 0; c < coded_w; c++)
+      qcoeffs[(size_t)r * w + c] = (int32_t)q[r * coded_w + c];
+  return eob;
+}

@@ -869,15 +869,20 @@ class TileEncoder:
 
         from rav1e_tpu.ops.mc import REGULAR, mv_to_offsets, put_8tap
 
-        def sad_subpel(mv2):
+        def pred_subpel(mv2):
             dy, dx = mv2[0] >> 3, mv2[1] >> 3
             if abs(dy) > max_off - 1 or abs(dx) > max_off - 1:
                 return None
             row_int, col_int, row_frac, col_frac = mv_to_offsets(mv2[0], mv2[1], 0, 0)
-            pred = put_8tap(
+            return put_8tap(
                 ref, ax + col_int, ay + row_int, w_px, h_px,
                 col_frac, row_frac, REGULAR, REGULAR, fi.bit_depth,
             )
+
+        def sad_subpel(mv2):
+            pred = pred_subpel(mv2)
+            if pred is None:
+                return None
             return int(np.abs(block - pred).sum())
 
         for step in (4, 2):  # half-pel then quarter-pel (1/8 units)
@@ -890,6 +895,32 @@ class TileEncoder:
                     if c is not None and c < best_sad:
                         best_mv, best_sad = cand, c
                         improved = True
+
+        if self.speed.motion.use_satd_subpel:
+            # second refinement pass under SATD (mirrors native
+            # enc_me_search_satd: SAD search first, then re-score the best
+            # and hill-climb half/quarter-pel with SATD)
+            from rav1e_tpu.ops.dist import get_satd
+
+            def satd_subpel(mv2):
+                pred = pred_subpel(mv2)
+                if pred is None:
+                    return None
+                return get_satd(block, pred)
+
+            best_sad = satd_subpel(best_mv)
+            if best_sad is None:
+                return None  # matches native: best MV at the clamp edge
+            for step in (4, 2):
+                improved = True
+                while improved:
+                    improved = False
+                    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                        cand = (best_mv[0] + dy * step, best_mv[1] + dx * step)
+                        c = satd_subpel(cand)
+                        if c is not None and c < best_sad:
+                            best_mv, best_sad = cand, c
+                            improved = True
         return best_sad, best_mv, stack, mode_ctx
 
     def encode_block_inter(
@@ -1281,14 +1312,31 @@ class TileEncoder:
                     spots.append((tx_x, tx_y, px, py))
             if not spots:
                 continue
-            # batched forward transform over all tx blocks of the plane
-            # (one GEMM batch — the MXU-shaped form)
-            coeffs_all = T.forward_transform(
-                np.stack(residuals), tsz, TxType.DCT_DCT, fi.bit_depth
-            )
-            for (tx_x, tx_y, px, py), coeffs in zip(spots, coeffs_all):
-                qcoeffs, eob = qc.quantize_block(coeffs, tsz, TxType.DCT_DCT)
-                jobs.append((p, tx_x, tx_y, px, py, tsz, qcoeffs, eob))
+            from rav1e_tpu.native import fwd_quant_native
+
+            used_native = False
+            if fwd_quant_native is not None:
+                fq0 = fwd_quant_native(
+                    src, rec, spots[0][2], spots[0][3], tsz, TxType.DCT_DCT,
+                    qc, fi.bit_depth,
+                )
+                if fq0 is not None:
+                    used_native = True
+                    jobs.append((p, *spots[0][:2], spots[0][2], spots[0][3], tsz, *fq0))
+                    for (tx_x, tx_y, px, py) in spots[1:]:
+                        qcoeffs, eob = fwd_quant_native(
+                            src, rec, px, py, tsz, TxType.DCT_DCT, qc, fi.bit_depth
+                        )
+                        jobs.append((p, tx_x, tx_y, px, py, tsz, qcoeffs, eob))
+            if not used_native:
+                # batched forward transform over all tx blocks of the plane
+                # (one GEMM batch — the MXU-shaped form)
+                coeffs_all = T.forward_transform(
+                    np.stack(residuals), tsz, TxType.DCT_DCT, fi.bit_depth
+                )
+                for (tx_x, tx_y, px, py), coeffs in zip(spots, coeffs_all):
+                    qcoeffs, eob = qc.quantize_block(coeffs, tsz, TxType.DCT_DCT)
+                    jobs.append((p, tx_x, tx_y, px, py, tsz, qcoeffs, eob))
         return jobs
 
     def motion_compensate(self, x: int, y: int, bsize: BlockSize, mv, ref_obj=None) -> None:
@@ -1541,8 +1589,14 @@ class TileEncoder:
                     best = (cost, tt, q, e)
             tx_type, qcoeffs, eob = best[1], best[2], best[3]
         else:
-            coeffs = T.forward_transform(residual[None], tx_size, tx_type, fi.bit_depth)[0]
-            qcoeffs, eob = qc.quantize_block(coeffs, tx_size, tx_type)
+            from rav1e_tpu.native import fwd_quant_native
+
+            fq = fwd_quant_native(src, rec, px, py, tx_size, tx_type, qc, fi.bit_depth)
+            if fq is not None:
+                qcoeffs, eob = fq
+            else:
+                coeffs = T.forward_transform(residual[None], tx_size, tx_type, fi.bit_depth)[0]
+                qcoeffs, eob = qc.quantize_block(coeffs, tx_size, tx_type)
 
         frame_clipped_txw = min(((fi.mi_cols - (self.mi_x0 + tx_x)) << MI_SIZE_LOG2) >> xd, w_px)
         frame_clipped_txh = min(((fi.mi_rows - (self.mi_y0 + tx_y)) << MI_SIZE_LOG2) >> yd, h_px)

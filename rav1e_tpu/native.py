@@ -104,6 +104,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_void_p,
     ]
     lib.enc_quantize.restype = c.c_int
+    lib.enc_register_fwd.argtypes = [
+        c.c_int, c.c_int, c.c_void_p, c.c_int, c.c_void_p, c.c_int,
+    ]
+    lib.enc_fwd_quant.argtypes = [
+        c.c_void_p, c.c_long, c.c_void_p, c.c_long, c.c_int, c.c_long,
+        c.c_long, c.c_int, c.c_int, c.c_int, c.c_int, c.c_void_p, c.c_int,
+        c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_void_p,
+    ]
+    lib.enc_fwd_quant.restype = c.c_int
     lib.enc_cdef_dirs.argtypes = [
         c.c_void_p, c.c_long, c.c_int, c.c_int, c.c_void_p, c.c_void_p,
         c.c_int, c.c_void_p, c.c_void_p,
@@ -233,6 +242,50 @@ def dequant_recon_native(
         vert, horiz, ishift, rect, wht, bd,
     )
     return True
+
+
+_fwd_registered = set()
+
+
+def fwd_quant_native(src_view, rec_view, px, py, tx_size, tx_type, qc, bd):
+    """Fused residual + integer forward transform + quantize in C
+    (bit-exact with ops/transforms.forward_transform + quantize_block).
+    Returns (qcoeffs, eob) or None when unavailable."""
+    import numpy as np
+
+    from rav1e_tpu.quantize import _scan_kind, _scan_u16
+    from rav1e_tpu.tx import TxType
+
+    lib = get_lib()
+    if lib is None or src_view.itemsize not in (1, 2) or tx_type == TxType.WHT_WHT:
+        return None
+    key = (int(tx_size), int(tx_type))
+    if key not in _fwd_registered:
+        from rav1e_tpu.ops.transforms import _fwd_matrices_int
+
+        fv, fh = _fwd_matrices_int(tx_size, tx_type)
+        fv32 = np.ascontiguousarray(fv, dtype=np.int32)
+        fh32 = np.ascontiguousarray(fh, dtype=np.int32)
+        lib.enc_register_fwd(
+            int(tx_size), int(tx_type), fv32.ctypes.data, fv32.shape[0],
+            fh32.ctypes.data, fh32.shape[0],
+        )
+        _fwd_registered.add(key)
+    w, h = tx_size.width, tx_size.height
+    cw, ch = min(w, 32), min(h, 32)
+    scan16 = _scan_u16(cw, ch, _scan_kind(tx_type))
+    q = np.zeros((h, w), dtype=np.int32)
+    eob = lib.enc_fwd_quant(
+        src_view.ctypes.data, src_view.strides[0] // src_view.itemsize,
+        rec_view.ctypes.data, rec_view.strides[0] // rec_view.itemsize,
+        src_view.itemsize, px, py, int(tx_size), int(tx_type), cw, ch,
+        scan16.ctypes.data, qc.log_tx_scale, qc.dc_quant, qc.ac_quant,
+        qc.dc_offset, qc.ac_offset0, qc.ac_offset1, qc.ac_offset_eob,
+        q.ctypes.data,
+    )
+    if eob < 0:
+        return None
+    return q, eob
 
 
 def available() -> bool:

@@ -269,6 +269,21 @@ def _fwd_basis(tx1d: TxType1D, n: int) -> "tuple[np.ndarray, float]":
     return o.T, g
 
 
+FWD_MAT_SHIFT = 12
+
+
+@functools.lru_cache(None)
+def _fwd_matrices_int(tx_size: TxSize, tx_type: TxType):
+    """Integer (Q12) forward matrices stored as exact-integer float64.
+
+    All products/sums stay below 2^53, so float64 BLAS matmuls over these are
+    EXACT integer arithmetic — bit-identical to an int64 loop (the native
+    path computes the same thing in C)."""
+    fv, fh = _fwd_matrices(tx_size, tx_type)
+    scale = 1 << FWD_MAT_SHIFT
+    return np.rint(fv * scale), np.rint(fh * scale)
+
+
 @functools.lru_cache(None)
 def _fwd_matrices(tx_size: TxSize, tx_type: TxType):
     """Per-axis forward matrices (float64) with calibrated 2-D gain.
@@ -302,15 +317,19 @@ def forward_transform(residual, tx_size: TxSize, tx_type: TxType, bd: int):
     assert residual.shape[-2:] == (h, w)
     if tx_type == TxType.WHT_WHT:
         return _fwd_wht4(residual)
-    fv, fh = _fwd_matrices(tx_size, tx_type)
     if xp is np:
-        x = residual.astype(np.float32)
-        # BLAS-backed batched matmuls (einsum would go through the slow
-        # general contraction path); fp32 is ample for the non-normative
-        # forward direction
-        c = (fv.astype(np.float32) @ x) @ fh.astype(np.float32).T
-        c = np.rint(c).astype(np.int32)
+        # integer-exact Q12 pipeline (matches native/enc.cc bit-for-bit):
+        # float64 matmuls over exact-integer matrices never exceed 2^53
+        fv_i, fh_i = _fwd_matrices_int(tx_size, tx_type)
+        half = float(1 << (FWD_MAT_SHIFT - 1))
+        div = float(1 << FWD_MAT_SHIFT)
+        t = fv_i @ residual.astype(np.float64)
+        t = np.floor((t + half) / div)
+        c = t @ fh_i.T
+        c = np.floor((c + half) / div)
+        c = c.astype(np.int32)
     else:
+        fv, fh = _fwd_matrices(tx_size, tx_type)
         import jax.numpy as jnp
 
         x = residual.astype(jnp.float32)

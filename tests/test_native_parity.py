@@ -126,3 +126,82 @@ def test_me_search_native_matches_python():
     b = encode(True)
     for p1, p2 in zip(a, b):
         assert p1.data == p2.data, "native vs python encode mismatch"
+
+
+def test_full_bitstream_native_parity_pyramid_satd():
+    """Native vs python full-encode bit-parity at the default preset (SATD
+    subpel ME, pyramid reordering, odd frame dims) — the config that caught
+    the native-SATD / python-SAD subpel divergence."""
+    from rav1e_tpu import Config, EncoderConfig, EncoderStatus
+
+    def encode(force_py):
+        import rav1e_tpu.native as nat
+
+        cfg = Config(
+            enc=EncoderConfig(
+                width=98, height=66, quantizer=90, low_latency=False,
+                min_key_frame_interval=0, max_key_frame_interval=9999,
+            )
+        )
+        ctx = cfg.new_context()
+        rng = np.random.default_rng(3)
+        base = np.add.outer(np.arange(66), np.arange(98)) % 256
+        orig = nat.get_lib
+        if force_py:
+            nat.get_lib = lambda: None
+        try:
+            pkts = []
+            for i in range(5):
+                f = ctx.new_frame()
+                y = (np.roll(base, i * 2, axis=1) + rng.integers(0, 5, (66, 98))) % 256
+                f.planes[0].copy_from(y.astype(np.uint8))
+                for p in f.planes[1:]:
+                    p.copy_from(
+                        np.full((p.cfg.height, p.cfg.width), 128, np.uint8)
+                    )
+                ctx.send_frame(f)
+            ctx.flush()
+            while True:
+                try:
+                    pkts.append(ctx.receive_packet())
+                except EncoderStatus.LimitReached:
+                    break
+        finally:
+            nat.get_lib = orig
+        return pkts
+
+    a = encode(False)
+    b = encode(True)
+    assert len(a) == len(b)
+    for p1, p2 in zip(a, b):
+        assert p1.data == p2.data, "native vs python encode mismatch (satd/pyramid)"
+
+
+def test_fwd_quant_native_matches_python():
+    """Fused C forward+quantize == numpy forward_transform + quantize_block."""
+    from rav1e_tpu import native as nat
+    from rav1e_tpu.ops import transforms as T
+    from rav1e_tpu.quantize import QuantizationContext
+    from rav1e_tpu.tx import TxSize, TxType
+
+    rng = np.random.default_rng(11)
+    for tx_size, tx_type in [
+        (TxSize.TX_4X4, TxType.DCT_DCT),
+        (TxSize.TX_8X8, TxType.ADST_ADST),
+        (TxSize.TX_16X8, TxType.ADST_DCT),
+        (TxSize.TX_32X32, TxType.DCT_DCT),
+        (TxSize.TX_64X64, TxType.DCT_DCT),
+    ]:
+        w, h = tx_size.width, tx_size.height
+        src = rng.integers(0, 255, (h + 8, w + 8)).astype(np.uint8)
+        rec = rng.integers(0, 255, (h + 8, w + 8)).astype(np.uint8)
+        qc = QuantizationContext()
+        qc.update(80, tx_size, True, 8, 0, 0)
+        out = nat.fwd_quant_native(src, rec, 4, 4, tx_size, tx_type, qc, 8)
+        assert out is not None
+        q_n, eob_n = out
+        res = src[4 : 4 + h, 4 : 4 + w].astype(np.int32) - rec[4 : 4 + h, 4 : 4 + w]
+        coeffs = T.forward_transform(res[None], tx_size, tx_type, 8)[0]
+        q_p, eob_p = qc.quantize_block(coeffs, tx_size, tx_type)
+        assert eob_n == eob_p, (tx_size, tx_type)
+        assert np.array_equal(q_n, q_p), (tx_size, tx_type)
