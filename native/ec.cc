@@ -51,6 +51,22 @@ static inline void lr_compute(uint16_t rng, uint32_t fl, uint32_t fh,
   *r = u - v;
 }
 
+// Rate-counting backend: WriterCounter twin (ec.py WriterCounter.store) —
+// tracks only (rng, bits); CDF adaptation is shared with the real encoder.
+struct EcCount {
+  uint32_t rng = 0x8000;
+  long bits = 0;
+};
+
+static inline void ec_store(EcCount* e, uint32_t fl, uint32_t fh,
+                            uint32_t nms) {
+  uint32_t l, r;
+  lr_compute((uint16_t)e->rng, fl, fh, nms, &l, &r);
+  int d = leading_zeros16(r);
+  e->bits += d;
+  e->rng = (uint16_t)(r << d);
+}
+
 static inline void ec_store(EcEnc* e, uint32_t fl, uint32_t fh, uint32_t nms) {
   uint32_t l, r;
   lr_compute(e->rng, fl, fh, nms, &l, &r);
@@ -78,7 +94,8 @@ static inline void ec_store(EcEnc* e, uint32_t fl, uint32_t fh, uint32_t nms) {
 
 // Code symbol s against an inverted-Q15 CDF of nsymbs entries, then adapt
 // (AV1 spec 8.4.1; reference ec.rs:935).
-static inline void ec_symbol_update(EcEnc* e, int s, uint16_t* cdf, int nsymbs) {
+template <class E>
+static inline void ec_symbol_update(E* e, int s, uint16_t* cdf, int nsymbs) {
   uint32_t fl = s > 0 ? cdf[s - 1] : 32768;
   uint32_t fh = cdf[s];
   ec_store(e, fl, fh, (uint32_t)(nsymbs - s));
@@ -95,24 +112,28 @@ static inline void ec_symbol_update(EcEnc* e, int s, uint16_t* cdf, int nsymbs) 
   }
 }
 
-static inline void ec_symbol_noupdate(EcEnc* e, int s, const uint16_t* cdf,
+template <class E>
+static inline void ec_symbol_noupdate(E* e, int s, const uint16_t* cdf,
                                       int nsymbs) {
   uint32_t fl = s > 0 ? cdf[s - 1] : 32768;
   uint32_t fh = cdf[s];
   ec_store(e, fl, fh, (uint32_t)(nsymbs - s));
 }
 
-static inline void ec_bit(EcEnc* e, int bit) {
+template <class E>
+static inline void ec_bit(E* e, int bit) {
   // flat bool: P = 16384/32768
   uint16_t cdf2[2] = {16384, 0};
   ec_symbol_noupdate(e, bit, cdf2, 2);
 }
 
-static inline void ec_literal(EcEnc* e, int bits, uint32_t v) {
+template <class E>
+static inline void ec_literal(E* e, int bits, uint32_t v) {
   for (int b = bits - 1; b >= 0; b--) ec_bit(e, (v >> b) & 1);
 }
 
-static inline void ec_golomb(EcEnc* e, uint32_t level) {
+template <class E>
+static inline void ec_golomb(E* e, uint32_t level) {
   uint32_t x = level + 1;
   int length = 32 - __builtin_clz(x);
   for (int i = 0; i < length - 1; i++) ec_bit(e, 0);
@@ -260,19 +281,20 @@ long ectx_done(void* h, uint8_t* out, long cap) {
 // Full level-map coefficient block coding (after txb_skip and tx_type have
 // been coded by the caller).  qcoeffs: (tx_h, tx_w) int32 row-major; scan:
 // coded area positions.  Returns cul_level composite (incl. dc sign bits).
-int ectx_write_coeffs(void* h,
+}  // extern "C" — template needs C++ linkage
+
+template <class E>
+static int coeffs_lv_map_body(E* e,
                       const int32_t* qcoeffs, int tx_w, int tx_h,
                       int coded_w, int coded_h, int eob,
                       const uint16_t* scan, int tx_class, int plane_type,
                       int dc_sign_ctx,
-                      // cdf blocks (base pointers into the numpy arrays)
                       uint16_t* eob_flag_row, int eob_flag_n,
-                      uint16_t* eob_extra_base,   // rows of width 2, indexed [eob_pt-3]
-                      uint16_t* base_eob_block,   // 4 rows of width 3
-                      uint16_t* base_block,       // 42 rows of width 4
-                      uint16_t* br_block,         // 21 rows of width 4
+                      uint16_t* eob_extra_base,
+                      uint16_t* base_eob_block,
+                      uint16_t* base_block,
+                      uint16_t* br_block,
                       uint16_t* dc_sign_row) {
-  EcEnc* e = (EcEnc*)h;
   int area = coded_w * coded_h;
 
   // EOB position token
@@ -347,6 +369,54 @@ int ectx_write_coeffs(void* h,
   if (dc < 0) cul_level |= 1 << 6;
   else if (dc > 0) cul_level += 2 << 6;
   return cul_level;
+}
+
+extern "C" {
+
+int ectx_write_coeffs(void* h,
+                      const int32_t* qcoeffs, int tx_w, int tx_h,
+                      int coded_w, int coded_h, int eob,
+                      const uint16_t* scan, int tx_class, int plane_type,
+                      int dc_sign_ctx,
+                      // cdf blocks (base pointers into the numpy arrays)
+                      uint16_t* eob_flag_row, int eob_flag_n,
+                      uint16_t* eob_extra_base,   // rows of width 2, indexed [eob_pt-3]
+                      uint16_t* base_eob_block,   // 4 rows of width 3
+                      uint16_t* base_block,       // 42 rows of width 4
+                      uint16_t* br_block,         // 21 rows of width 4
+                      uint16_t* dc_sign_row) {
+  return coeffs_lv_map_body((EcEnc*)h, qcoeffs, tx_w, tx_h, coded_w, coded_h,
+                            eob, scan, tx_class, plane_type, dc_sign_ctx,
+                            eob_flag_row, eob_flag_n, eob_extra_base,
+                            base_eob_block, base_block, br_block, dc_sign_row);
+}
+
+// Rate-counting twin of ectx_write_coeffs for RDO trials (WriterCounter
+// backend).  state[0] = rng in/out, state[1] = bits delta out.  CDFs adapt
+// in place exactly as in the write path; the caller snapshots them for
+// rollback.  Returns the cul_level composite.
+int ectx_count_coeffs(long* state,
+                      const int32_t* qcoeffs, int tx_w, int tx_h,
+                      int coded_w, int coded_h, int eob,
+                      const uint16_t* scan, int tx_class, int plane_type,
+                      int dc_sign_ctx,
+                      uint16_t* eob_flag_row, int eob_flag_n,
+                      uint16_t* eob_extra_base,
+                      uint16_t* base_eob_block,
+                      uint16_t* base_block,
+                      uint16_t* br_block,
+                      uint16_t* dc_sign_row) {
+  EcCount e;
+  e.rng = (uint32_t)state[0];
+  e.bits = 0;
+  int cul = coeffs_lv_map_body(&e, qcoeffs, tx_w, tx_h, coded_w, coded_h,
+                               eob, scan, tx_class, plane_type, dc_sign_ctx,
+                               eob_flag_row, eob_flag_n, eob_extra_base,
+                               base_eob_block, base_block, br_block,
+                               dc_sign_row);
+  state[0] = (long)e.rng;
+  state[1] = e.bits;
+  return cul;
 }
 
 }  // extern "C"

@@ -551,6 +551,56 @@ class ContextWriter:
             self.bc.store_coeff_context(plane, x, y, tx_size, xdec, ydec, cul)
             return True
 
+        from rav1e_tpu.ec import WriterCounter
+
+        if type(w) is WriterCounter and not _desync.enabled():
+            from rav1e_tpu import native as _native
+
+            lib = _native.get_lib()
+            if lib is not None:
+                # native rate counting: identical symbol sequence + CDF
+                # adaptation as the write path; whole-region undo snapshots
+                # replace the per-symbol log entries
+                eob_multi_size = tx_size.width_log2 + tx_size.height_log2 - 4
+                eob_arrs = getattr(self.fc, "_eob_arrs", None)
+                if eob_arrs is None:
+                    eob_arrs = (
+                        self.fc.eob_flag_cdf16, self.fc.eob_flag_cdf32,
+                        self.fc.eob_flag_cdf64, self.fc.eob_flag_cdf128,
+                        self.fc.eob_flag_cdf256, self.fc.eob_flag_cdf512,
+                        self.fc.eob_flag_cdf1024,
+                    )
+                    self.fc._eob_arrs = eob_arrs
+                eob_cdf_arr = eob_arrs[min(eob_multi_size, 6)]
+                eob_multi_ctx = int(cls != lvmap.TX_CLASS_2D)
+                br_txs = min(txs_ctx, int(TxSize.TX_32X32))
+                L = self.log
+                L.push(eob_cdf_arr, (plane_type, eob_multi_ctx))
+                L.push(self.fc.eob_extra_cdf, (txs_ctx, plane_type))
+                L.push(self.fc.coeff_base_eob_cdf, (txs_ctx, plane_type))
+                L.push(self.fc.coeff_base_cdf, (txs_ctx, plane_type))
+                L.push(self.fc.coeff_br_cdf, (br_txs, plane_type))
+                L.push(self.fc.dc_sign_cdf, (plane_type, dc_sign_ctx))
+                eob_row = eob_cdf_arr[plane_type, eob_multi_ctx]
+                q = np.ascontiguousarray(qcoeffs, dtype=np.int32)
+                scan_arr = _scan_u16(cw, ch, _scan_kind(tx_type))
+                st = np.array([w.rng, 0], dtype=np.int64)
+                cul = lib.ectx_count_coeffs(
+                    st.ctypes.data,
+                    q.ctypes.data, tx_size.width, tx_size.height, cw, ch, eob,
+                    scan_arr.ctypes.data, cls, plane_type, dc_sign_ctx,
+                    eob_row.ctypes.data, eob_row.shape[-1],
+                    self.fc.eob_extra_cdf[txs_ctx, plane_type].ctypes.data,
+                    self.fc.coeff_base_eob_cdf[txs_ctx, plane_type].ctypes.data,
+                    self.fc.coeff_base_cdf[txs_ctx, plane_type].ctypes.data,
+                    self.fc.coeff_br_cdf[br_txs, plane_type].ctypes.data,
+                    self.fc.dc_sign_cdf[plane_type, dc_sign_ctx].ctypes.data,
+                )
+                w.rng = int(st[0])
+                w.bits += int(st[1])
+                self.bc.store_coeff_context(plane, x, y, tx_size, xdec, ydec, cul)
+                return True
+
         scan = scan_order(cw, ch, _scan_kind(tx_type))[:eob]
         sub = qcoeffs[:ch, :cw].reshape(-1)
         coeffs = sub[scan].astype(np.int64)

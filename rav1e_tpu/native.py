@@ -72,6 +72,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         c.c_void_p,
     ]
     lib.ectx_write_coeffs.restype = c.c_int
+    lib.ectx_count_coeffs.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
+        c.c_void_p, c.c_int, c.c_int, c.c_int,
+        c.c_void_p, c.c_int, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p,
+    ]
+    lib.ectx_count_coeffs.restype = c.c_int
     lib.itx_load_program.argtypes = [
         c.c_int, c.c_int, c.c_int, c.c_void_p, c.c_void_p, c.c_void_p,
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_int, c.c_void_p,
