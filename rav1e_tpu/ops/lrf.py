@@ -231,23 +231,59 @@ def _boxes(P, Psq, ys, d, n, one_over_n, s, ncols, bd):
     return _sum_finish(box(Psq), box(P), n, one_over_n, s, bd)
 
 
-def sgr_compute_f(cdef_arr, debl_arr, px, sy, uw, sh, crop_w, crop_h, bd,
-                  s_r2, s_r1):
-    """f2/f1 arrays (sh, uw) for one stripe of one unit
-    (sgrproj_stripe_filter, lrf.rs:630-830)."""
+def sgr_stripe_geom(cdef_arr, debl_arr, px, sy, uw, sh, crop_w, crop_h):
+    """Set-independent stripe precomputation: padded source, integral
+    images, and raw box sums.  Shared across all candidate s-parameters in
+    the encoder's per-unit search (the s-dependent half lives in
+    :func:`sgr_compute_f_from_geom`)."""
     sh_even = sh + (sh & 1)
     nrows = 4 + sh_even + 2
     S = _stripe_source(cdef_arr, debl_arr, px, sy, uw + 7, nrows, -4, -4,
                        sh, crop_w, crop_h)
     P = S.cumsum(axis=0).cumsum(axis=1)
     Psq = (S * S).cumsum(axis=0).cumsum(axis=1)
-
     lines = _stripe_source(cdef_arr, debl_arr, px, sy, uw, sh, 0, 0, sh,
                            crop_w, crop_h)  # pure cdef rows (inside stripe)
+    return {"P": P, "Psq": Psq, "lines": lines, "sh": sh, "uw": uw}
+
+
+def _geom_boxsums(g, which):
+    """Raw (ssq, sum) box sums for the r2 (d=5, even rows) or r1 (d=3)
+    window, memoized on the geom dict."""
+    key = "bs" + which
+    if key not in g:
+        P, Psq, sh, uw = g["P"], g["Psq"], g["sh"], g["uw"]
+        if which == "2":
+            ys = np.arange(0, sh + 2, 2)[:, None]
+            d = 5
+        else:
+            P, Psq = P[:, 1:], Psq[:, 1:]
+            ys = (np.arange(0, sh + 2) + 1)[:, None]
+            d = 3
+        xs = np.arange(uw + 2)[None, :]
+
+        def box(M):
+            return M[ys + d, xs + d] - M[ys, xs + d] - M[ys + d, xs] + M[ys, xs]
+
+        g[key] = (box(Psq), box(P))
+    return g[key]
+
+
+def sgr_compute_f(cdef_arr, debl_arr, px, sy, uw, sh, crop_w, crop_h, bd,
+                  s_r2, s_r1):
+    """f2/f1 arrays (sh, uw) for one stripe of one unit
+    (sgrproj_stripe_filter, lrf.rs:630-830)."""
+    g = sgr_stripe_geom(cdef_arr, debl_arr, px, sy, uw, sh, crop_w, crop_h)
+    f2, f1 = sgr_compute_f_from_geom(g, bd, s_r2, s_r1)
+    return f2, f1, g["lines"]
+
+
+def sgr_compute_f_from_geom(g, bd, s_r2, s_r1):
+    sh, uw, lines = g["sh"], g["uw"], g["lines"]
 
     if s_r2 > 0:
-        ab_ys = np.arange(0, sh + 2, 2)  # call index y -> center stripe row y-1
-        A2, B2 = _boxes(P, Psq, ab_ys, 5, 25, 164, s_r2, uw + 2, bd)
+        ssq2, sum2 = _geom_boxsums(g, "2")
+        A2, B2 = _sum_finish(ssq2, sum2, 25, 164, s_r2, bd)
         a2c = 5 * (A2[:, :-2] + A2[:, 2:]) + 6 * A2[:, 1:-1]
         b2c = 5 * (B2[:, :-2] + B2[:, 2:]) + 6 * B2[:, 1:-1]
         shift, shifto = 9, 8
@@ -268,8 +304,8 @@ def sgr_compute_f(cdef_arr, debl_arr, px, sy, uw, sh, crop_w, crop_h, bd,
         f2 = lines << SGRPROJ_RST_BITS
 
     if s_r1 > 0:
-        ab_ys = np.arange(0, sh + 2) + 1  # offset (1,1): box rows y+1, d=3
-        A1, B1 = _boxes(P[:, 1:], Psq[:, 1:], ab_ys, 3, 9, 455, s_r1, uw + 2, bd)
+        ssq1, sum1 = _geom_boxsums(g, "1")
+        A1, B1 = _sum_finish(ssq1, sum1, 9, 455, s_r1, bd)
         T = [A1[:-2], A1[1:-1], A1[2:]]
         U = [B1[:-2], B1[1:-1], B1[2:]]
         a1c = 3 * (T[0][:, :-2] + T[2][:, :-2] + T[0][:, 2:] + T[2][:, 2:]) + 4 * (
@@ -282,7 +318,7 @@ def sgr_compute_f(cdef_arr, debl_arr, px, sy, uw, sh, crop_w, crop_h, bd,
     else:
         f1 = lines << SGRPROJ_RST_BITS
 
-    return f2, f1, lines
+    return f2, f1
 
 
 def sgr_apply(f2, f1, lines, xqd, bd):
@@ -433,11 +469,11 @@ def lrf_filter_frame(rs: RestorationState, frame, deblocked_planes, width,
                     )
                 elif filt[0] == "sgr":
                     s_r2, s_r1 = SGRPROJ_PARAMS_S[filt[1]]
-                    f2, f1, lines = sgr_compute_f(
-                        cdef_arr, debl_arr, x, sy, uw, sh, crop_w, crop_h, bd,
-                        s_r2, s_r1,
+                    g = sgr_stripe_geom(
+                        cdef_arr, debl_arr, x, sy, uw, sh, crop_w, crop_h
                     )
-                    out = sgr_apply(f2, f1, lines, filt[2], bd)
+                    f2, f1 = sgr_compute_f_from_geom(g, bd, s_r2, s_r1)
+                    out = sgr_apply(f2, f1, g["lines"], filt[2], bd)
                     out_arr[sy : sy + sh, x : x + uw] = out.astype(out_arr.dtype)
 
 
@@ -494,21 +530,27 @@ def lrf_decide_units(rs: RestorationState, frame, deblocked_planes, source,
                     )
                     pieces.append((sy, sh))
                 best_sse = sse_none
+                geoms = [
+                    (
+                        sgr_stripe_geom(
+                            cdef_arr, debl_arr, x, sy, uw, sh, crop_w, crop_h
+                        ),
+                        src_arr[sy : sy + sh, x : x + uw],
+                    )
+                    for sy, sh in pieces
+                ]
                 for sgr_set in sets:
                     s_r2, s_r1 = SGRPROJ_PARAMS_S[sgr_set]
                     acc = [0, 0, 0, 0, 0, 0]
                     cached = []
-                    for sy, sh in pieces:
-                        f2, f1, lines = sgr_compute_f(
-                            cdef_arr, debl_arr, x, sy, uw, sh, crop_w, crop_h,
-                            bd, s_r2, s_r1,
-                        )
-                        src = src_arr[sy : sy + sh, x : x + uw]
+                    for g, src in geoms:
+                        f2, f1 = sgr_compute_f_from_geom(g, bd, s_r2, s_r1)
+                        lines = g["lines"]
                         sgr_solve_accumulate(f2, f1, lines, src, acc)
-                        cached.append((sy, sh, f2, f1, lines, src))
+                        cached.append((f2, f1, lines, src))
                     xqd = sgr_solve_finish(acc, sgr_set)
                     sse = 0
-                    for sy, sh, f2, f1, lines, src in cached:
+                    for f2, f1, lines, src in cached:
                         out = sgr_apply(f2, f1, lines, xqd, bd)
                         sse += int(((out - src) ** 2).sum())
                     if sse < best_sse:
