@@ -237,7 +237,9 @@ class ContextInner:
         if can_pyramid and self.next_frameno < horizon and not is_flushing:
             raise EncoderStatus.NeedMoreData()  # reordering latency
         if can_pyramid and self.next_frameno >= horizon:
-            self.plan.extend(ic.plan_group(s, self.gop_input_start))
+            group = ic.plan_group(s, self.gop_input_start)
+            self._lookahead_group(group)
+            self.plan.extend(group)
             self.plan_next_input = s + ic.group_input_len
             return
 
@@ -264,6 +266,57 @@ class ContextInner:
             p.switch = True
         self.plan.append(p)
         self.plan_next_input = s + 1
+
+    def _lookahead_group(self, group) -> None:
+        """Temporal-RDO lookahead for one pyramid group (capability
+        counterpart of internal.rs:912-1259): estimate per-8x8 intra/inter
+        costs for the group's inputs, back-propagate block importance along
+        each B frame's backward-anchor motion, and attach the accumulated
+        grids to the anchor/mid PlannedFrames.  Skipped when temporal RDO
+        is disabled by the speed preset."""
+        import numpy as np
+
+        from rav1e_tpu.encoder import lookahead as la
+
+        e = self.config.enc
+        if not getattr(e.speed_settings, "temporal_rdo", True):
+            return
+        inters = [g for g in group if g.kind == "inter"]
+        frames = {}
+        for g in inters:
+            f = self.frame_q.get(g.input_frameno)
+            if f is None:
+                return
+            p = f.planes[0]
+            frames[g.input_frameno] = p.as_array()[: e.height, : e.width]
+        bd = e.bit_depth
+        data = {
+            no: la.LookaheadData(la.estimate_intra_costs(y, bd))
+            for no, y in frames.items()
+        }
+        # display order, each B propagating to its backward anchor
+        order = sorted(inters, key=lambda g: g.input_frameno)
+        anchor_no = order[-1].input_frameno
+        for g in order[:-1]:
+            # backward anchor in input order: the next group frame at a
+            # shallower pyramid level (s,s+2 -> s+1/s+3; s+1 -> s+3)
+            step = 1 if g.level == 2 else 2
+            tgt = g.input_frameno + step
+            if tgt not in frames:
+                tgt = anchor_no
+            src_y, ref_y = frames[g.input_frameno], frames[tgt]
+            mvs, _ = la.lookahead_motion(src_y, ref_y, bd)
+            inter = la.inter_costs_8x8(mvs, src_y, ref_y, bd)
+            d = data[g.input_frameno]
+            d.inter, d.mvs = inter, mvs
+            la.propagate_importance(
+                d.importances, d.intra, inter, mvs, data[tgt].importances
+            )
+        for g in inters:
+            d = data[g.input_frameno]
+            if d.importances.any():
+                g.importances = d.importances
+                g.la_intra = d.intra
 
     def receive_packet(self, pipeline, is_flushing: bool) -> Packet:
         while not self.plan:

@@ -37,6 +37,11 @@ class PlannedFrame:
     ref_slot_fwd: int = 0
     ref_slot_bwd: Optional[int] = None
     ref_frames: List[int] = field(default_factory=lambda: [0] * 7)
+    # temporal-RDO grids (internal.rs:912-1259): per-8x8 propagated
+    # importance and the frame's own intra-cost grid, filled by the
+    # scheduler's lookahead pass for pyramid anchors
+    importances: object = None
+    la_intra: object = None
 
 
 class InterConfig:

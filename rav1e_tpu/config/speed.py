@@ -83,6 +83,7 @@ class PredictionSpeedSettings:
 @dataclass
 class SpeedSettings:
     multiref: bool = True
+    temporal_rdo: bool = True
     fast_deblock: bool = False
     rdo_lookahead_frames: int = 40
     scene_detection_mode: SceneDetectionSpeed = SceneDetectionSpeed.Standard
@@ -130,6 +131,7 @@ class SpeedSettings:
             s.partition.partition_range = PartitionRange(4, 5)  # 16x16..32x32
             s.transform.enable_inter_tx_split = True
         if speed >= 10:
+            s.temporal_rdo = False
             s.scene_detection_mode = SceneDetectionSpeed.Fast
             s.partition.partition_range = PartitionRange(5, 5)  # 32x32 only
             s.motion.use_satd_subpel = False

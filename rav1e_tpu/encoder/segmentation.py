@@ -61,6 +61,7 @@ def _kmeans1d(values: np.ndarray, k: int, iters: int = 12) -> np.ndarray:
 def segmentation_optimize(
     luma_src: np.ndarray, base_q_idx: int, bit_depth: int, mi_cols: int,
     mi_rows: int, nseg: int = 3, ref_luma: np.ndarray = None,
+    imp_scales: np.ndarray = None,
 ) -> SegmentationState:
     """Build segment ΔQ table + per-mi map from source activity and (for
     inter frames) temporal predictability — the spatiotemporal-score analog
@@ -81,6 +82,17 @@ def segmentation_optimize(
         )
         terr = d.reshape(h8, 8, w8, 8).mean(axis=(1, 3)) / (1 << (bit_depth - 8))
         logs = logs + 0.5 * np.log2(np.maximum(terr, 0.25) / 4.0)
+    if imp_scales is not None:
+        # temporal-RDO importance: heavily-referenced cells behave like
+        # low-activity ones — lower q so their quality propagates
+        # (internal.rs block_importances -> distortion_scale path)
+        h8, w8 = logs.shape
+        sc = imp_scales[:h8, :w8]
+        if sc.shape != logs.shape:
+            pad = np.ones_like(logs)
+            pad[: sc.shape[0], : sc.shape[1]] = sc
+            sc = pad
+        logs = logs - 1.5 * np.log2(np.maximum(sc, 1.0))
     cents = _kmeans1d(logs.reshape(-1), nseg)
     if cents[-1] - cents[0] < 0.5:
         return st  # flat content: not worth the signaling
