@@ -144,11 +144,16 @@ class TileEncoder:
         rs=None,
         cdef_bits: int = 0,
         cdef_idx_map=None,
+        decision_log=None,
+        replay=None,
     ):
         self.fi = fi
         self.src = src
         self.rec = rec
         self.rs = rs
+        self.decision_log = decision_log
+        self.replay = replay
+        self._rp = 0
         self.cdef_bits = cdef_bits
         self.cdef_idx_map = cdef_idx_map
         self._cdef_coded = False
@@ -225,6 +230,10 @@ class TileEncoder:
                 self.encode_partition(
                     sbx * MIB_SIZE, sby * MIB_SIZE, BlockSize.BLOCK_64X64
                 )
+        if self.replay is not None and self._rp != len(self.replay):
+            raise RuntimeError(
+                f"decision replay desync: {len(self.replay) - self._rp} unconsumed"
+            )
         return self.w.done()
 
     # --- partition tree -------------------------------------------------
@@ -233,6 +242,23 @@ class TileEncoder:
         "mode", "uv_mode", "bsize", "skip", "tx_size", "segmentation_idx",
         "is_inter_flag", "ref_frames", "mv", "deblock_deltas",
     )
+
+    # --- RDO decision record/replay (pass-2 re-encode skips searches) -----
+
+    def _replaying(self) -> bool:
+        return self.replay is not None
+
+    def _pop_decision(self, tag):
+        t, v = self.replay[self._rp]
+        self._rp += 1
+        if t != tag:
+            raise RuntimeError(f"decision replay desync: expected {tag}, got {t}")
+        return v
+
+    def _log_decision(self, tag, v):
+        if self.decision_log is not None and not self._in_trial():
+            self.decision_log.append((tag, v))
+        return v
 
     def encode_partition(self, x: int, y: int, bsize: BlockSize, trial: bool = False) -> None:
         if x >= self.mi_w or y >= self.mi_h:
@@ -243,6 +269,8 @@ class TileEncoder:
         pr = self.speed.partition.partition_range
         if bsize < BlockSize.BLOCK_8X8:
             partition = PartitionType.PARTITION_NONE
+        elif self._replaying():
+            partition = self._pop_decision("part")
         else:
             must_split = not has_cols or not has_rows
             want_split = bsize.width_log2 > pr.max_log2
@@ -273,6 +301,8 @@ class TileEncoder:
                 partition = best[1]
             else:
                 partition = PartitionType.PARTITION_NONE
+            if not trial:
+                self._log_decision("part", partition)
 
         if bsize >= BlockSize.BLOCK_8X8:
             self.cw.write_partition(self.w, x, y, partition, bsize)
@@ -430,7 +460,14 @@ class TileEncoder:
 
     def encode_block(self, x: int, y: int, bsize: BlockSize) -> None:
         if self.fi.is_inter_frame:
-            inter = self.select_inter(x, y, bsize)
+            if self._replaying():
+                dec = self._pop_decision("blk")
+                inter = self._rebuild_inter(x, y, bsize, dec)
+            else:
+                inter = self.select_inter(x, y, bsize)
+                self._log_decision(
+                    "blk", None if inter is None else (inter[0], inter[2])
+                )
             if inter is not None:
                 self.encode_block_inter(x, y, bsize, *inter)
                 return
@@ -438,6 +475,25 @@ class TileEncoder:
             self.encode_block_intra(x, y, bsize, in_inter_frame=True)
         else:
             self.encode_block_intra(x, y, bsize, in_inter_frame=False)
+
+    def _rebuild_inter(self, x, y, bsize, dec):
+        """Reconstitute a recorded (ref_type, mv) inter decision: the ref
+        objects and MV stack re-derive deterministically from fi + the
+        (identical) block-grid state at this point of the traversal."""
+        if dec is None:
+            return None
+        ref_type, mv = dec
+        fi = self.fi
+        if isinstance(ref_type, tuple):
+            ref_obj = (fi.ref_frame, fi.ref_frame_bwd)
+        else:
+            from rav1e_tpu.context.mv import ALTREF_FRAME
+
+            ref_obj = fi.ref_frame_bwd if ref_type == ALTREF_FRAME else fi.ref_frame
+        stack, mode_ctx = self._mv_finder().find_mvrefs(
+            x, y, ref_type, bsize, lambda r: 0
+        )
+        return (ref_type, ref_obj, mv, stack, mode_ctx)
 
     def encode_block_intra(
         self, x: int, y: int, bsize: BlockSize, in_inter_frame: bool,
@@ -456,12 +512,19 @@ class TileEncoder:
             and bsize > BlockSize.BLOCK_4X4
             and not self._in_trial()
         ):
-            tx_size = self._select_intra_tx_size(x, y, bsize, in_inter_frame)
+            if self._replaying():
+                tx_size = self._pop_decision("txs")
+            else:
+                tx_size = self._log_decision(
+                    "txs", self._select_intra_tx_size(x, y, bsize, in_inter_frame)
+                )
         else:
             tx_size = self._luma_tx_size(bsize)
 
         if luma_mode_override is not None:
             luma_mode = luma_mode_override
+        elif self._replaying():
+            luma_mode, angle_delta_override = self._pop_decision("mode")
         else:
             ranked = self.select_luma_mode(x, y, bsize)
             luma_mode = ranked[0]
@@ -483,12 +546,16 @@ class TileEncoder:
                 luma_mode, angle_delta_override = self._select_intra_mode_rd(
                     x, y, bsize, in_inter_frame, cand_pairs
                 )
+            self._log_decision("mode", (luma_mode, angle_delta_override))
         chroma_mode = luma_mode if luma_mode < PredictionMode.UV_CFL_PRED else PredictionMode.DC_PRED
         do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, cs)
 
         cfl = None
         if do_chroma and cs != ChromaSampling.Cs400 and cfl_allowed(bsize):
-            cfl = self.select_cfl(x, y, bsize)
+            if self._replaying():
+                cfl = self._pop_decision("cfl")
+            else:
+                cfl = self._log_decision("cfl", self.select_cfl(x, y, bsize))
             if cfl is not None:
                 chroma_mode = PredictionMode.UV_CFL_PRED
 
@@ -980,7 +1047,12 @@ class TileEncoder:
             if self.speed.transform.enable_inter_tx_split:
                 txfm_split = True
             elif self.speed.transform.rdo_tx_decision:
-                txfm_split = self._select_inter_tx_split(x, y, bsize, max_tx, sub_tx)
+                if self._replaying():
+                    txfm_split = self._pop_decision("txsp")
+                else:
+                    txfm_split = self._log_decision(
+                        "txsp", self._select_inter_tx_split(x, y, bsize, max_tx, sub_tx)
+                    )
         tx_size = sub_tx if txfm_split else max_tx
         tx_jobs = self._quantize_inter_blocks(x, y, bsize, tx_size, do_chroma)
         skip = all(job[7] == 0 for job in tx_jobs)
@@ -1116,7 +1188,12 @@ class TileEncoder:
             if self.speed.transform.enable_inter_tx_split:
                 txfm_split = True
             elif self.speed.transform.rdo_tx_decision:
-                txfm_split = self._select_inter_tx_split(x, y, bsize, max_tx, sub_tx)
+                if self._replaying():
+                    txfm_split = self._pop_decision("txsp")
+                else:
+                    txfm_split = self._log_decision(
+                        "txsp", self._select_inter_tx_split(x, y, bsize, max_tx, sub_tx)
+                    )
         tx_size = sub_tx if txfm_split else max_tx
         tx_jobs = self._quantize_inter_blocks(x, y, bsize, tx_size, do_chroma)
         skip = all(job[7] == 0 for job in tx_jobs)
@@ -1573,13 +1650,17 @@ class TileEncoder:
 
         # tx-type RD choice for luma intra at quality speeds
         # (rdo_tx_type_decision, rdo.rs:1701): DCT vs the mode-preferred type
-        if (
+        rd_tx_type = (
             p == 0
             and self.speed.transform.rdo_tx_decision
             and w_px <= 32
             and h_px <= 32
             and mode.is_intra()
-        ):
+        )
+        if rd_tx_type and self._replaying():
+            tx_type = self._pop_decision("txt")
+            rd_tx_type = False
+        if rd_tx_type:
             from rav1e_tpu.tx import TX_SET_MEMBERS, get_tx_set
 
             pref = uv_intra_mode_to_tx_type_context(mode)
@@ -1604,6 +1685,7 @@ class TileEncoder:
                 if best is None or cost < best[0]:
                     best = (cost, tt, q, e)
             tx_type, qcoeffs, eob = best[1], best[2], best[3]
+            self._log_decision("txt", tx_type)
         else:
             from rav1e_tpu.native import fwd_quant_native
 
@@ -1784,8 +1866,8 @@ class FramePipeline:
         tile_payloads: List[bytes] = []
         enc_stats = EncoderStats()
         with span("encode_tiles", frame=input_frameno):
-            tile_payloads, enc_stats, frame_cdfs = self._encode_tiles(
-                fi, frame, rec, frame_blocks, mi_cols, mi_rows
+            tile_payloads, enc_stats, frame_cdfs, decisions = self._encode_tiles(
+                fi, frame, rec, frame_blocks, mi_cols, mi_rows, record=True
             )
 
         tile_group = self._build_tile_group(tile_payloads)
@@ -1899,24 +1981,30 @@ class FramePipeline:
             rs = None
 
         # symbols added after pass 1 (per-SB cdef_idx, per-LRU filters)
-        # require a tile re-encode.  Pass-2 block decisions can drift from
-        # pass 1 (its RDO sees the cdef_idx/LRF rate that pass 1 couldn't),
-        # so the pass-2 recon and block grids become canonical: the filter
-        # chain is re-applied on them with the already-coded decisions
-        # (deblock levels re-searched — they live in the frame header,
-        # written below; CDEF map and LRF units are coded in the tile
-        # stream verbatim, so re-application matches the decoder exactly).
+        # require a tile re-encode.  Pass 2 replays pass 1's recorded RDO
+        # decisions, so it normally reproduces the identical block stream
+        # cheaply.  The grids are verified below: if they ever drift (a
+        # decision point missing from the replay log), the pass-2 recon
+        # becomes canonical and the filter chain is re-applied with the
+        # already-coded CDEF map and LRF units so encoder refs still match
+        # the decoder exactly.
         if cdef_bits > 0 or rs is not None:
             rec_scratch = Frame.new(
                 enc.width, enc.height, enc.chroma_sampling, enc.bit_depth
             )
             fb_scratch = FrameBlocks(mi_cols, mi_rows)
-            tile_payloads, _, frame_cdfs = self._encode_tiles(
+            tile_payloads, _, frame_cdfs, _ = self._encode_tiles(
                 fi, frame, rec_scratch, fb_scratch, mi_cols, mi_rows, rs=rs,
-                cdef_bits=cdef_bits, cdef_idx_map=cdef_map,
+                cdef_bits=cdef_bits, cdef_idx_map=cdef_map, replays=decisions,
             )
             tile_group = self._build_tile_group(tile_payloads)
 
+            replay_exact = np.array_equal(
+                fb_scratch.skip, frame_blocks.skip
+            ) and np.array_equal(fb_scratch.tx_size, frame_blocks.tx_size)
+        else:
+            replay_exact = True
+        if not replay_exact:
             rec = rec_scratch
             frame_blocks = fb_scratch
             deblock_levels = deblock_levels_fast(
@@ -2075,10 +2163,14 @@ class FramePipeline:
         )
 
     def _encode_tiles(self, fi, frame, rec, frame_blocks, mi_cols, mi_rows, rs=None,
-                      cdef_bits=0, cdef_idx_map=None):
+                      cdef_bits=0, cdef_idx_map=None, record=False, replays=None):
         """Encode all tiles, in parallel threads when configured
         (reference encoder.rs:3249-3257 rayon par_iter; disjoint TileBlocksMut
-        views make tiles data-race free by construction)."""
+        views make tiles data-race free by construction).
+
+        ``record=True`` logs per-tile RDO decisions; ``replays`` (list of
+        logs, one per tile) re-encodes with searches skipped — pass 2 then
+        reproduces pass 1's block stream exactly (and cheaply)."""
         enc = self.config.enc
         rects = [
             self.tiling.tile_rect_mi(tc, tr, mi_cols, mi_rows)
@@ -2086,14 +2178,17 @@ class FramePipeline:
             for tc in range(self.tiling.cols)
         ]
 
-        def one(rect):
+        def one(idx_rect):
+            idx, rect = idx_rect
             tx, ty, tw, th = rect
             te = TileEncoder(
                 fi, frame, rec, tx, ty, tw, th, enc.speed_settings,
                 frame_blocks, rs=rs, cdef_bits=cdef_bits,
                 cdef_idx_map=cdef_idx_map,
+                decision_log=[] if record else None,
+                replay=list(replays[idx]) if replays is not None else None,
             )
-            return te.encode(), te.stats, te.fc, tw * th
+            return te.encode(), te.stats, te.fc, tw * th, te.decision_log
 
         nthreads = self.config.threads or 0
         if len(rects) > 1 and nthreads != 1:
@@ -2101,15 +2196,18 @@ class FramePipeline:
 
             workers = min(len(rects), nthreads or 8)
             with ThreadPoolExecutor(max_workers=workers) as pool:
-                results = list(pool.map(one, rects))
+                results = list(pool.map(one, enumerate(rects)))
         else:
-            results = [one(r) for r in rects]
+            results = [one(ir) for ir in enumerate(rects)]
         stats = EncoderStats()
-        for _, st, _, _ in results:
+        for _, st, _, _, _ in results:
             stats += st
         # frame-end CDFs: largest tile wins (encoder.rs:3331-3336)
         frame_cdfs = max(results, key=lambda r: r[3])[2]
-        return [p for p, _, _, _ in results], stats, frame_cdfs
+        return (
+            [p for p, _, _, _, _ in results], stats, frame_cdfs,
+            [d for _, _, _, _, d in results],
+        )
 
     def _build_tile_group(self, tile_payloads: List[bytes]) -> bytes:
         """Tile group OBU payload (spec 5.11.1): with one tile there is no
