@@ -1,0 +1,299 @@
+// Native SgrProj per-unit decision (ops/lrf.py lrf_decide_units inner loop).
+//
+// Computes, for one restoration unit, the SSE of the unfiltered CDEF output
+// plus (xqd0, xqd1, sse) for every candidate SgrProj parameter set — the
+// integral images, box sums, f2/f1 combines, normal-equation solve, and
+// filter application all mirror the numpy reference path bit-exactly
+// (integer ops identical; the 2x2 solve uses float64 with round-half-even
+// to match Python round()).
+//
+// Capability counterpart of the reference's src/lrf.rs:630-1097
+// (sgrproj_stripe_filter + sgrproj_solve), host-side for the encoder's
+// RDO; the TPU path keeps the frame-batched jnp implementation.
+
+#include <cstdint>
+#include <cmath>
+#include <cfenv>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+constexpr int SGRPROJ_MTABLE_BITS = 20;
+constexpr int SGRPROJ_SGR_BITS = 8;
+constexpr int SGRPROJ_RECIP_BITS = 12;
+constexpr int SGRPROJ_RST_BITS = 4;
+constexpr int SGRPROJ_PRJ_BITS = 7;
+
+inline long px_at(const void* p, long stride, int bytespp, long r, long c) {
+  if (bytespp == 1) return ((const uint8_t*)p)[r * stride + c];
+  return ((const uint16_t*)p)[r * stride + c];
+}
+
+// VertPaddedIter/HorzPaddedIter semantics (ops/lrf.py _stripe_source)
+inline long src_val(const void* cdef, long cstride, const void* debl,
+                    long dstride, int bytespp, long px, long sy, long row0,
+                    long col0, long stripe_h, long crop_w, long crop_h, long i,
+                    long j) {
+  long yy = i + sy + row0;
+  long cropped = std::min(std::max(yy, 0L), crop_h - 1);
+  long ly = std::min(std::max(cropped, sy - 2), sy + stripe_h + 1);
+  bool use_cdef = (ly >= sy) && (ly < sy + stripe_h);
+  long xx = std::min(std::max(j + px + col0, 0L), crop_w - 1);
+  return use_cdef ? px_at(cdef, cstride, bytespp, ly, xx)
+                  : px_at(debl, dstride, bytespp, ly, xx);
+}
+
+struct StripeGeom {
+  int sh, uw;
+  std::vector<int64_t> P, Psq;  // inclusive 2-D prefix sums, (nrows, uw+7)
+  std::vector<int64_t> lines;   // (sh, uw)
+  int nrows, ncols;
+};
+
+void build_geom(StripeGeom& g, const void* cdef, long cstride,
+                const void* debl, long dstride, int bytespp, long px, long sy,
+                int uw, int sh, long crop_w, long crop_h) {
+  int sh_even = sh + (sh & 1);
+  int nrows = 4 + sh_even + 2;
+  int ncols = uw + 7;
+  g.sh = sh; g.uw = uw; g.nrows = nrows; g.ncols = ncols;
+  g.P.assign((size_t)nrows * ncols, 0);
+  g.Psq.assign((size_t)nrows * ncols, 0);
+  for (int i = 0; i < nrows; i++) {
+    int64_t rowsum = 0, rowsq = 0;
+    for (int j = 0; j < ncols; j++) {
+      long v = src_val(cdef, cstride, debl, dstride, bytespp, px, sy, -4, -4,
+                       sh, crop_w, crop_h, i, j);
+      rowsum += v;
+      rowsq += (int64_t)v * v;
+      int64_t up = i > 0 ? g.P[(size_t)(i - 1) * ncols + j] : 0;
+      int64_t upq = i > 0 ? g.Psq[(size_t)(i - 1) * ncols + j] : 0;
+      g.P[(size_t)i * ncols + j] = rowsum + up;
+      g.Psq[(size_t)i * ncols + j] = rowsq + upq;
+    }
+  }
+  g.lines.assign((size_t)sh * uw, 0);
+  for (int i = 0; i < sh; i++)
+    for (int j = 0; j < uw; j++)
+      g.lines[(size_t)i * uw + j] = src_val(
+          cdef, cstride, debl, dstride, bytespp, px, sy, 0, 0, sh, crop_w,
+          crop_h, i, j);
+}
+
+// quantize.py _sum_finish, elementwise
+inline void sum_finish(int64_t ssq, int64_t ssum, long n, long one_over_n,
+                       long s, int bd, int64_t* a_out, int64_t* b_out) {
+  int bdm8 = bd - 8;
+  int64_t sssq = bdm8 ? ((ssq + ((int64_t)1 << (2 * bdm8) >> 1)) >> (2 * bdm8)) : ssq;
+  int64_t ssum_s = bdm8 ? ((ssum + ((int64_t)1 << bdm8 >> 1)) >> bdm8) : ssum;
+  int64_t p = sssq * n - ssum_s * ssum_s;
+  if (p < 0) p = 0;
+  int64_t z = (p * s + ((int64_t)1 << SGRPROJ_MTABLE_BITS >> 1)) >> SGRPROJ_MTABLE_BITS;
+  int64_t a;
+  if (z >= 255) a = 256;
+  else if (z == 0) a = 1;
+  else a = ((z << SGRPROJ_SGR_BITS) + z / 2) / (z + 1);
+  int64_t b = ((int64_t)((1 << SGRPROJ_SGR_BITS) - a)) * ssum * one_over_n;
+  *a_out = a;
+  *b_out = (b + ((int64_t)1 << SGRPROJ_RECIP_BITS >> 1)) >> SGRPROJ_RECIP_BITS;
+}
+
+inline int64_t boxP(const std::vector<int64_t>& M, int ncols, long y, long x,
+                    int d) {
+  return M[(size_t)(y + d) * ncols + x + d] - M[(size_t)y * ncols + x + d] -
+         M[(size_t)(y + d) * ncols + x] + M[(size_t)y * ncols + x];
+}
+
+// f2/f1 for one stripe under one (s_r2, s_r1); mirrors
+// ops/lrf.py sgr_compute_f_from_geom
+void compute_f(const StripeGeom& g, int bd, long s_r2, long s_r1,
+               std::vector<int64_t>& f2, std::vector<int64_t>& f1) {
+  int sh = g.sh, uw = g.uw, ncols = g.ncols;
+  f2.assign((size_t)sh * uw, 0);
+  f1.assign((size_t)sh * uw, 0);
+
+  if (s_r2 > 0) {
+    int nys = (sh + 3) / 2;  // arange(0, sh+2, 2): ceil((sh+2)/2) entries
+    std::vector<int64_t> A2((size_t)nys * (uw + 2)), B2((size_t)nys * (uw + 2));
+    for (int yi = 0; yi < nys; yi++) {
+      long y = 2 * yi;
+      for (int x = 0; x < uw + 2; x++) {
+        sum_finish(boxP(g.Psq, ncols, y, x, 5), boxP(g.P, ncols, y, x, 5), 25,
+                   164, s_r2, bd, &A2[(size_t)yi * (uw + 2) + x],
+                   &B2[(size_t)yi * (uw + 2) + x]);
+      }
+    }
+    // a2c/b2c: 5*(A[:, :-2]+A[:, 2:]) + 6*A[:, 1:-1], cols uw
+    std::vector<int64_t> a2c((size_t)nys * uw), b2c((size_t)nys * uw);
+    for (int yi = 0; yi < nys; yi++)
+      for (int x = 0; x < uw; x++) {
+        const int64_t* Ar = &A2[(size_t)yi * (uw + 2)];
+        const int64_t* Br = &B2[(size_t)yi * (uw + 2)];
+        a2c[(size_t)yi * uw + x] = 5 * (Ar[x] + Ar[x + 2]) + 6 * Ar[x + 1];
+        b2c[(size_t)yi * uw + x] = 5 * (Br[x] + Br[x + 2]) + 6 * Br[x + 1];
+      }
+    int n_even = (sh + 1) / 2;
+    for (int j0 = 0; j0 < n_even; j0++) {
+      int row = 2 * j0;
+      for (int x = 0; x < uw; x++) {
+        int64_t v = (a2c[(size_t)j0 * uw + x] + a2c[(size_t)(j0 + 1) * uw + x]) *
+                        g.lines[(size_t)row * uw + x] +
+                    b2c[(size_t)j0 * uw + x] + b2c[(size_t)(j0 + 1) * uw + x] +
+                    (1 << 9 >> 1);
+        f2[(size_t)row * uw + x] = v >> 9;
+      }
+    }
+    int n_odd = sh / 2;
+    for (int j1 = 1; j1 <= n_odd; j1++) {
+      int row = 2 * j1 - 1;
+      for (int x = 0; x < uw; x++) {
+        int64_t v = a2c[(size_t)j1 * uw + x] * g.lines[(size_t)row * uw + x] +
+                    b2c[(size_t)j1 * uw + x] + (1 << 8 >> 1);
+        f2[(size_t)row * uw + x] = v >> 8;
+      }
+    }
+  } else {
+    for (size_t i = 0; i < f2.size(); i++) f2[i] = g.lines[i] << SGRPROJ_RST_BITS;
+  }
+
+  if (s_r1 > 0) {
+    int nys = sh + 2;  // arange(0, sh+2) + 1, box offset (1,1)
+    std::vector<int64_t> A1((size_t)nys * (uw + 2)), B1((size_t)nys * (uw + 2));
+    for (int yi = 0; yi < nys; yi++) {
+      long y = yi + 1;
+      for (int x = 0; x < uw + 2; x++) {
+        // column base shifted by 1 (P[:, 1:])
+        sum_finish(boxP(g.Psq, ncols, y, x + 1, 3), boxP(g.P, ncols, y, x + 1, 3),
+                   9, 455, s_r1, bd, &A1[(size_t)yi * (uw + 2) + x],
+                   &B1[(size_t)yi * (uw + 2) + x]);
+      }
+    }
+    for (int r = 0; r < sh; r++) {
+      const int64_t* T0 = &A1[(size_t)r * (uw + 2)];
+      const int64_t* T1 = &A1[(size_t)(r + 1) * (uw + 2)];
+      const int64_t* T2 = &A1[(size_t)(r + 2) * (uw + 2)];
+      const int64_t* U0 = &B1[(size_t)r * (uw + 2)];
+      const int64_t* U1 = &B1[(size_t)(r + 1) * (uw + 2)];
+      const int64_t* U2 = &B1[(size_t)(r + 2) * (uw + 2)];
+      for (int x = 0; x < uw; x++) {
+        int64_t a1c = 3 * (T0[x] + T2[x] + T0[x + 2] + T2[x + 2]) +
+                      4 * (T1[x] + T0[x + 1] + T1[x + 1] + T2[x + 1] + T1[x + 2]);
+        int64_t b1c = 3 * (U0[x] + U2[x] + U0[x + 2] + U2[x + 2]) +
+                      4 * (U1[x] + U0[x + 1] + U1[x + 1] + U2[x + 1] + U1[x + 2]);
+        int64_t v = a1c * g.lines[(size_t)r * uw + x] + b1c + (1 << 9 >> 1);
+        f1[(size_t)r * uw + x] = v >> 9;
+      }
+    }
+  } else {
+    for (size_t i = 0; i < f1.size(); i++) f1[i] = g.lines[i] << SGRPROJ_RST_BITS;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Per-unit SgrProj decision.  stripes: nstripes (sy, sh) pairs.
+// params: nsets (s_r2, s_r1) pairs.  out: nsets triples
+// (xqd0, xqd1, sse).  Returns sse_none (unfiltered CDEF vs source).
+long long enc_sgr_decide_unit(
+    const void* cdef, long cstride, const void* debl, long dstride,
+    const void* src, long sstride, int bytespp, long x, int uw,
+    const long* stripes, int nstripes, long crop_w, long crop_h, int bd,
+    const long* params, int nsets, long long* out) {
+  std::fesetround(FE_TONEAREST);  // match Python round-half-even
+
+  static thread_local std::vector<StripeGeom> geoms;
+  geoms.resize(nstripes);
+  long long sse_none = 0;
+  for (int si = 0; si < nstripes; si++) {
+    long sy = stripes[2 * si], sh = stripes[2 * si + 1];
+    build_geom(geoms[si], cdef, cstride, debl, dstride, bytespp, x, sy,
+               uw, (int)sh, crop_w, crop_h);
+    for (long r = 0; r < sh; r++)
+      for (int c = 0; c < uw; c++) {
+        long long d = px_at(cdef, cstride, bytespp, sy + r, x + c) -
+                      px_at(src, sstride, bytespp, sy + r, x + c);
+        sse_none += d * d;
+      }
+  }
+
+  std::vector<int64_t> f2, f1;
+  std::vector<std::vector<int64_t>> f2c(nstripes), f1c(nstripes);
+  for (int s = 0; s < nsets; s++) {
+    long s_r2 = params[2 * s], s_r1 = params[2 * s + 1];
+    // accumulate normal equations over all stripes
+    double acc[6] = {0, 0, 0, 0, 0, 0};
+    int64_t ai[6] = {0, 0, 0, 0, 0, 0};
+    for (int si = 0; si < nstripes; si++) {
+      const StripeGeom& g = geoms[si];
+      long sy = stripes[2 * si];
+      compute_f(g, bd, s_r2, s_r1, f2c[si], f1c[si]);
+      for (int r = 0; r < g.sh; r++)
+        for (int c = 0; c < g.uw; c++) {
+          int64_t u = g.lines[(size_t)r * g.uw + c] << SGRPROJ_RST_BITS;
+          int64_t sv = ((int64_t)px_at(src, sstride, bytespp, sy + r, x + c)
+                        << SGRPROJ_RST_BITS) - u;
+          int64_t d2 = f2c[si][(size_t)r * g.uw + c] - u;
+          int64_t d1 = f1c[si][(size_t)r * g.uw + c] - u;
+          ai[0] += d2 * d2;
+          ai[1] += d1 * d2;
+          ai[2] += d1 * d1;
+          ai[3] += d2 * sv;
+          ai[4] += d1 * sv;
+          ai[5] += 1;
+        }
+    }
+    (void)acc;
+    // solve (ops/lrf.py sgr_solve_finish)
+    double n = (double)std::max<int64_t>(ai[5], 1);
+    double h00 = (double)ai[0] / n, h01 = (double)ai[1] / n,
+           h11 = (double)ai[2] / n;
+    double c0 = (double)ai[3] * (1 << SGRPROJ_PRJ_BITS) / n;
+    double c1 = (double)ai[4] * (1 << SGRPROJ_PRJ_BITS) / n;
+    double xq0 = 0, xq1 = 0;
+    if (s_r2 == 0) {
+      xq1 = h11 == 0.0 ? 0.0 : std::nearbyint(c1 / h11);
+    } else if (s_r1 == 0) {
+      xq0 = h00 == 0.0 ? 0.0 : std::nearbyint(c0 / h00);
+    } else {
+      double det = h00 * h11 - h01 * h01;
+      if (det != 0.0) {
+        xq0 = std::nearbyint((h11 * c0 - h01 * c1) / det);
+        xq1 = std::nearbyint((h00 * c1 - h01 * c0) / det);
+      }
+    }
+    long xqd0 = std::max(-96L, std::min((long)xq0, 31L));
+    long xqd1 = std::max(
+        -32L, std::min((1L << SGRPROJ_PRJ_BITS) - xqd0 - (long)xq1, 95L));
+
+    // apply + SSE
+    long long sse = 0;
+    int w0 = (int)xqd0, w1 = (int)xqd1;
+    int w2 = (1 << SGRPROJ_PRJ_BITS) - w0 - w1;
+    int shift = SGRPROJ_RST_BITS + SGRPROJ_PRJ_BITS;
+    long maxv = (1L << bd) - 1;
+    for (int si = 0; si < nstripes; si++) {
+      const StripeGeom& g = geoms[si];
+      long sy = stripes[2 * si];
+      for (int r = 0; r < g.sh; r++)
+        for (int c = 0; c < g.uw; c++) {
+          int64_t u = g.lines[(size_t)r * g.uw + c] << SGRPROJ_RST_BITS;
+          int64_t v = (int64_t)w0 * f2c[si][(size_t)r * g.uw + c] +
+                      (int64_t)w1 * u +
+                      (int64_t)w2 * f1c[si][(size_t)r * g.uw + c];
+          int64_t o = (v + ((int64_t)1 << shift >> 1)) >> shift;
+          o = std::max<int64_t>(0, std::min<int64_t>(o, maxv));
+          long long d = o - px_at(src, sstride, bytespp, sy + r, x + c);
+          sse += d * d;
+        }
+    }
+    out[3 * s] = xqd0;
+    out[3 * s + 1] = xqd1;
+    out[3 * s + 2] = sse;
+  }
+  return sse_none;
+}
+
+}  // extern "C"

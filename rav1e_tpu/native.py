@@ -14,7 +14,12 @@ from pathlib import Path
 from typing import Optional
 
 _ROOT = Path(__file__).resolve().parent.parent
-_SRCS = [_ROOT / "native" / "ec.cc", _ROOT / "native" / "itx.cc", _ROOT / "native" / "enc.cc"]
+_SRCS = [
+    _ROOT / "native" / "ec.cc",
+    _ROOT / "native" / "itx.cc",
+    _ROOT / "native" / "enc.cc",
+    _ROOT / "native" / "lrf.cc",
+]
 _LIB = _ROOT / "native" / "librav1e_tpu_ec.so"
 
 _lib: Optional[ctypes.CDLL] = None
@@ -79,6 +84,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         c.c_void_p,
     ]
     lib.ectx_count_coeffs.restype = c.c_int
+    lib.enc_sgr_decide_unit.argtypes = [
+        c.c_void_p, c.c_long, c.c_void_p, c.c_long, c.c_void_p, c.c_long,
+        c.c_int, c.c_long, c.c_int, c.c_void_p, c.c_int, c.c_long, c.c_long,
+        c.c_int, c.c_void_p, c.c_int, c.c_void_p,
+    ]
+    lib.enc_sgr_decide_unit.restype = c.c_longlong
     lib.itx_load_program.argtypes = [
         c.c_int, c.c_int, c.c_int, c.c_void_p, c.c_void_p, c.c_void_p,
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_int, c.c_void_p,

@@ -482,6 +482,37 @@ def lrf_filter_frame(rs: RestorationState, frame, deblocked_planes, width,
 # ---------------------------------------------------------------------------
 
 
+def _sgr_decide_native(cdef_arr, debl_arr, src_arr, x, uw, pieces, crop_w,
+                       crop_h, bd, sets):
+    """Whole-unit SgrProj decision in C (native/lrf.cc); returns
+    [(xqd0, xqd1, sse)] per set, or None to use the numpy path."""
+    from rav1e_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or cdef_arr.itemsize not in (1, 2):
+        return None
+    if cdef_arr.strides[1] != cdef_arr.itemsize or \
+       debl_arr.strides[1] != debl_arr.itemsize or \
+       src_arr.strides[1] != src_arr.itemsize:
+        return None
+    stripes = np.ascontiguousarray(
+        np.array([[sy, sh] for sy, sh in pieces], dtype=np.int64).reshape(-1)
+    )
+    params = np.ascontiguousarray(
+        np.array([SGRPROJ_PARAMS_S[s] for s in sets], dtype=np.int64).reshape(-1)
+    )
+    out = np.zeros(3 * len(sets), dtype=np.int64)
+    lib.enc_sgr_decide_unit(
+        cdef_arr.ctypes.data, cdef_arr.strides[0] // cdef_arr.itemsize,
+        debl_arr.ctypes.data, debl_arr.strides[0] // debl_arr.itemsize,
+        src_arr.ctypes.data, src_arr.strides[0] // src_arr.itemsize,
+        cdef_arr.itemsize, x, uw,
+        stripes.ctypes.data, len(pieces), crop_w, crop_h, bd,
+        params.ctypes.data, len(sets), out.ctypes.data,
+    )
+    return [tuple(out[3 * i : 3 * i + 3]) for i in range(len(sets))]
+
+
 def lrf_decide_units(rs: RestorationState, frame, deblocked_planes, source,
                      width, height, bd, cs, sets=SGRPROJ_REDUCED_SETS) -> None:
     """Per-LRU filter selection: solve SgrProj xqd for each candidate set on
@@ -530,6 +561,17 @@ def lrf_decide_units(rs: RestorationState, frame, deblocked_planes, source,
                     )
                     pieces.append((sy, sh))
                 best_sse = sse_none
+                native_out = _sgr_decide_native(
+                    cdef_arr, debl_arr, src_arr, x, uw, pieces, crop_w,
+                    crop_h, bd, sets,
+                )
+                if native_out is not None:
+                    for sgr_set, (xqd0, xqd1, sse) in zip(sets, native_out):
+                        if sse < best_sse:
+                            best_sse = sse
+                            best = (("sgr", sgr_set, (int(xqd0), int(xqd1))), None)
+                    rp.units[uy][ux] = best[0]
+                    continue
                 geoms = [
                     (
                         sgr_stripe_geom(

@@ -232,3 +232,44 @@ def test_lrf_improves_psnr():
         return 10 * np.log10(255 ** 2 / np.mean((rec - src) ** 2))
 
     assert psnr(pkts_on[0]) >= psnr(pkts_off[0]) - 0.01
+
+
+def test_sgr_decide_native_matches_python():
+    """Whole-unit native SGR decision (xqd + SSE) must equal the numpy path,
+    including odd stripe heights (the arange(0, sh+2, 2) row-count case)."""
+    import rav1e_tpu.ops.lrf as LR
+    from rav1e_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(11)
+    for h, w in ((87, 94), (96, 128), (40, 33), (64, 64)):
+        cdef = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        debl = np.clip(cdef.astype(int) + rng.integers(-2, 3, (h, w)), 0, 255).astype(np.uint8)
+        src = np.clip(cdef.astype(int) + rng.integers(-5, 6, (h, w)), 0, 255).astype(np.uint8)
+        pieces = [(0, min(56, h))]
+        if h > 56:
+            pieces.append((56, min(64, h - 56)))
+        nat = LR._sgr_decide_native(
+            cdef, debl, src, 0, w, pieces, w, h, 8, LR.SGRPROJ_REDUCED_SETS
+        )
+        assert nat is not None
+        for sgr_set, (x0n, x1n, ssen) in zip(LR.SGRPROJ_REDUCED_SETS, nat):
+            s_r2, s_r1 = LR.SGRPROJ_PARAMS_S[sgr_set]
+            acc = [0] * 6
+            cached = []
+            for sy, sh in pieces:
+                g = LR.sgr_stripe_geom(cdef, debl, 0, sy, w, sh, w, h)
+                f2, f1 = LR.sgr_compute_f_from_geom(g, 8, s_r2, s_r1)
+                s_ = src[sy : sy + sh]
+                LR.sgr_solve_accumulate(f2, f1, g["lines"], s_, acc)
+                cached.append((f2, f1, g["lines"], s_))
+            xqd = LR.sgr_solve_finish(acc, sgr_set)
+            sse = sum(
+                int(((LR.sgr_apply(f2, f1, ln, xqd, 8) - s_) ** 2).sum())
+                for f2, f1, ln, s_ in cached
+            )
+            assert (x0n, x1n) == xqd, (h, w, sgr_set)
+            assert ssen == sse, (h, w, sgr_set)
