@@ -1749,6 +1749,7 @@ class FramePipeline:
         self.slot_order_hints = [0] * 8
         from rav1e_tpu.rc import RCState
 
+        self._rc_retry = False
         self.rc = RCState(
             bit_depth=enc.bit_depth,
             quantizer=enc.quantizer,
@@ -2109,6 +2110,24 @@ class FramePipeline:
         fh_payload = frame_header_payload(self.seq, fh, self.tiling)
         packet_data += wrap_obu(ObuType.OBU_FRAME_HEADER, fh_payload)
         packet_data += wrap_obu(ObuType.OBU_TILE_GROUP, tile_group)
+
+        # trial re-encode (rate.rs needs_trial_encode): an uncalibrated
+        # subtype that badly missed its bitrate target re-encodes once at a
+        # corrected quantizer; nothing has been committed yet at this point
+        if not self._rc_retry and self.rc.needs_trial_encode(
+            len(packet_data) * 8, frame_type, plan.level
+        ):
+            self.rc.observe_trial(
+                len(packet_data) * 8, frame_type, fi.base_q_idx,
+                enc.width, enc.height, plan.level,
+            )
+            self._rc_retry = True
+            try:
+                return self.encode_frame(
+                    frame, input_frameno, frame_type, params, is_first, plan
+                )
+            finally:
+                self._rc_retry = False
 
         rec.pad()
         self.rec_frame = rec

@@ -54,6 +54,41 @@ class TwoPassSummary:
     ntus: int = 0
 
 
+class IIRBessel2:
+    """Second-order Bessel low-pass (reference rate.rs:122-215): smooths
+    the per-subtype rate-model corrections so a single outlier frame can't
+    swing the quantizer; delay is the -3dB point in frames."""
+
+    __slots__ = ("c0", "c1", "g", "x0", "x1", "y0", "y1")
+
+    def __init__(self, delay: float, value: float = 0.0):
+        self.set_delay(delay)
+        self.x0 = self.x1 = value
+        self.y0 = self.y1 = value
+
+    def set_delay(self, delay: float) -> None:
+        # bilinear-transformed continuous-time Bessel poles
+        # (theta scaled so `delay` frames reach ~63% of a step)
+        import math as _m
+
+        delay = max(delay, 1.0)
+        theta = 2.0 * _m.pi / (4.0 * delay)
+        d = 1.0 + 3.0 / (2.0 * theta) + 3.0 / (theta * theta) * 0.75
+        self.c0 = (3.0 / theta + 1.5 / (theta * theta)) / d
+        self.c1 = (-0.75 / (theta * theta)) / d
+        self.g = 1.0 - self.c0 - self.c1
+
+    def update(self, x: float) -> float:
+        ya = self.c0 * self.y0 + self.c1 * self.y1 + self.g * x
+        self.y1, self.y0 = self.y0, ya
+        self.x1, self.x0 = self.x0, x
+        return ya
+
+    @property
+    def value(self) -> float:
+        return self.y0
+
+
 class RCState:
     """Rate controller: CQ or bitrate mode with reservoir."""
 
@@ -86,6 +121,11 @@ class RCState:
         self._model_a = [23.0, 21.5, 21.0, 20.5]
         self._model_b = [1.1, 1.3, 1.3, 1.3]
         self._model_n = [0, 0, 0, 0]
+        # Bessel-smoothed intercept corrections (rate.rs IIRBessel2 usage):
+        # I frames are rare -> short delay; B1 frames are frequent -> longer
+        self._model_filt = [
+            IIRBessel2(d) for d in (2.0, 4.0, 6.0, 8.0)
+        ]
 
         # I-frame boost relative to P; B frames get reduced targets
         self.i_boost = 1.8
@@ -113,12 +153,20 @@ class RCState:
 
         npx = width * height
 
-        target = self.bits_per_frame * self.b_discount[st]
+        # group-normalized subtype weights: the steady-state pyramid group
+        # (P, B0, B1, B1) must average to bits_per_frame, so the discounts
+        # redistribute within the group instead of shrinking the total
+        wsum = (
+            self.b_discount[FRAME_SUBTYPE_P]
+            + self.b_discount[FRAME_SUBTYPE_B0]
+            + 2.0 * self.b_discount[FRAME_SUBTYPE_B1]
+        )
+        target = self.bits_per_frame * 4.0 * self.b_discount[st] / wsum
         # reservoir correction: nudge toward half-full
         deviation = (self.reservoir_fullness - 0.5 * self.reservoir_max) / max(
             self.reservoir_max, 1.0
         )
-        target *= 1.0 + 0.8 * deviation
+        target *= max(1.0 + 1.2 * deviation, 0.1)
         if st == FRAME_SUBTYPE_I:
             target *= self.i_boost
         # two-pass: scale target by relative complexity
@@ -153,15 +201,24 @@ class RCState:
         # refit intercept a with the observed point (slope fixed)
         a_obs = log_bpp + self._model_b[st] * log_q
         n = self._model_n[st]
-        alpha = 1.0 if n < 3 else 0.25
-        delta = a_obs - self._model_a[st]
-        self._model_a[st] += alpha * delta
+        prev_a = self._model_a[st]
+        if n < 3:
+            # fast convergence on the first observations
+            self._model_a[st] += (1.0 if n == 0 else 0.5) * (a_obs - prev_a)
+            f = self._model_filt[st]
+            f.x0 = f.x1 = f.y0 = f.y1 = self._model_a[st]
+        else:
+            # steady state: Bessel-filtered intercept (outlier-robust,
+            # reference rate.rs IIRBessel2 scale smoothing)
+            self._model_a[st] = self._model_filt[st].update(a_obs)
         self._model_n[st] = n + 1
-        # share the correction with unobserved sibling subtypes so the first
-        # P/B frames benefit from the I frame's calibration
-        for other in range(FRAME_NSUBTYPES):
-            if other != st and self._model_n[other] == 0:
-                self._model_a[other] += alpha * delta
+        if n == 0:
+            # share the first correction with unobserved sibling subtypes so
+            # the first P/B frames benefit from the I frame's calibration
+            delta = self._model_a[st] - prev_a
+            for other in range(FRAME_NSUBTYPES):
+                if other != st and self._model_n[other] == 0:
+                    self._model_a[other] += delta
 
         if not self.cq_mode:
             self.reservoir_fullness += self.bits_per_frame - bits_used
@@ -174,6 +231,39 @@ class RCState:
         self.twopass_record.append(TwoPassFrameData(st, max(scale, 1)))
         if self.pass1_data is not None:
             self.pass1_pos += 1
+
+    # --- trial encode (reference rate.rs needs_trial_encode:1234) ------
+
+    def needs_trial_encode(self, bits_used: int, frame_type, level: int = 0) -> bool:
+        """True when the first frame of a subtype missed its target badly
+        enough that re-encoding at a corrected quantizer is worth the cost
+        (bitrate mode only)."""
+        if self.cq_mode or self.bits_per_frame <= 0:
+            return False
+        st = _subtype(frame_type, level)
+        if self._model_n[st] > 0:
+            return False
+        target = self.bits_per_frame * self.b_discount[st]
+        if st == FRAME_SUBTYPE_I:
+            target *= self.i_boost
+        ratio = bits_used / max(target, 1.0)
+        return ratio > 2.5 or ratio < 0.4
+
+    def observe_trial(
+        self, bits_used: int, frame_type, qindex: int, width: int, height: int,
+        level: int = 0,
+    ) -> None:
+        """Fold a trial encode's outcome into the rate model without
+        touching the reservoir or two-pass record."""
+        st = _subtype(frame_type, level)
+        npx = width * height
+        q_step3 = tables.ac_q(qindex, 0, self.bit_depth)
+        log_q = math.log2(max(q_step3, 1))
+        a_obs = math.log2(max(bits_used / npx, 1e-6)) + 12.0 + self._model_b[st] * log_q
+        self._model_a[st] = a_obs
+        f = self._model_filt[st]
+        f.x0 = f.x1 = f.y0 = f.y1 = a_obs
+        self._model_n[st] = 1
 
     # --- two-pass data plumbing (reference rate.rs:1294-1446) ----------
 
