@@ -45,10 +45,12 @@ def estimate_intra_costs(luma: np.ndarray, bit_depth: int) -> np.ndarray:
     return np.maximum(best / (1 << (bit_depth - 8)), 1.0)
 
 
-def lookahead_motion(src: np.ndarray, ref: np.ndarray, bit_depth: int):
+def lookahead_motion(src: np.ndarray, ref: np.ndarray, bit_depth: int,
+                     seeds: np.ndarray = None):
     """Full-pel 16x16 diamond ME vs one reference (compute_motion_vectors,
-    lookahead.rs:271).  Returns (mvs (nby, nbx, 2) int in px, sad (nby, nbx)).
-    """
+    lookahead.rs:271).  ``seeds``: optional (nby, nbx, 2) per-block starting
+    MVs (from a coarser pyramid level).  Returns
+    (mvs (nby, nbx, 2) int in px, sad (nby, nbx))."""
     h, w = src.shape
     nby, nbx = max(h // ME_BLOCK, 1), max(w // ME_BLOCK, 1)
     mvs = np.zeros((nby, nbx, 2), dtype=np.int32)
@@ -69,7 +71,18 @@ def lookahead_motion(src: np.ndarray, ref: np.ndarray, bit_depth: int):
                     np.abs(block - ref[ry : ry + bh, rx : rx + bw]).sum()
                 )
 
-            best_mv, best = (0, 0), sad_at(0, 0)
+            cand_seeds = [(0, 0)]
+            if seeds is not None:
+                sy = min(by, seeds.shape[0] - 1)
+                sx = min(bx, seeds.shape[1] - 1)
+                cand_seeds.append((int(seeds[sy, sx, 0]), int(seeds[sy, sx, 1])))
+            best_mv, best = None, None
+            for sd in cand_seeds:
+                c = sad_at(*sd)
+                if c is not None and (best is None or c < best):
+                    best_mv, best = sd, c
+            if best is None:
+                best_mv, best = (0, 0), sad_at(0, 0) or 0
             for step in (8, 4, 2, 1):
                 improved = True
                 while improved:
@@ -83,6 +96,46 @@ def lookahead_motion(src: np.ndarray, ref: np.ndarray, bit_depth: int):
             mvs[by, bx] = best_mv
             sads[by, bx] = best / norm
     return mvs, sads
+
+
+def _down2(a: np.ndarray) -> np.ndarray:
+    h2, w2 = (a.shape[0] // 2) * 2, (a.shape[1] // 2) * 2
+    if h2 < 2 or w2 < 2:
+        return a.copy()
+    return (
+        a[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+    ).astype(a.dtype)
+
+
+def _upsample_mvs(mvs: np.ndarray, nby: int, nbx: int) -> np.ndarray:
+    """Scale a coarser MV grid x2 (pixels) and repeat to the finer grid."""
+    up = np.repeat(np.repeat(mvs * 2, 2, axis=0), 2, axis=1)
+    out = np.zeros((nby, nbx, 2), dtype=np.int32)
+    ys = np.minimum(np.arange(nby), up.shape[0] - 1)
+    xs = np.minimum(np.arange(nbx), up.shape[1] - 1)
+    out[:] = up[ys[:, None], xs[None, :]]
+    return out
+
+
+def hierarchical_me(src: np.ndarray, ref: np.ndarray, bit_depth: int):
+    """3-pass pyramid motion (estimate_tile_motion, me.rs:153-284):
+    quarter-res diamond, then half- and full-res refinement with scaled
+    seeds.  Returns the full-res (nby, nbx, 2) field in pixel units on the
+    16x16 grid (callers convert to 1/8-pel)."""
+    src_h, ref_h = _down2(src), _down2(ref)
+    src_q, ref_q = _down2(src_h), _down2(ref_h)
+    mv_q, _ = lookahead_motion(src_q, ref_q, bit_depth)
+    nby_h = max(src_h.shape[0] // ME_BLOCK, 1)
+    nbx_h = max(src_h.shape[1] // ME_BLOCK, 1)
+    mv_h, _ = lookahead_motion(
+        src_h, ref_h, bit_depth, seeds=_upsample_mvs(mv_q, nby_h, nbx_h)
+    )
+    nby = max(src.shape[0] // ME_BLOCK, 1)
+    nbx = max(src.shape[1] // ME_BLOCK, 1)
+    mv_f, _ = lookahead_motion(
+        src, ref, bit_depth, seeds=_upsample_mvs(mv_h, nby, nbx)
+    )
+    return mv_f
 
 
 def inter_costs_8x8(mvs: np.ndarray, src: np.ndarray, ref: np.ndarray,

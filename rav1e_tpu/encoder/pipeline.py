@@ -121,6 +121,7 @@ class FrameInvariantsLite:
     prev_mvs: Optional[np.ndarray] = None  # (mi_rows, mi_cols, 2) last frame MV field
     init_cdfs: Optional[object] = None  # CDFContext inherited via primary_ref_frame
     dist_scales: Optional[np.ndarray] = None  # per-8x8 temporal-RDO distortion scales
+    me_fields: Optional[dict] = None  # ref_type -> (nby, nbx, 2) px MV field
 
     @property
     def is_inter_frame(self) -> bool:
@@ -892,6 +893,13 @@ class TileEncoder:
             return ((mv[0] >> 3) << 3, (mv[1] >> 3) << 3)
 
         seeds = [(0, 0)] + [fullpel(c.this_mv) for c in stack[:2]]
+        if fi.me_fields is not None and ref_type in fi.me_fields:
+            # hierarchical-pyramid field seed (me.rs get_subset_predictors
+            # coarse-level entry)
+            mf = fi.me_fields[ref_type]
+            fy = min(((self.mi_y0 + y) << MI_SIZE_LOG2) // 16, mf.shape[0] - 1)
+            fx = min(((self.mi_x0 + x) << MI_SIZE_LOG2) // 16, mf.shape[1] - 1)
+            seeds.append((int(mf[fy, fx, 0]) * 8, int(mf[fy, fx, 1]) * 8))
         if fi.prev_mvs is not None:
             # temporal predictor: co-located MV from the previous coded frame
             # (capability analog of FrameMEStats seeding, reference me.rs:38)
@@ -1857,6 +1865,23 @@ class FramePipeline:
             init_cdfs=init_cdfs if frame_type.has_inter() else None,
         )
         fi.dist_scales = dist_scales
+
+        # hierarchical 3-pass motion fields per reference (me.rs:153-284):
+        # coarse-to-fine pyramid seeds for the per-block search
+        if fi.is_inter_frame and min(enc.width, enc.height) >= 64:
+            from rav1e_tpu.context.mv import ALTREF_FRAME, LAST_FRAME
+            from rav1e_tpu.encoder.lookahead import hierarchical_me
+            from rav1e_tpu.utils.trace import span
+
+            src_y = frame.planes[0].as_array()[: enc.height, : enc.width]
+            fields = {}
+            with span("hier_me"):
+                f0 = fi.ref_frame.planes[0].as_array()[: enc.height, : enc.width]
+                fields[LAST_FRAME] = hierarchical_me(src_y, f0, enc.bit_depth)
+                if fi.ref_frame_bwd is not None:
+                    f1 = fi.ref_frame_bwd.planes[0].as_array()[: enc.height, : enc.width]
+                    fields[ALTREF_FRAME] = hierarchical_me(src_y, f1, enc.bit_depth)
+            fi.me_fields = fields
 
         rec = Frame.new(enc.width, enc.height, enc.chroma_sampling, enc.bit_depth)
         frame_blocks = FrameBlocks(mi_cols, mi_rows)
