@@ -631,3 +631,60 @@ extern "C" int enc_fwd_quant(
       qcoeffs[(size_t)r * w + c] = (int32_t)q[r * coded_w + c];
   return eob;
 }
+
+// --- lookahead grid motion (encoder/lookahead.py lookahead_motion) --------
+// Full-pel 16x16 diamond over the whole frame grid, optionally seeded from
+// a coarser pyramid level.  Bit-identical to the python fallback (same
+// candidate order, strict-< acceptance).
+extern "C" void enc_lookahead_me(
+    const void* src, long sstride, const void* ref, long rstride, int bytespp,
+    long h, long w, const int32_t* seeds /* (nby,nbx,2) or null */,
+    int32_t* out_mvs /* (nby,nbx,2) */, double* out_sads /* (nby,nbx) */,
+    int bd) {
+  const int B = 16;
+  long nby = h / B > 0 ? h / B : 1;
+  long nbx = w / B > 0 ? w / B : 1;
+  double norm = (double)(1 << (bd - 8));
+  for (long by = 0; by < nby; by++) {
+    for (long bx = 0; bx < nbx; bx++) {
+      long py = by * B, px = bx * B;
+      int bh = (int)(h - py < B ? h - py : B);
+      int bw = (int)(w - px < B ? w - px : B);
+      auto sad_at = [&](long dy, long dx) -> long {
+        long ry = py + dy, rx = px + dx;
+        if (ry < 0 || rx < 0 || ry + bh > h || rx + bw > w) return -1;
+        long sad = 0;
+        for (int y = 0; y < bh; y++)
+          for (int x = 0; x < bw; x++) {
+            int d = (int)px_at(src, sstride, bytespp, py + y, px + x) -
+                    (int)px_at(ref, rstride, bytespp, ry + y, rx + x);
+            sad += d < 0 ? -d : d;
+          }
+        return sad;
+      };
+      long best_r = 0, best_c = 0;
+      long best = sad_at(0, 0);
+      if (seeds) {
+        long sy = by < nby ? by : nby - 1, sx = bx < nbx ? bx : nbx - 1;
+        long sr = seeds[(sy * nbx + sx) * 2], sc = seeds[(sy * nbx + sx) * 2 + 1];
+        long c = sad_at(sr, sc);
+        if (c >= 0 && c < best) { best = c; best_r = sr; best_c = sc; }
+      }
+      static const int dirs[4][2] = {{-1, 0}, {1, 0}, {0, -1}, {0, 1}};
+      for (int step : {8, 4, 2, 1}) {
+        bool improved = true;
+        while (improved) {
+          improved = false;
+          for (auto& d : dirs) {
+            long r = best_r + d[0] * step, c2 = best_c + d[1] * step;
+            long s = sad_at(r, c2);
+            if (s >= 0 && s < best) { best = s; best_r = r; best_c = c2; improved = true; }
+          }
+        }
+      }
+      out_mvs[(by * nbx + bx) * 2] = (int32_t)best_r;
+      out_mvs[(by * nbx + bx) * 2 + 1] = (int32_t)best_c;
+      out_sads[by * nbx + bx] = (double)best / norm;
+    }
+  }
+}

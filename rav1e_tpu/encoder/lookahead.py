@@ -55,6 +55,33 @@ def lookahead_motion(src: np.ndarray, ref: np.ndarray, bit_depth: int,
     nby, nbx = max(h // ME_BLOCK, 1), max(w // ME_BLOCK, 1)
     mvs = np.zeros((nby, nbx, 2), dtype=np.int32)
     sads = np.zeros((nby, nbx), dtype=np.float64)
+
+    from rav1e_tpu import native
+
+    lib = native.get_lib()
+    if (
+        lib is not None
+        and src.itemsize in (1, 2)
+        and src.strides[1] == src.itemsize
+        and ref.strides[1] == ref.itemsize
+    ):
+        seeds_arr = None
+        seeds_ptr = None
+        if seeds is not None:
+            seeds_arr = np.ascontiguousarray(seeds[:nby, :nbx], dtype=np.int32)
+            if seeds_arr.shape != (nby, nbx, 2):
+                pad = np.zeros((nby, nbx, 2), np.int32)
+                pad[: seeds_arr.shape[0], : seeds_arr.shape[1]] = seeds_arr
+                seeds_arr = pad
+            seeds_ptr = seeds_arr.ctypes.data
+        lib.enc_lookahead_me(
+            src.ctypes.data, src.strides[0] // src.itemsize,
+            ref.ctypes.data, ref.strides[0] // ref.itemsize,
+            src.itemsize, h, w, seeds_ptr,
+            mvs.ctypes.data, sads.ctypes.data, bit_depth,
+        )
+        return mvs, sads
+
     norm = 1 << (bit_depth - 8)
     for by in range(nby):
         for bx in range(nbx):

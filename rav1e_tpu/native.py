@@ -90,6 +90,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         c.c_int, c.c_void_p, c.c_int, c.c_void_p,
     ]
     lib.enc_sgr_decide_unit.restype = c.c_longlong
+    lib.enc_lookahead_me.argtypes = [
+        c.c_void_p, c.c_long, c.c_void_p, c.c_long, c.c_int, c.c_long,
+        c.c_long, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int,
+    ]
     lib.itx_load_program.argtypes = [
         c.c_int, c.c_int, c.c_int, c.c_void_p, c.c_void_p, c.c_void_p,
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_int, c.c_void_p,
