@@ -3,17 +3,16 @@
 A ground-up rebuild of the capabilities of xiph/rav1e (reference mounted at
 /root/reference) designed for TPU hardware:
 
-- The per-block DSP layer (transforms, quantize, distortion, intra/inter
-  prediction, CDEF, loop restoration, deblocking) is implemented as batched
-  JAX/XLA ops with Pallas TPU kernels on the hot paths, replacing the
-  reference's ~216k lines of x86/ARM SIMD.
-- Mode/partition search evaluates candidate batches on the MXU instead of
-  scalar trial loops.
+- Frame analysis (intra mode + partition decisions, candidate scoring,
+  rate/distortion proxies) runs as one batched jitted XLA program per frame
+  (``rav1e_tpu/device``) feeding the host symbol coder; the exact
+  reconstruction DSP (transforms, quantize, MC, CDEF, LRF, deblock) runs as
+  vectorized array ops with native C++ fast paths for the per-block chain.
 - The inherently serial entropy coder (daala range coder, AV1 symbol layer)
-  and OBU bitstream packing run on host, overlapped with device compute.
+  and OBU bitstream packing run on host C++.
 - Tile parallelism maps to chip-sharding over an ICI mesh
-  (``jax.sharding.Mesh`` + ``shard_map``); frame-level rate-control
-  statistics aggregate via collectives.
+  (``jax.sharding.Mesh`` + ``shard_map``) of the device analysis stage;
+  frame-level rate statistics aggregate via psum (``rav1e_tpu/parallel``).
 
 Public API mirrors the reference (``Config`` / ``Context`` /
 ``send_frame`` / ``receive_packet``; cf. /root/reference/src/api/context.rs).

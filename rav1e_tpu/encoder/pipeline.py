@@ -2148,6 +2148,9 @@ class FramePipeline:
             )
             self._rc_retry = True
             try:
+                # `plan` is passed through, so the fallback-plan branch (and
+                # its _fallback_slot rotation) does not run a second time:
+                # the retry encodes into the same ref slot as the first try.
                 return self.encode_frame(
                     frame, input_frameno, frame_type, params, is_first, plan
                 )

@@ -26,7 +26,19 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
+_HASH = _LIB.with_suffix(".so.hash")
+
+
+def _src_hash() -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for s in _SRCS:
+        h.update(s.read_bytes())
+    return h.hexdigest()
+
+
+def _build(digest: str) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC"]
@@ -34,8 +46,9 @@ def _build() -> bool:
             + ["-o", str(_LIB)],
             check=True,
             capture_output=True,
-            timeout=120,
+            timeout=300,
         )
+        _HASH.write_text(digest)
         return True
     except Exception:
         return False
@@ -46,14 +59,31 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    newest_src = max(s.stat().st_mtime for s in _SRCS)
-    if not _LIB.exists() or _LIB.stat().st_mtime < newest_src:
-        if not _build():
-            return None
+    # Rebuild keyed on source-content hash: mtimes are unreliable after a
+    # git checkout, and a stale binary built on another microarchitecture
+    # (-march=native) must never be loaded.
+    digest = _src_hash()
+    stale = (
+        not _LIB.exists()
+        or not _HASH.exists()
+        or _HASH.read_text().strip() != digest
+    )
+    if stale and not _build(digest):
+        return None
     try:
         lib = ctypes.CDLL(str(_LIB))
-    except OSError:
+        _bind_symbols(lib)
+    except (OSError, AttributeError):
+        # missing symbol (stale binary that somehow passed the hash check)
+        # or unloadable library: fall back to the pure-Python paths
         return None
+    _load_itx_programs(lib)
+    _load_subpel_filters(lib)
+    _lib = lib
+    return _lib
+
+
+def _bind_symbols(lib) -> None:
     c = ctypes
     lib.ectx_new.restype = c.c_void_p
     lib.ectx_free.argtypes = [c.c_void_p]
@@ -149,10 +179,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
         c.c_int, c.c_int, c.c_int, c.c_void_p, c.c_void_p, c.c_void_p,
         c.c_void_p,
     ]
-    _load_itx_programs(lib)
-    _load_subpel_filters(lib)
-    _lib = lib
-    return _lib
 
 
 def _load_subpel_filters(lib) -> None:

@@ -152,10 +152,25 @@ class RCState:
             return max(qi, 1)
 
         npx = width * height
+        target = max(self._frame_target(st), 8.0 * npx / 1000.0)
 
-        # group-normalized subtype weights: the steady-state pyramid group
-        # (P, B0, B1, B1) must average to bits_per_frame, so the discounts
-        # redistribute within the group instead of shrinking the total
+        # invert the model: log2(q) = (a - log2(bits/px)) / b
+        a, b = self._model_a[st], self._model_b[st]
+        log_bpp = math.log2(max(target / npx, 1e-6))
+        log_q = (a - (log_bpp + 12.0)) / max(b, 0.1)
+        q_step3 = max(min(2.0 ** log_q, 7000.0), 4.0)  # Q3 quantizer
+        qi = tables.select_ac_qi(int(round(q_step3)), self.bit_depth)
+        qi = max(qi, self.min_quantizer, 1)
+        return min(qi, 255)
+
+    def _frame_target(self, st: int) -> float:
+        """Per-frame bit target for a subtype — the single source of truth
+        shared by select_qi and needs_trial_encode so the trial threshold
+        measures against the same target the frame was encoded toward.
+
+        Group-normalized subtype weights: the steady-state pyramid group
+        (P, B0, B1, B1) must average to bits_per_frame, so the discounts
+        redistribute within the group instead of shrinking the total."""
         wsum = (
             self.b_discount[FRAME_SUBTYPE_P]
             + self.b_discount[FRAME_SUBTYPE_B0]
@@ -176,16 +191,7 @@ class RCState:
                 sum(d.log_scale_q57 for d in self.pass1_data) / len(self.pass1_data), 1.0
             )
             target *= max(min(rec.log_scale_q57 / avg, 3.0), 0.33)
-        target = max(target, 8.0 * npx / 1000.0)
-
-        # invert the model: log2(q) = (a - log2(bits/px)) / b
-        a, b = self._model_a[st], self._model_b[st]
-        log_bpp = math.log2(max(target / npx, 1e-6))
-        log_q = (a - (log_bpp + 12.0)) / max(b, 0.1)
-        q_step3 = max(min(2.0 ** log_q, 7000.0), 4.0)  # Q3 quantizer
-        qi = tables.select_ac_qi(int(round(q_step3)), self.bit_depth)
-        qi = max(qi, self.min_quantizer, 1)
-        return min(qi, 255)
+        return target
 
     # --- post-frame update ---------------------------------------------
 
@@ -243,10 +249,7 @@ class RCState:
         st = _subtype(frame_type, level)
         if self._model_n[st] > 0:
             return False
-        target = self.bits_per_frame * self.b_discount[st]
-        if st == FRAME_SUBTYPE_I:
-            target *= self.i_boost
-        ratio = bits_used / max(target, 1.0)
+        ratio = bits_used / max(self._frame_target(st), 1.0)
         return ratio > 2.5 or ratio < 0.4
 
     def observe_trial(
