@@ -84,6 +84,10 @@ class PredictionSpeedSettings:
 class SpeedSettings:
     multiref: bool = True
     temporal_rdo: bool = True
+    # Use the batched device (TPU) analysis stage for partition + intra-mode
+    # decisions instead of host trial encodes.  On at the presets that do
+    # not run full trial RDO; the trial path remains the quality tier.
+    device_analysis: bool = False
     fast_deblock: bool = False
     rdo_lookahead_frames: int = 40
     scene_detection_mode: SceneDetectionSpeed = SceneDetectionSpeed.Standard
@@ -120,6 +124,7 @@ class SpeedSettings:
             s.transform.rdo_tx_decision = False
             s.transform.reduced_tx_set = True
             s.motion.me_allow_full_search = False
+            s.device_analysis = True
         if speed >= 7:
             s.prediction.prediction_modes = PredictionModesSetting.Simple
             s.multiref = False

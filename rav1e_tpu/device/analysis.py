@@ -1,0 +1,526 @@
+"""Batched device frame analysis: the jitted search half of the encoder.
+
+Replaces the reference's serial trial loops with whole-frame tensor math
+(the redesign SURVEY §7 specifies):
+
+- all 13 intra prediction modes evaluated for every block at every
+  partition size as one (n_blocks, n_modes, s, s) batch per size
+  (reference: rdo.rs:1394 intra_frame_rdo_mode_decision trial loop);
+- SATD mode scoring via batched 8x8 Hadamard matmuls (dist.rs:156);
+- transform-domain rate/distortion estimation of the winning mode's
+  residual — forward DCT (MXU matmuls), quantize, per-level rate LUT,
+  quantization-error distortion — the device analog of the reference's
+  ``TxDistEstRate`` RDO type (rdo.rs:53, estimate_rate rdo.rs:127);
+- inter costing of the motion-compensated residual from the hierarchical
+  ME field (me.rs:153 estimate_tile_motion output);
+- bottom-up partition merge D+λR over sizes 8..64
+  (rdo.rs:1949 rdo_partition_decision / encoder.rs:2634 bottomup).
+
+Decisions use *source* neighbors for prediction edges (the reference's own
+lookahead approximation precedent, api/lookahead.rs:30); the host codes the
+winners exactly against reconstruction edges.
+
+Everything traces under ``jax.jit``; one compile per frame geometry.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from rav1e_tpu import tables
+from rav1e_tpu.ops.intra import DR_INTRA_DERIVATIVE, SM_WEIGHTS
+from rav1e_tpu.partition import PredictionMode, intra_mode_to_angle
+
+# Analysis partition sizes (px log2): 8x8 .. 64x64
+SIZE_LOG2S = (3, 4, 5, 6)
+N_MODES = 13  # PredictionMode 0..12 (everything except UV_CFL)
+
+# estimated header bits per coded block (partition ctx + skip + tx + ref):
+# coarse constants, calibrated against the host trial search on test clips
+HDR_BITS = 7.0
+SPLIT_BITS = 2.5
+# per-mode signaling-cost estimate in bits (DC cheapest, directional dearest)
+MODE_BITS = np.array(
+    [1.5, 3.0, 3.0, 4.5, 4.5, 4.5, 4.5, 4.5, 4.5, 3.5, 4.0, 4.0, 3.0],
+    dtype=np.float32,
+)
+INTER_BITS = 9.0  # ref + inter mode + mvd estimate
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+# ---------------------------------------------------------------------------
+# static per-(mode, size) index plans for directional prediction
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(None)
+def _directional_plan(p_angle: int, s: int):
+    """Precompute gather indices / blend weights for a directional predictor
+    at angle_delta=0 without edge filtering (decision-path approximation of
+    ops/intra._pred_directional; reference predict.rs spec 7.11.2.4).
+
+    Buffers: above_buf = [top_left, above_ext(2s)], left_buf likewise.
+    Returns numpy int32 arrays shaped (s, s).
+    """
+    ii, jj = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+    if p_angle < 90:
+        dx = DR_INTRA_DERIVATIVE[p_angle]
+        idx = (ii + 1) * dx
+        base = (idx >> 6) + jj
+        shift = (idx >> 1) & 31
+        max_base = 2 * s - 1
+        basec = np.minimum(base, max_base)
+        return (
+            "above",
+            (1 + basec).astype(np.int32),
+            (1 + np.minimum(basec + 1, max_base)).astype(np.int32),
+            shift.astype(np.int32),
+            (base < max_base),
+        )
+    if p_angle > 180:
+        dy = DR_INTRA_DERIVATIVE[270 - p_angle]
+        idx = (jj + 1) * dy
+        base = (idx >> 6) + ii
+        shift = (idx >> 1) & 31
+        max_base = 2 * s - 1
+        basec = np.minimum(base, max_base)
+        return (
+            "left",
+            (1 + basec).astype(np.int32),
+            (1 + np.minimum(basec + 1, max_base)).astype(np.int32),
+            shift.astype(np.int32),
+            None,
+        )
+    # 90 < angle < 180: mix of above and left
+    dx = DR_INTRA_DERIVATIVE[180 - p_angle]
+    dy = DR_INTRA_DERIVATIVE[p_angle - 90]
+    idx_a = (jj << 6) - (ii + 1) * dx
+    base_a = idx_a >> 6
+    shift_a = (idx_a >> 1) & 31
+    use_above = base_a >= -1
+    ba = np.clip(base_a, -1, s)
+    idx_l = (ii << 6) - (jj + 1) * dy
+    base_l = idx_l >> 6
+    shift_l = (idx_l >> 1) & 31
+    bl = np.clip(base_l, -1, 2 * s - 1)
+    return (
+        "mix",
+        (
+            np.clip(1 + ba, 0, 2 * s).astype(np.int32),
+            np.clip(2 + ba, 0, 2 * s).astype(np.int32),
+            shift_a.astype(np.int32),
+        ),
+        (
+            np.clip(1 + bl, 0, 2 * s).astype(np.int32),
+            np.clip(2 + bl, 0, 2 * s).astype(np.int32),
+            shift_l.astype(np.int32),
+        ),
+        use_above,
+        None,
+    )
+
+
+def _take_blend(buf, i0, i1, shift):
+    """buf: (n, L); static index/blend matrices (s, s) -> (n, s, s)."""
+    jnp = _jnp()
+    a = jnp.take(buf, jnp.asarray(i0.reshape(-1)), axis=1)
+    b = jnp.take(buf, jnp.asarray(i1.reshape(-1)), axis=1)
+    sh = jnp.asarray(shift.reshape(-1), dtype=jnp.int32)
+    v = (a * (32 - sh) + b * sh + 16) >> 5
+    n = buf.shape[0]
+    return v.reshape(n, *i0.shape)
+
+
+def predict_all_modes(above2, left2, tl, s: int, bd: int):
+    """All 13 intra predictions per block: (n, 13, s, s) int32.
+
+    above2/left2: (n, 2s) int32 source edges; tl: (n,) int32.
+    """
+    jnp = _jnp()
+    n = above2.shape[0]
+    a = above2[:, :s]
+    l = left2[:, :s]
+    maxv = (1 << bd) - 1
+
+    dc = (a.sum(-1) + l.sum(-1) + s) // (2 * s)
+    dc = jnp.broadcast_to(dc[:, None, None], (n, s, s))
+    v = jnp.broadcast_to(a[:, None, :], (n, s, s))
+    h = jnp.broadcast_to(l[:, :, None], (n, s, s))
+
+    # Paeth (spec 7.11.2.2)
+    base_p = l[:, :, None] + a[:, None, :] - tl[:, None, None]
+    pl = jnp.abs(base_p - l[:, :, None])
+    pt = jnp.abs(base_p - a[:, None, :])
+    ptl = jnp.abs(base_p - tl[:, None, None])
+    paeth = jnp.where(
+        (pl <= pt) & (pl <= ptl),
+        jnp.broadcast_to(l[:, :, None], base_p.shape),
+        jnp.where(
+            pt <= ptl,
+            jnp.broadcast_to(a[:, None, :], base_p.shape),
+            jnp.broadcast_to(tl[:, None, None], base_p.shape),
+        ),
+    )
+
+    # Smooth family (spec 7.11.2.6)
+    wv = jnp.asarray(SM_WEIGHTS[s])[None, :, None]
+    ww = jnp.asarray(SM_WEIGHTS[s])[None, None, :]
+    below = l[:, -1][:, None, None]
+    right = a[:, -1][:, None, None]
+    smooth = (
+        wv * a[:, None, :] + (256 - wv) * below + ww * l[:, :, None] + (256 - ww) * right
+        + 256
+    ) >> 9
+    smooth_v = (wv * a[:, None, :] + (256 - wv) * below + 128) >> 8
+    smooth_h = (ww * l[:, :, None] + (256 - ww) * right + 128) >> 8
+
+    # Directional (angle_delta = 0, no edge filter: decision approximation)
+    above_buf = jnp.concatenate([tl[:, None], above2], axis=1)
+    left_buf = jnp.concatenate([tl[:, None], left2], axis=1)
+    dir_preds = {}
+    for mode in (
+        PredictionMode.D45_PRED,
+        PredictionMode.D135_PRED,
+        PredictionMode.D113_PRED,
+        PredictionMode.D157_PRED,
+        PredictionMode.D203_PRED,
+        PredictionMode.D67_PRED,
+    ):
+        p_angle = intra_mode_to_angle(mode)
+        plan = _directional_plan(p_angle, s)
+        if plan[0] == "above":
+            _, i0, i1, sh, in_range = plan
+            v_d = _take_blend(above_buf, i0, i1, sh)
+            last = above_buf[:, 2 * s][:, None, None]
+            v_d = jnp.where(jnp.asarray(in_range), v_d, last)
+        elif plan[0] == "left":
+            _, i0, i1, sh, _ = plan
+            v_d = _take_blend(left_buf, i0, i1, sh)
+        else:
+            _, pa, pl_, use_above, _ = plan
+            va = _take_blend(above_buf, *pa)
+            vl = _take_blend(left_buf, *pl_)
+            v_d = jnp.where(jnp.asarray(use_above), va, vl)
+        dir_preds[int(mode)] = jnp.clip(v_d, 0, maxv)
+
+    # order must match PredictionMode 0..12
+    return jnp.stack(
+        [
+            dc, v, h,
+            dir_preds[3], dir_preds[4], dir_preds[5], dir_preds[6],
+            dir_preds[7], dir_preds[8],
+            smooth, smooth_v, smooth_h, paeth,
+        ],
+        axis=1,
+    ).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# SATD and transform-domain rate/distortion estimation
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(None)
+def _hadamard8_f32():
+    h = np.array([[1.0]], dtype=np.float32)
+    while h.shape[0] < 8:
+        h = np.block([[h, h], [h, -h]])
+    return h.astype(np.float32)
+
+
+def satd8(diff):
+    """SATD over (..., s, s) int32 diffs using 8x8 Hadamard cells, matching
+    ops/dist.get_satd normalization (>> 3 for the 8-point transform)."""
+    jnp = _jnp()
+    *lead, sh, sw = diff.shape
+    d = diff.astype(jnp.float32).reshape(*lead, sh // 8, 8, sw // 8, 8)
+    d = jnp.moveaxis(d, -2, -3)  # (..., sh/8, sw/8, 8, 8)
+    h8 = jnp.asarray(_hadamard8_f32())
+    t = jnp.einsum("ij,...jk,kl->...il", h8, d, h8)
+    cells = jnp.abs(t).sum(axis=(-1, -2))
+    cells = jnp.floor((cells + 4.0) / 8.0)
+    return cells.sum(axis=(-1, -2))
+
+
+@functools.lru_cache(None)
+def _dct_basis(s: int):
+    """Calibrated forward DCT basis for size s (from ops/transforms) plus
+    the tx->pixel SSE gain and the tx size's log_tx_scale."""
+    from rav1e_tpu.ops.transforms import _fwd_matrices
+    from rav1e_tpu.tx import TxSize, TxType, get_log_tx_scale
+
+    name = f"TX_{s}X{s}"
+    tx_size = TxSize[name]
+    fv, fh = _fwd_matrices(tx_size, TxType.DCT_DCT)
+    gain2 = float((fv[0] ** 2).sum()) * float((fh[0] ** 2).sum())
+    return fv.astype(np.float32), fh.astype(np.float32), gain2, get_log_tx_scale(tx_size)
+
+
+def tx_rd_estimate(residual, s: int, q):
+    """Transform-domain rate + distortion estimate of (n, s, s) residuals.
+
+    q: scalar ac quantizer (Q3 table units, tables.ac_q).  Returns
+    (bits_est (n,), sse_px_est (n,)) float32 — the device analog of the
+    reference's TxDistEstRate mode (rdo.rs:53) with estimate_rate-style
+    per-level costs (rdo.rs:127).
+    """
+    jnp = _jnp()
+    fv, fh, gain2, lts = _dct_basis(s)
+    c = jnp.einsum(
+        "ij,njk,lk->nil",
+        jnp.asarray(fv), residual.astype(jnp.float32), jnp.asarray(fh),
+        preferred_element_type=jnp.float32,
+    )
+    if s > 32:
+        # only the low 32x32 region is codable (transforms.py _zero_high)
+        mask = (jnp.arange(s) < 32).astype(jnp.float32)
+        c = c * mask[None, :, None] * mask[None, None, :]
+    qeff = q.astype(jnp.float32) / (1 << lts)
+    ac = jnp.abs(c)
+    level = jnp.floor(ac / qeff + 0.45)
+    err = ac - level * qeff
+    sse_px = (err * err).sum(axis=(1, 2)) / gain2
+    # per-coefficient rate: ~golomb-ish growth, small floor for coded zeros
+    bits = jnp.where(level > 0, 1.8 + 1.9 * jnp.log2(level + 1.0), 0.02)
+    return bits.sum(axis=(1, 2)), sse_px
+
+
+# ---------------------------------------------------------------------------
+# per-size cost fields
+# ---------------------------------------------------------------------------
+
+
+def _block_edges(luma, s: int, base: int):
+    """Split padded (H, W) luma into s-blocks with source edges.
+
+    Returns blocks (n, s, s), above2 (n, 2s), left2 (n, 2s), tl (n,);
+    row/col -1 use the spec base values, extensions clamp at the frame edge.
+    """
+    jnp = _jnp()
+    hh, ww = luma.shape
+    ny, nx = hh // s, ww // s
+    blocks = luma.reshape(ny, s, nx, s).transpose(0, 2, 1, 3).reshape(-1, s, s)
+
+    with_top = jnp.concatenate(
+        [jnp.full((1, ww), base - 1, luma.dtype), luma], axis=0
+    )
+    ys = (jnp.arange(ny) * s)[:, None, None]  # row above block = index ys in with_top
+    xs = (jnp.arange(nx) * s)[None, :, None] + jnp.arange(2 * s)[None, None, :]
+    above2 = with_top[ys, jnp.minimum(xs, ww - 1)]  # (ny, nx, 2s)
+
+    with_left = jnp.concatenate(
+        [jnp.full((hh, 1), base + 1, luma.dtype), luma], axis=1
+    )
+    xs_l = (jnp.arange(nx) * s)[None, :, None]
+    ys_l = (jnp.arange(ny) * s)[:, None, None] + jnp.arange(2 * s)[None, None, :]
+    left2 = with_left[jnp.minimum(ys_l, hh - 1), xs_l]  # (ny, nx, 2s)
+
+    corner = jnp.pad(
+        luma[s - 1 :: s, s - 1 :: s], ((1, 0), (1, 0)), constant_values=base
+    )[:ny, :nx]
+
+    return (
+        blocks,
+        above2.reshape(-1, 2 * s),
+        left2.reshape(-1, 2 * s),
+        corner.reshape(-1),
+        ny,
+        nx,
+    )
+
+
+def intra_cost_field(luma, s: int, bd: int, q, lam):
+    """Per-block intra cost at size s: (ny*nx,) cost, (ny*nx,) best mode."""
+    jnp = _jnp()
+    base = 128 << (bd - 8)
+    blocks, above2, left2, tl, ny, nx = _block_edges(luma, s, base)
+    preds = predict_all_modes(above2, left2, tl, s, bd)
+    diffs = blocks[:, None].astype(jnp.int32) - preds
+    satd = satd8(diffs)  # (n, 13)
+    mode_rate = jnp.asarray(MODE_BITS)
+    # SATD (≈ sqrt-domain) pick with a rate tiebreak scaled to SATD units
+    score = satd + jnp.sqrt(lam) * mode_rate[None, :]
+    best_mode = jnp.argmin(score, axis=1).astype(jnp.int32)
+    best_diff = jnp.take_along_axis(
+        diffs, best_mode[:, None, None, None], axis=1
+    )[:, 0]
+    bits, sse = tx_rd_estimate(best_diff, s, q)
+    rate = bits + HDR_BITS + mode_rate[best_mode]
+    cost = sse + lam * rate
+    return cost, best_mode, rate
+
+
+def inter_cost_field(residual, s: int, q, lam):
+    """Per-block inter cost at size s from the frame MC residual."""
+    jnp = _jnp()
+    hh, ww = residual.shape
+    ny, nx = hh // s, ww // s
+    blocks = residual.reshape(ny, s, nx, s).transpose(0, 2, 1, 3).reshape(-1, s, s)
+    bits, sse = tx_rd_estimate(blocks, s, q)
+    rate = bits + HDR_BITS + INTER_BITS
+    cost = sse + lam * rate
+    return cost, rate
+
+
+def mc_residual(luma, ref, mv8):
+    """Whole-frame fullpel MC residual from a per-8x8-cell MV field.
+
+    luma/ref: (H, W) int32 padded planes (same geometry); mv8: (H/8, W/8, 2)
+    int32 full-pixel (dy, dx).  Out-of-frame reads clamp (padding replicates).
+    """
+    jnp = _jnp()
+    hh, ww = luma.shape
+    ii = jnp.arange(hh)[:, None]
+    jj = jnp.arange(ww)[None, :]
+    dy = jnp.repeat(jnp.repeat(mv8[..., 0], 8, axis=0), 8, axis=1)[:hh, :ww]
+    dx = jnp.repeat(jnp.repeat(mv8[..., 1], 8, axis=0), 8, axis=1)[:hh, :ww]
+    sy = jnp.clip(ii + dy, 0, hh - 1)
+    sx = jnp.clip(jj + dx, 0, ww - 1)
+    pred = ref[sy, sx]
+    return luma.astype(jnp.int32) - pred
+
+
+# ---------------------------------------------------------------------------
+# bottom-up partition merge + frame entry
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DeviceMaps:
+    """Host-side view of the device decisions (numpy)."""
+
+    size_log2: np.ndarray  # (H/8, W/8) chosen square size log2 per 8px cell
+    mode: np.ndarray  # (H/8, W/8) intra PredictionMode at the chosen size
+    use_inter: np.ndarray  # (H/8, W/8) bool: inter beat intra at chosen size
+    bits_est: float  # frame rate-estimate total (RC aggregation input)
+
+
+def _merge_partitions(costs, modes, inters, rates, lam):
+    """Bottom-up quadtree merge over SIZE_LOG2S (rdo.rs:1949 semantics as
+    tensor select).  All decision maps live on the 8px cell grid; per-level
+    block grids shrink as the merge coarsens.
+
+    Returns (size_log2, mode, use_inter, rate_per_cell) maps at 8px cells.
+    """
+    jnp = _jnp()
+
+    def sum4(a):
+        return a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]
+
+    def up(a, k):
+        f = 1 << k
+        return jnp.repeat(jnp.repeat(a, f, axis=0), f, axis=1)
+
+    base_sl = SIZE_LOG2S[0]
+    best_cost = costs[base_sl]  # block grid at the current (finest) level
+    size_map = jnp.full(best_cost.shape, base_sl, dtype=jnp.int32)
+    mode_map = modes[base_sl]
+    inter_map = inters[base_sl]
+    rate_map = rates[base_sl] / float(1 << (2 * 0))  # per-cell rate share
+    for sl in SIZE_LOG2S[1:]:
+        k = sl - base_sl
+        ncells = float(1 << (2 * k))  # 8px cells covered by one sl-block
+        merged = sum4(best_cost) + lam * SPLIT_BITS
+        keep_whole = costs[sl] <= merged
+        best_cost = jnp.where(keep_whole, costs[sl], merged)
+        kw_cells = up(keep_whole, k)
+        size_map = jnp.where(kw_cells, sl, size_map)
+        mode_map = jnp.where(kw_cells, up(modes[sl], k), mode_map)
+        inter_map = jnp.where(kw_cells, up(inters[sl], k), inter_map)
+        rate_map = jnp.where(kw_cells, up(rates[sl], k) / ncells, rate_map)
+    return size_map, mode_map, inter_map, rate_map
+
+
+def _frame_analysis(luma, ref, mv8, q, lam, bd: int, has_inter: bool):
+    jnp = _jnp()
+    costs, modes, inters, rates = {}, {}, {}, {}
+    res = mc_residual(luma, ref, mv8) if has_inter else None
+    for sl in SIZE_LOG2S:
+        s = 1 << sl
+        ny, nx = luma.shape[0] // s, luma.shape[1] // s
+        ic, im, ir = intra_cost_field(luma, s, bd, q, lam)
+        ic = ic.reshape(ny, nx)
+        im = im.reshape(ny, nx)
+        ir = ir.reshape(ny, nx)
+        if has_inter:
+            xc, xr = inter_cost_field(res, s, q, lam)
+            xc = xc.reshape(ny, nx)
+            use_x = xc < ic
+            costs[sl] = jnp.where(use_x, xc, ic)
+            rates[sl] = jnp.where(use_x, xr.reshape(ny, nx), ir)
+            inters[sl] = use_x
+        else:
+            costs[sl] = ic
+            rates[sl] = ir
+            inters[sl] = jnp.zeros((ny, nx), dtype=bool)
+        modes[sl] = im
+
+    size_map, mode_map, inter_map, rate_map = _merge_partitions(
+        costs, modes, inters, rates, lam
+    )
+    bits_est = rate_map.sum()
+    return size_map, mode_map, inter_map, bits_est
+
+
+@functools.lru_cache(None)
+def frame_analysis_jit(bd: int, has_inter: bool):
+    import jax
+
+    def fn(luma, ref, mv8, q, lam):
+        return _frame_analysis(luma, ref, mv8, q, lam, bd, has_inter)
+
+    return jax.jit(fn)
+
+
+def analyze_frame(
+    luma_np: np.ndarray,
+    ref_np,
+    mv_field,
+    qindex: int,
+    lam: float,
+    bd: int,
+) -> DeviceMaps:
+    """Host entry: pad to 64-multiples, run the jitted analysis, return maps.
+
+    luma_np/ref_np: (H, W) visible-luma numpy arrays; mv_field: (nby, nbx, 2)
+    full-pixel MVs on a 16px grid (from hierarchical ME) or None.
+    """
+    import jax.numpy as jnp
+
+    h, w = luma_np.shape
+    h64 = (h + 63) & ~63
+    w64 = (w + 63) & ~63
+    luma = np.pad(luma_np, ((0, h64 - h), (0, w64 - w)), mode="edge").astype(np.int32)
+    has_inter = ref_np is not None and mv_field is not None
+    if has_inter:
+        ref = np.pad(ref_np, ((0, h64 - h), (0, w64 - w)), mode="edge").astype(np.int32)
+        # 16px-grid field -> 8px cells
+        mvf = np.repeat(np.repeat(mv_field, 2, axis=0), 2, axis=1)
+        mv8 = np.zeros((h64 // 8, w64 // 8, 2), dtype=np.int32)
+        cy = min(mvf.shape[0], mv8.shape[0])
+        cx = min(mvf.shape[1], mv8.shape[1])
+        mv8[:cy, :cx] = mvf[:cy, :cx]
+    else:
+        ref = luma
+        mv8 = np.zeros((h64 // 8, w64 // 8, 2), dtype=np.int32)
+
+    q = float(tables.ac_q(qindex, 0, bd))
+    fn = frame_analysis_jit(bd, has_inter)
+    size_map, mode_map, inter_map, bits_est = fn(
+        jnp.asarray(luma), jnp.asarray(ref), jnp.asarray(mv8),
+        jnp.float32(q), jnp.float32(lam),
+    )
+    return DeviceMaps(
+        size_log2=np.asarray(size_map),
+        mode=np.asarray(mode_map),
+        use_inter=np.asarray(inter_map),
+        bits_est=float(bits_est),
+    )

@@ -122,6 +122,7 @@ class FrameInvariantsLite:
     init_cdfs: Optional[object] = None  # CDFContext inherited via primary_ref_frame
     dist_scales: Optional[np.ndarray] = None  # per-8x8 temporal-RDO distortion scales
     me_fields: Optional[dict] = None  # ref_type -> (nby, nbx, 2) px MV field
+    device_maps: Optional[object] = None  # rav1e_tpu.device.DeviceMaps decisions
 
     @property
     def is_inter_frame(self) -> bool:
@@ -275,8 +276,10 @@ class TileEncoder:
         else:
             must_split = not has_cols or not has_rows
             want_split = bsize.width_log2 > pr.max_log2
+            dev = self.fi.device_maps
             can_search = (
                 not trial
+                and dev is None
                 and not must_split
                 and not want_split
                 and bsize.width_log2 > pr.min_log2
@@ -284,6 +287,18 @@ class TileEncoder:
             )
             if must_split or want_split:
                 partition = PartitionType.PARTITION_SPLIT
+            elif dev is not None and bsize.width_log2 > pr.min_log2:
+                # device-decided quadtree (rav1e_tpu/device: batched D+λR
+                # merge); split while the chosen size is finer than bsize
+                cy = (self.mi_y0 + y) >> 1
+                cx = (self.mi_x0 + x) >> 1
+                chosen = int(dev.size_log2[cy, cx])
+                chosen = min(max(chosen, pr.min_log2), pr.max_log2)
+                partition = (
+                    PartitionType.PARTITION_SPLIT
+                    if bsize.width_log2 > chosen
+                    else PartitionType.PARTITION_NONE
+                )
             elif can_search:
                 # RD search over NONE/SPLIT/HORZ/VERT (counterpart of
                 # rdo.rs rdo_partition_decision:1949, trial-coded on
@@ -526,6 +541,13 @@ class TileEncoder:
             luma_mode = luma_mode_override
         elif self._replaying():
             luma_mode, angle_delta_override = self._pop_decision("mode")
+        elif self.fi.device_maps is not None:
+            # device-decided intra mode (batched 13-mode SATD + tx-domain RD
+            # on the TPU; rav1e_tpu/device/analysis.py)
+            cy = (self.mi_y0 + y) >> 1
+            cx = (self.mi_x0 + x) >> 1
+            luma_mode = PredictionMode(int(self.fi.device_maps.mode[cy, cx]))
+            self._log_decision("mode", (luma_mode, angle_delta_override))
         else:
             ranked = self.select_luma_mode(x, y, bsize)
             luma_mode = ranked[0]
@@ -797,6 +819,13 @@ class TileEncoder:
         if bsize < BlockSize.BLOCK_8X8:
             # keep chroma MC offsets simple: sub-8x8 blocks stay intra
             return None
+        if fi.device_maps is not None:
+            # the device D+λR analysis already compared inter vs intra for
+            # this block; skip the motion search when intra won
+            cy = (self.mi_y0 + y) >> 1
+            cx = (self.mi_x0 + x) >> 1
+            if not bool(fi.device_maps.use_inter[cy, cx]):
+                return None
         w_px, h_px = bsize.width, bsize.height
         px, py = x << MI_SIZE_LOG2, y << MI_SIZE_LOG2
         src = self.src_views[0]
@@ -1882,6 +1911,28 @@ class FramePipeline:
                     f1 = fi.ref_frame_bwd.planes[0].as_array()[: enc.height, : enc.width]
                     fields[ALTREF_FRAME] = hierarchical_me(src_y, f1, enc.bit_depth)
             fi.me_fields = fields
+
+        # device analysis: one jitted TPU program decides partitions and
+        # intra modes (and intra-vs-inter) for the whole frame; the tile
+        # encoders below consume the maps instead of running trial searches
+        if enc.speed_settings.device_analysis and min(enc.width, enc.height) >= 64:
+            from rav1e_tpu.device import analyze_frame
+            from rav1e_tpu.utils.trace import span as _span
+
+            src_y = frame.planes[0].as_array()[: enc.height, : enc.width]
+            ref_y = None
+            mvf = None
+            if fi.is_inter_frame and fi.me_fields is not None:
+                from rav1e_tpu.context.mv import LAST_FRAME
+
+                ref_y = fi.ref_frame.planes[0].as_array()[: enc.height, : enc.width]
+                mvf = fi.me_fields.get(LAST_FRAME)
+            q_step = tables.ac_q(base_q_idx, 0, enc.bit_depth) / 8.0
+            lam = 0.12 * q_step * q_step
+            with _span("device_analysis"):
+                fi.device_maps = analyze_frame(
+                    src_y, ref_y, mvf, base_q_idx, lam, enc.bit_depth
+                )
 
         rec = Frame.new(enc.width, enc.height, enc.chroma_sampling, enc.bit_depth)
         frame_blocks = FrameBlocks(mi_cols, mi_rows)

@@ -1,0 +1,89 @@
+"""Device analysis stage unit tests: prediction parity with the exact host
+predictors, SATD consistency, and pipeline integration."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rav1e_tpu.device.analysis import predict_all_modes, satd8
+from rav1e_tpu.ops.dist import get_satd
+from rav1e_tpu.ops.intra import IntraEdge, predict_intra
+from rav1e_tpu.partition import PredictionMode
+
+
+@pytest.mark.parametrize("s", [8, 16, 32])
+def test_device_predictions_match_host(s):
+    """All 13 device mode predictions must bit-match ops/intra.predict_intra
+    (angle_delta=0, no IEF) — the same numbers the host would code."""
+    rng = np.random.default_rng(s)
+    n = 4
+    above2 = rng.integers(0, 256, (n, 2 * s)).astype(np.int32)
+    left2 = rng.integers(0, 256, (n, 2 * s)).astype(np.int32)
+    tl = rng.integers(0, 256, (n,)).astype(np.int32)
+    dev = np.asarray(
+        predict_all_modes(
+            jnp.asarray(above2), jnp.asarray(left2), jnp.asarray(tl), s, 8
+        )
+    )
+    for i in range(n):
+        edge = IntraEdge(
+            above=above2[i].astype(np.int64),
+            left=left2[i].astype(np.int64),
+            top_left=int(tl[i]),
+            have_above=True,
+            have_left=True,
+        )
+        for m in range(13):
+            host = predict_intra(PredictionMode(m), edge, s, s, 8, 0)
+            assert np.array_equal(dev[i, m], host), (s, PredictionMode(m).name)
+
+
+def test_device_satd_close_to_host():
+    """Per-cell rounding may differ by <1 per 8x8 cell vs the host SATD."""
+    rng = np.random.default_rng(0)
+    d = rng.integers(-300, 300, (6, 32, 32)).astype(np.int32)
+    dv = np.asarray(satd8(jnp.asarray(d)))
+    for i in range(6):
+        hv = get_satd(d[i] + 500, np.full((32, 32), 500, np.int32))
+        assert abs(float(dv[i]) - hv) <= 16  # one unit per 8x8 cell
+
+
+def test_device_path_round_trips():
+    """speed>=6 encode (device maps on) stays bit-exact through the decoder."""
+    from rav1e_tpu import Config, EncoderConfig, EncoderStatus
+    from rav1e_tpu.decoder import decode_packet
+
+    h, w = 96, 128
+    rng = np.random.default_rng(9)
+    cfg = Config(
+        enc=EncoderConfig(width=w, height=h, quantizer=110, low_latency=False)
+    )
+    ctx = cfg.new_context()
+    base = rng.integers(0, 256, (h, w))
+    for t in range(4):
+        f = ctx.new_frame()
+        for i, p in enumerate(f.planes):
+            ch, cw = p.cfg.height, p.cfg.width
+            arr = (
+                np.roll(base, 2 * t, axis=1)[:ch, :cw]
+                if i == 0
+                else rng.integers(100, 156, (ch, cw))
+            )
+            p.copy_from(np.clip(arr, 0, 255).astype(np.uint8))
+        ctx.send_frame(f)
+    ctx.flush()
+    state = None
+    n = 0
+    while True:
+        try:
+            pkt = ctx.receive_packet()
+        except EncoderStatus.LimitReached:
+            break
+        dec, state = decode_packet(pkt.data, state)
+        if pkt.rec is not None:
+            for pi, dp in enumerate(dec.planes):
+                a = dp.as_array()
+                b = pkt.rec.planes[pi].as_array()
+                assert np.array_equal(a, b[: a.shape[0], : a.shape[1]])
+        n += 1
+    assert n >= 4

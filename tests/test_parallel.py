@@ -4,50 +4,128 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rav1e_tpu.ops.analysis import ANALYSIS_MODE_TABLE, BLOCK, analyze_intra_modes, frame_analysis
+from rav1e_tpu.device.analysis import _frame_analysis, analyze_frame
 from rav1e_tpu.parallel import make_mesh, sharded_frame_analysis
+from rav1e_tpu import tables
 
 
 def test_analysis_prefers_obvious_modes():
     rng = np.random.default_rng(0)
-    h = w = 4 * BLOCK
+    h = w = 128
     # vertical stripes -> V_PRED should win away from the border
     luma = np.tile(rng.integers(0, 256, (1, w)), (h, 1)).astype(np.int32)
-    modes, sad = analyze_intra_modes(jnp.asarray(luma), 128)
-    modes = np.asarray(modes).reshape(4, 4)
-    assert (ANALYSIS_MODE_TABLE[modes[1:, :]] == 1).all()  # V_PRED
+    m = analyze_frame(luma, None, None, 110, 30.0, 8)
+    assert (m.mode[8:, :] == 1).all()  # V_PRED below the first SB row
     # horizontal stripes -> H_PRED
     luma = np.tile(rng.integers(0, 256, (h, 1)), (1, w)).astype(np.int32)
-    modes, _ = analyze_intra_modes(jnp.asarray(luma), 128)
-    modes = np.asarray(modes).reshape(4, 4)
-    assert (ANALYSIS_MODE_TABLE[modes[:, 1:]] == 2).all()  # H_PRED
-    # flat -> DC away from the border fills
+    m = analyze_frame(luma, None, None, 110, 30.0, 8)
+    assert (m.mode[:, 8:] == 2).all()  # H_PRED right of the first SB col
+    # flat -> DC + maximum partition size
     luma = np.full((h, w), 77, np.int32)
-    modes, _ = analyze_intra_modes(jnp.asarray(luma), 128)
-    modes = np.asarray(modes).reshape(4, 4)
-    assert (ANALYSIS_MODE_TABLE[modes[1:, 1:]] == 0).all()
+    m = analyze_frame(luma, None, None, 110, 30.0, 8)
+    assert (m.size_log2 == 6).all()
+    assert (m.mode[8:, 8:] == 0).all()  # DC away from the base-filled borders
 
 
-def test_frame_analysis_jits():
-    luma = jnp.asarray(np.random.default_rng(1).integers(0, 256, (128, 128), np.int32))
-    out = frame_analysis(luma, bit_depth=8)
-    assert out["modes"].shape == (16,)
-    assert np.isfinite(float(out["rate_proxy"]))
+def test_inter_analysis_finds_motion():
+    rng = np.random.default_rng(1)
+    luma = rng.integers(0, 256, (128, 192)).astype(np.int32)
+    ref = np.roll(luma, 3, axis=1)  # pred needs dx=+3
+    mvf = np.zeros((8, 12, 2), np.int32)
+    mvf[..., 1] = 3
+    m = analyze_frame(luma, ref, mvf, 110, 30.0, 8)
+    assert m.use_inter.mean() > 0.9
+    intra = analyze_frame(luma, None, None, 110, 30.0, 8)
+    assert m.bits_est < 0.5 * intra.bits_est
 
 
 def test_sharded_matches_per_band_analysis():
     """Each mesh shard is an independent tile band (no intra prediction
-    across tile edges in AV1), so the sharded result must equal running the
-    single-device analysis per band."""
+    across tile edges in AV1), so the sharded maps must equal running the
+    single-device analysis per band, and the psum'd rate must equal the
+    band sum."""
     n = len(jax.devices())
     assert n >= 8, "conftest should provide 8 CPU devices"
     mesh = make_mesh(8)
-    h, w = 8 * 2 * BLOCK, 4 * BLOCK
-    luma = jnp.asarray(np.random.default_rng(2).integers(0, 256, (h, w), np.int32))
-    modes_sharded, rate = sharded_frame_analysis(mesh, luma)
-    per_band = [
-        np.asarray(analyze_intra_modes(luma[i * 2 * BLOCK : (i + 1) * 2 * BLOCK], 128)[0])
-        for i in range(8)
+    h, w = 8 * 64, 128
+    rng = np.random.default_rng(2)
+    luma = rng.integers(0, 256, (h, w)).astype(np.int32)
+    qindex, lam, bd = 110, 30.0, 8
+    size_map, mode_map, inter_map, bits = sharded_frame_analysis(
+        mesh, luma, qindex, lam, bd
+    )
+    q = jnp.float32(float(tables.ac_q(qindex, 0, bd)))
+    total = 0.0
+    for i in range(8):
+        band = jnp.asarray(luma[i * 64 : (i + 1) * 64])
+        mv8 = jnp.zeros((8, w // 8, 2), jnp.int32)
+        s_ref, m_ref, _, b_ref = _frame_analysis(
+            band, band, mv8, q, jnp.float32(lam), bd, has_inter=False
+        )
+        assert np.array_equal(np.asarray(s_ref), size_map[i * 8 : (i + 1) * 8])
+        assert np.array_equal(np.asarray(m_ref), mode_map[i * 8 : (i + 1) * 8])
+        total += float(b_ref)
+    assert abs(total - bits) / total < 1e-3
+
+
+def test_sharded_maps_drive_identical_bitstream():
+    """End-to-end: an encode whose device maps come from the sharded
+    analysis must produce byte-identical packets to one whose maps come
+    from the per-band single-device analysis."""
+    import rav1e_tpu.device as device_mod
+    from rav1e_tpu import Config, EncoderConfig, EncoderStatus, SpeedSettings
+    from rav1e_tpu.device.analysis import DeviceMaps
+
+    h, w = 128, 128  # 2 bands of one SB row
+    rng = np.random.default_rng(3)
+    luma = rng.integers(0, 256, (h, w)).astype(np.uint8)
+
+    def encode_with_maps(maps):
+        ss = SpeedSettings.from_preset(8)
+        cfg = Config(
+            enc=EncoderConfig(
+                width=w, height=h, quantizer=110, low_latency=True,
+                speed_settings=ss, tile_rows=2,
+            )
+        )
+        ctx = cfg.new_context()
+        f = ctx.new_frame()
+        for i, p in enumerate(f.planes):
+            arr = luma if i == 0 else np.full((p.cfg.height, p.cfg.width), 128, np.uint8)
+            p.copy_from(arr)
+        orig = device_mod.analyze_frame
+        device_mod.analyze_frame = lambda *a, **k: maps
+        try:
+            ctx.send_frame(f)
+            ctx.flush()
+            return ctx.receive_packet().data
+        finally:
+            device_mod.analyze_frame = orig
+
+    qindex, bd = 110, 8
+    q_step = tables.ac_q(qindex, 0, bd) / 8.0
+    lam = 0.12 * q_step * q_step
+
+    mesh = make_mesh(2)
+    s1, m1, i1, bits = sharded_frame_analysis(mesh, luma.astype(np.int32), qindex, lam, bd)
+    maps_sharded = DeviceMaps(size_log2=s1, mode=m1, use_inter=i1, bits_est=bits)
+
+    q = jnp.float32(float(tables.ac_q(qindex, 0, bd)))
+    parts = [
+        _frame_analysis(
+            jnp.asarray(luma[i * 64 : (i + 1) * 64].astype(np.int32)),
+            jnp.asarray(luma[i * 64 : (i + 1) * 64].astype(np.int32)),
+            jnp.zeros((8, w // 8, 2), jnp.int32), q, jnp.float32(lam), bd, False,
+        )
+        for i in range(2)
     ]
-    assert np.array_equal(np.asarray(modes_sharded), np.concatenate(per_band))
-    assert np.isfinite(float(rate))
+    maps_single = DeviceMaps(
+        size_log2=np.concatenate([np.asarray(p[0]) for p in parts]),
+        mode=np.concatenate([np.asarray(p[1]) for p in parts]),
+        use_inter=np.concatenate([np.asarray(p[2]) for p in parts]),
+        bits_est=sum(float(p[3]) for p in parts),
+    )
+
+    data_sharded = encode_with_maps(maps_sharded)
+    data_single = encode_with_maps(maps_single)
+    assert data_sharded == data_single and len(data_sharded) > 0
