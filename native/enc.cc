@@ -408,6 +408,72 @@ void enc_cdef_filter(const void* pre, long stride, int bytespp, void* out,
   }
 }
 
+// prep_8tap: compound-prediction intermediate (ops/mc.py prep_8tap;
+// reference mc.rs:360-452) — i16-domain output, no final clamp.
+void enc_prep_8tap(const void* ref, long stride, int bytespp, long x0, long y0,
+                   int w, int h, int col_frac, int row_frac, int mode_x,
+                   int mode_y, int bd, int32_t* out) {
+  const int inter_bits = 4 - (bd == 12 ? 2 : 0);
+  const int prep_bias = bd == 8 ? 0 : 8192;
+  if (col_frac == 0 && row_frac == 0) {
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++)
+        out[y * w + x] =
+            (int32_t)(((int64_t)px_at(ref, stride, bytespp, y0 + y, x0 + x)
+                       << inter_bits) - prep_bias);
+    return;
+  }
+  const int32_t* xf = get_filter(mode_x, col_frac, w);
+  const int32_t* yf = get_filter(mode_y, row_frac, h);
+  if (col_frac == 0) {
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++) {
+        int64_t acc = 0;
+        for (int k = 0; k < 8; k++)
+          acc += (int64_t)yf[k] * px_at(ref, stride, bytespp, y0 + y - 3 + k, x0 + x);
+        out[y * w + x] = (int32_t)(round_shift(acc, 7 - inter_bits) - prep_bias);
+      }
+    return;
+  }
+  if (row_frac == 0) {
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++) {
+        int64_t acc = 0;
+        for (int k = 0; k < 8; k++)
+          acc += (int64_t)xf[k] * px_at(ref, stride, bytespp, y0 + y, x0 + x - 3 + k);
+        out[y * w + x] = (int32_t)(round_shift(acc, 7 - inter_bits) - prep_bias);
+      }
+    return;
+  }
+  std::vector<int16_t> horiz((h + 7) * w);
+  for (int y = 0; y < h + 7; y++)
+    for (int x = 0; x < w; x++) {
+      int64_t acc = 0;
+      for (int k = 0; k < 8; k++)
+        acc += (int64_t)xf[k] * px_at(ref, stride, bytespp, y0 + y - 3, x0 + x - 3 + k);
+      int64_t v = round_shift(acc, 7 - inter_bits);
+      horiz[y * w + x] = (int16_t)(((v + (1 << 15)) & 0xFFFF) - (1 << 15));
+    }
+  for (int y = 0; y < h; y++)
+    for (int x = 0; x < w; x++) {
+      int64_t acc = 0;
+      for (int k = 0; k < 8; k++) acc += (int64_t)yf[k] * horiz[(y + k) * w + x];
+      out[y * w + x] = (int32_t)(round_shift(acc, 7) - prep_bias);
+    }
+}
+
+// compound average of two prep_8tap intermediates (ops/mc.py mc_avg)
+void enc_mc_avg(const int32_t* t1, const int32_t* t2, int n, int bd,
+                int32_t* out) {
+  const int inter_bits = 4 - (bd == 12 ? 2 : 0);
+  const int prep_bias = bd == 8 ? 0 : 16384;
+  const int maxv = (1 << bd) - 1;
+  for (int i = 0; i < n; i++) {
+    int64_t v = round_shift((int64_t)t1[i] + t2[i] + prep_bias, inter_bits + 1);
+    out[i] = (int32_t)std::clamp<int64_t>(v, 0, maxv);
+  }
+}
+
 }  // extern "C"
 
 extern "C" void enc_cdef_dirs(const void* luma, long stride, int bytespp,

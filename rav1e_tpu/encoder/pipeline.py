@@ -215,6 +215,17 @@ class TileEncoder:
     # ------------------------------------------------------------------
 
     def encode(self) -> bytes:
+        if self.fi.device_maps is not None:
+            # native C++ tile coder: the whole symbol stream for this tile in
+            # one call, consuming the device decision maps
+            # (native/tile.cc; parity with this Python path is asserted by
+            # tests/test_native_tile.py)
+            from rav1e_tpu import native_tile
+
+            r = native_tile.encode_tile_native(self)
+            if r is not None:
+                payload, self.stats = r
+                return payload
         sb_cols = (self.mi_w + MIB_SIZE - 1) // MIB_SIZE
         sb_rows = (self.mi_h + MIB_SIZE - 1) // MIB_SIZE
         nplanes = 1 if self.fi.seq.chroma_sampling == ChromaSampling.Cs400 else 3

@@ -19,6 +19,14 @@ _SRCS = [
     _ROOT / "native" / "itx.cc",
     _ROOT / "native" / "enc.cc",
     _ROOT / "native" / "lrf.cc",
+    _ROOT / "native" / "tile.cc",
+]
+# headers/includes that must participate in the rebuild hash
+_HDRS = [
+    _ROOT / "native" / "tile_intra.inc",
+    _ROOT / "native" / "tile_code.inc",
+    _ROOT / "native" / "tile_block.inc",
+    _ROOT / "native" / "tile_deblock.inc",
 ]
 _LIB = _ROOT / "native" / "librav1e_tpu_ec.so"
 
@@ -33,7 +41,7 @@ def _src_hash() -> str:
     import hashlib
 
     h = hashlib.sha256()
-    for s in _SRCS:
+    for s in _SRCS + _HDRS:
         h.update(s.read_bytes())
     return h.hexdigest()
 
@@ -179,6 +187,17 @@ def _bind_symbols(lib) -> None:
         c.c_int, c.c_int, c.c_int, c.c_void_p, c.c_void_p, c.c_void_p,
         c.c_void_p,
     ]
+    lib.tile_deblock_plane.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_long, c.c_int, c.c_void_p, c.c_void_p,
+        c.c_int, c.c_int, c.c_int, c.c_long, c.c_long, c.c_int, c.c_int,
+        c.c_int,
+    ]
+    lib.tile_deblock_search.argtypes = [
+        c.c_int, c.c_void_p, c.c_long, c.c_int, c.c_long, c.c_long, c.c_long,
+        c.c_void_p, c.c_long, c.c_void_p, c.c_void_p, c.c_int, c.c_int,
+        c.c_long, c.c_long, c.c_int,
+    ]
+    lib.tile_deblock_search.restype = c.c_int
 
 
 def _load_subpel_filters(lib) -> None:

@@ -322,6 +322,40 @@ def _plane_edge_decisions(blocks, pli, xdec, ydec, cols_p, rows_p, vertical):
     return size
 
 
+def _deblock_grid_arrays(blocks):
+    """(ptrs, strides) int64 arrays for the native deblock grids + keepalives."""
+    arrs = [blocks.bsize, blocks.tx_size,
+            blocks.skip.view(np.uint8) if blocks.skip.dtype == bool else blocks.skip,
+            blocks.ref_frames]
+    ptrs = np.array([a.ctypes.data for a in arrs], dtype=np.int64)
+    strides = np.array(
+        [a.strides[0] // a.itemsize for a in arrs], dtype=np.int64
+    )
+    return ptrs, strides, arrs
+
+
+def deblock_plane_native(levels, plane, blocks, pli, crop_w, crop_h, bd, xdec, ydec) -> bool:
+    """Native whole-plane filter (native/tile_deblock.inc). Returns False
+    when the library is unavailable (caller uses the numpy path)."""
+    from rav1e_tpu import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return False
+    ptrs, strides, keep = _deblock_grid_arrays(blocks)
+    lv = np.asarray(levels, dtype=np.int32)
+    pad = plane.cfg.pad
+    data = plane.data
+    lib.tile_deblock_plane(
+        lv.ctypes.data,
+        data.ctypes.data + (pad * data.strides[0] + pad * data.itemsize),
+        data.strides[0] // data.itemsize, data.itemsize,
+        ptrs.ctypes.data, strides.ctypes.data, blocks.rows, blocks.cols,
+        pli, crop_w, crop_h, bd, xdec, ydec,
+    )
+    return True
+
+
 def deblock_plane(levels, rec, blocks, pli, crop_w, crop_h, bd, xdec, ydec):
     """Filter one plane in place. ``rec`` is the plane-origin view."""
     if pli == 0:
@@ -377,9 +411,11 @@ def deblock_filter_frame(levels, frame, blocks, crop_w, crop_h, bd, cs, luma_onl
         plane = frame.planes[pli]
         xd, yd = (0, 0) if pli == 0 else cs.decimation()
         pad = plane.cfg.pad
-        rec = plane.data[pad:, pad:]
         pw = (crop_w + (1 << xd) - 1) >> xd
         ph = (crop_h + (1 << yd) - 1) >> yd
+        if deblock_plane_native(levels, plane, blocks, pli, pw, ph, bd, xd, yd):
+            continue
+        rec = plane.data[pad:, pad:]
         deblock_plane(levels, rec, blocks, pli, pw, ph, bd, xd, yd)
 
 
@@ -396,6 +432,24 @@ def deblock_search_levels(
 
     base = fast_levels[0]
     pad = rec_frame.planes[0].cfg.pad
+
+    from rav1e_tpu import native
+
+    lib = native.get_lib()
+    if lib is not None:
+        ptrs, strides, keep = _deblock_grid_arrays(blocks)
+        rp = rec_frame.planes[0]
+        sp = src_frame.planes[0]
+        best = lib.tile_deblock_search(
+            base, rp.data.ctypes.data, rp.data.strides[0] // rp.data.itemsize,
+            rp.data.itemsize, rp.cfg.pad, rp.cfg.alloc_width,
+            rp.cfg.alloc_height, sp.data.ctypes.data,
+            sp.data.strides[0] // sp.data.itemsize,
+            ptrs.ctypes.data, strides.ctypes.data, blocks.rows, blocks.cols,
+            crop_w, crop_h, bd,
+        )
+        return [best, best, fast_levels[2], fast_levels[3]]
+
     src = src_frame.planes[0].data[pad:, pad:][:crop_h, :crop_w].astype(np.int64)
 
     candidates = sorted({max(0, min(base + d, 63)) for d in (-4, -2, 0, 2, 4)})

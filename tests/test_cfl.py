@@ -62,6 +62,11 @@ def _encode(w, h, q, n=1, seed=3, corr=True):
 def test_cfl_selected_and_roundtrip(monkeypatch):
     from rav1e_tpu.context.writer import ContextWriter
     from rav1e_tpu.decoder import decode_packet
+    import rav1e_tpu.native_tile as native_tile
+
+    # the spy hooks the Python symbol layer; force the Python tile path
+    # (the C++ coder's CfL is covered by test_native_tile parity)
+    monkeypatch.setattr(native_tile, "encode_tile_native", lambda te: None)
 
     calls = []
     orig = ContextWriter.write_cfl_alphas

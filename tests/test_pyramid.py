@@ -109,9 +109,12 @@ def test_pyramid_partial_tail_fallback():
 
 def test_backward_refs_used():
     """On translating content, B frames should pick the backward ref for some
-    blocks (ALTREF coded in the bitstream) — detected via the writer."""
+    blocks (ALTREF coded in the bitstream) — detected via the writer.
+    (The spy hooks the Python symbol layer, so the Python tile path is
+    forced; the C++ coder's equivalence is covered by test_native_tile.)"""
     from unittest import mock
 
+    import rav1e_tpu.native_tile as native_tile
     from rav1e_tpu.context.writer import ContextWriter
 
     refs_used = []
@@ -121,7 +124,8 @@ def test_backward_refs_used():
         refs_used.append(ref_frame)
         return orig(self, w, x, y, ref_frame, counts)
 
-    with mock.patch.object(ContextWriter, "write_ref_frames_single", spy):
+    with mock.patch.object(ContextWriter, "write_ref_frames_single", spy), \
+         mock.patch.object(native_tile, "encode_tile_native", lambda te: None):
         _encode(9, w=128, h=96, shift_per_frame=3)
     assert 7 in refs_used, f"ALTREF never chosen: {set(refs_used)}"
     assert 1 in refs_used
@@ -141,6 +145,7 @@ def test_compound_prediction_used_and_decodes():
     motion content, and the stream must round-trip bit-exactly."""
     from unittest import mock
 
+    import rav1e_tpu.native_tile as native_tile
     from rav1e_tpu.context.writer import ContextWriter
     from rav1e_tpu.decoder import decode_packet
 
@@ -161,7 +166,8 @@ def test_compound_prediction_used_and_decodes():
     rng = np.random.default_rng(10)
     base = np.clip(np.cumsum(rng.integers(-4, 5, (96 * 2, 128 * 3)), axis=1) + 128, 0, 255)
     pkts = []
-    with mock.patch.object(ContextWriter, "write_compound_mode", spy):
+    with mock.patch.object(ContextWriter, "write_compound_mode", spy), \
+         mock.patch.object(native_tile, "encode_tile_native", lambda te: None):
         for i in range(9):
             f = ctx.new_frame()
             for p in f.planes:
