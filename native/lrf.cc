@@ -296,4 +296,94 @@ long long enc_sgr_decide_unit(
   return sse_none;
 }
 
+// Apply SgrProj to one (unit, stripe) rectangle, writing into `outp`
+// (ops/lrf.py lrf_filter_frame sgr arm; reference lrf.rs:630-846).
+void enc_sgr_apply_stripe(const void* cdef, long cstride, const void* debl,
+                          long dstride, int bytespp, void* outp, long ostride,
+                          long x, long sy, int uw, int sh, long crop_w,
+                          long crop_h, int bd, long s_r2, long s_r1, int xqd0,
+                          int xqd1) {
+  StripeGeom g;
+  build_geom(g, cdef, cstride, debl, dstride, bytespp, x, sy, uw, sh, crop_w,
+             crop_h);
+  std::vector<int64_t> f2, f1;
+  compute_f(g, bd, s_r2, s_r1, f2, f1);
+  int w0 = xqd0, w1 = xqd1;
+  int w2 = (1 << SGRPROJ_PRJ_BITS) - w0 - w1;
+  int shift = SGRPROJ_RST_BITS + SGRPROJ_PRJ_BITS;
+  long maxv = (1L << bd) - 1;
+  for (int r = 0; r < sh; r++)
+    for (int c = 0; c < uw; c++) {
+      int64_t u = g.lines[(size_t)r * uw + c] << SGRPROJ_RST_BITS;
+      int64_t v = (int64_t)w0 * f2[(size_t)r * uw + c] + (int64_t)w1 * u +
+                  (int64_t)w2 * f1[(size_t)r * uw + c];
+      int64_t o = (v + ((int64_t)1 << shift >> 1)) >> shift;
+      o = std::max<int64_t>(0, std::min<int64_t>(o, maxv));
+      if (bytespp == 1)
+        ((uint8_t*)outp)[(sy + r) * ostride + x + c] = (uint8_t)o;
+      else
+        ((uint16_t*)outp)[(sy + r) * ostride + x + c] = (uint16_t)o;
+    }
+}
+
+// Apply the Wiener filter to one (unit, stripe) rectangle
+// (ops/lrf.py wiener_filter_stripe; reference lrf.rs:1099-1207).
+// coeffs6: int32 [2][3] (vertical, horizontal).
+void enc_wiener_apply_stripe(const int32_t* coeffs6, const void* cdef,
+                             long cstride, const void* debl, long dstride,
+                             int bytespp, void* outp, long ostride, long x,
+                             long sy, int uw, int sh, long crop_w, long crop_h,
+                             int bd) {
+  int round_h = bd == 12 ? 5 : 3;
+  int round_v = bd == 12 ? 9 : 11;
+  int64_t offset = (int64_t)1 << (bd + 7 - round_h - 1);
+  int64_t limit = ((int64_t)1 << (bd + 1 + 7 - round_h)) - 1;
+  int64_t vf[7], hf[7];
+  for (int k = 0; k < 2; k++) {
+    const int32_t* cc = coeffs6 + 3 * k;
+    int64_t* t = k == 0 ? vf : hf;
+    t[0] = cc[0]; t[1] = cc[1]; t[2] = cc[2];
+    t[3] = 128 - 2 * (cc[0] + cc[1] + cc[2]);
+    t[4] = cc[2]; t[5] = cc[1]; t[6] = cc[0];
+  }
+  // horizontal pass into the i16-ish work buffer (rows sy-3 .. sy+sh+3);
+  // the wiener row rule (ops/lrf.py wiener_filter_stripe): `below` rows use
+  // the deblocked plane even when the crop clamp pulls them into the stripe
+  static thread_local std::vector<int64_t> work;
+  work.assign((size_t)(sh + 7) * uw, 0);
+  for (int i = 0; i < sh + 7; i++) {
+    long yy = (long)i + sy - 3;
+    bool above = yy < sy;
+    bool below = yy >= sy + sh;
+    long ly = std::min(std::max(yy, 0L), crop_h - 1);
+    if (above) ly = std::max(ly, sy - 2);
+    if (below) ly = std::min(ly, sy + sh + 1);
+    bool use_cdef = !above && !below;
+    const void* rowsrc = use_cdef ? cdef : debl;
+    long rstride = use_cdef ? cstride : dstride;
+    for (int c = 0; c < uw; c++) {
+      int64_t acc = 0;
+      for (int k = 0; k < 7; k++) {
+        long xx = std::min(std::max((long)c + x - 3 + k, 0L), crop_w - 1);
+        acc += hf[k] * px_at(rowsrc, rstride, bytespp, ly, xx);
+      }
+      int64_t h = (acc + ((int64_t)1 << round_h >> 1)) >> round_h;
+      h = std::max(-offset, std::min(h, limit - offset));
+      work[(size_t)i * uw + c] = h;
+    }
+  }
+  long maxv = (1L << bd) - 1;
+  for (int r = 0; r < sh; r++)
+    for (int c = 0; c < uw; c++) {
+      int64_t acc = 0;
+      for (int k = 0; k < 7; k++) acc += vf[k] * work[(size_t)(r + k) * uw + c];
+      int64_t o = (acc + ((int64_t)1 << round_v >> 1)) >> round_v;
+      o = std::max<int64_t>(0, std::min<int64_t>(o, maxv));
+      if (bytespp == 1)
+        ((uint8_t*)outp)[(sy + r) * ostride + x + c] = (uint8_t)o;
+      else
+        ((uint16_t*)outp)[(sy + r) * ostride + x + c] = (uint16_t)o;
+    }
+}
+
 }  // extern "C"

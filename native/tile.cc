@@ -380,6 +380,12 @@ struct TileParams {
   LrfPlane lrf[3];
   // outputs
   uint32_t* stats;  // [22 bsize counts][13 luma][14 chroma][1 skip]
+  // pass-2 decision reuse: pass 1's coded grids (deterministic decisions,
+  // so pass 2 skips the motion search and replays ref/mv from these)
+  int reuse;
+  const uint8_t* reuse_is_inter;  long reuse_is_inter_s;
+  const int8_t* reuse_ref;        long reuse_ref_s;
+  const int16_t* reuse_mv;        long reuse_mv_s;
 };
 
 // ---------------------------------------------------------------------------

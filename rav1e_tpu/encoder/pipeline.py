@@ -148,11 +148,13 @@ class TileEncoder:
         cdef_idx_map=None,
         decision_log=None,
         replay=None,
+        reuse_blocks=None,
     ):
         self.fi = fi
         self.src = src
         self.rec = rec
         self.rs = rs
+        self.reuse_blocks = reuse_blocks  # pass-1 frame grids (native pass 2)
         self.decision_log = decision_log
         self.replay = replay
         self._rp = 0
@@ -2084,6 +2086,7 @@ class FramePipeline:
             tile_payloads, _, frame_cdfs, _ = self._encode_tiles(
                 fi, frame, rec_scratch, fb_scratch, mi_cols, mi_rows, rs=rs,
                 cdef_bits=cdef_bits, cdef_idx_map=cdef_map, replays=decisions,
+                reuse_from=frame_blocks,
             )
             tile_group = self._build_tile_group(tile_payloads)
 
@@ -2272,7 +2275,8 @@ class FramePipeline:
         )
 
     def _encode_tiles(self, fi, frame, rec, frame_blocks, mi_cols, mi_rows, rs=None,
-                      cdef_bits=0, cdef_idx_map=None, record=False, replays=None):
+                      cdef_bits=0, cdef_idx_map=None, record=False, replays=None,
+                      reuse_from=None):
         """Encode all tiles, in parallel threads when configured
         (reference encoder.rs:3249-3257 rayon par_iter; disjoint TileBlocksMut
         views make tiles data-race free by construction).
@@ -2296,6 +2300,7 @@ class FramePipeline:
                 cdef_idx_map=cdef_idx_map,
                 decision_log=[] if record else None,
                 replay=list(replays[idx]) if replays is not None else None,
+                reuse_blocks=reuse_from,
             )
             return te.encode(), te.stats, te.fc, tw * th, te.decision_log
 

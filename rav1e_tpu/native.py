@@ -198,6 +198,16 @@ def _bind_symbols(lib) -> None:
         c.c_long, c.c_long, c.c_int,
     ]
     lib.tile_deblock_search.restype = c.c_int
+    lib.enc_sgr_apply_stripe.argtypes = [
+        c.c_void_p, c.c_long, c.c_void_p, c.c_long, c.c_int, c.c_void_p,
+        c.c_long, c.c_long, c.c_long, c.c_int, c.c_int, c.c_long, c.c_long,
+        c.c_int, c.c_long, c.c_long, c.c_int, c.c_int,
+    ]
+    lib.enc_wiener_apply_stripe.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_long, c.c_void_p, c.c_long, c.c_int,
+        c.c_void_p, c.c_long, c.c_long, c.c_long, c.c_int, c.c_int, c.c_long,
+        c.c_long, c.c_int,
+    ]
 
 
 def _load_subpel_filters(lib) -> None:

@@ -68,6 +68,10 @@ class TileParamsC(ctypes.Structure):
         ("prev_mvs", c_ptr), ("prev_mvs_s", c_long),
         ("lrf_present", c_int), ("lrf", LrfPlaneC * 3),
         ("stats", c_ptr),
+        ("reuse", c_int),
+        ("reuse_is_inter", c_ptr), ("reuse_is_inter_s", c_long),
+        ("reuse_ref", c_ptr), ("reuse_ref_s", c_long),
+        ("reuse_mv", c_ptr), ("reuse_mv_s", c_long),
     ]
 
 
@@ -353,6 +357,21 @@ def encode_tile_native(te) -> Optional[tuple]:
     stats = np.zeros(80, dtype=np.uint32)
     keep.append(stats)
     p.stats = stats.ctypes.data
+
+    # pass-2 decision reuse from pass 1's frame-level grids
+    rb = getattr(te, "reuse_blocks", None)
+    if rb is not None:
+        p.reuse = 1
+        ii = rb.is_inter_flag.view(np.uint8)
+        rf = rb.ref_frames
+        mv = rb.mv
+        keep.extend([ii, rf, mv, rb])
+        p.reuse_is_inter = ii.ctypes.data
+        p.reuse_is_inter_s = ii.strides[0] // ii.itemsize
+        p.reuse_ref = rf.ctypes.data
+        p.reuse_ref_s = rf.strides[0] // (rf.itemsize * 2)
+        p.reuse_mv = mv.ctypes.data
+        p.reuse_mv_s = mv.strides[0] // (mv.itemsize * 4)
 
     # CDFs + grids
     ptrs, strides, last = _cdf_arrays(te.fc, keep)

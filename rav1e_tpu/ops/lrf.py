@@ -454,6 +454,15 @@ def lrf_filter_frame(rs: RestorationState, frame, deblocked_planes, width,
         cdef_arr = out_arr.copy()
         debl_arr = deblocked_planes[pli]
 
+        from rav1e_tpu import native as _native
+
+        lib = _native.get_lib()
+        use_native = (
+            lib is not None
+            and cdef_arr.itemsize in (1, 2)
+            and cdef_arr.strides[1] == cdef_arr.itemsize
+            and debl_arr.strides[1] == debl_arr.itemsize
+        )
         for si in range(stripe_n):
             sy, sh = _plane_stripes(si, ydec, crop_h)
             if sh <= 0 or sy >= crop_h:
@@ -463,12 +472,42 @@ def lrf_filter_frame(rs: RestorationState, frame, deblocked_planes, width,
                 uw = crop_w - x if rux == rp.cfg.cols - 1 else rp.cfg.unit_size
                 filt = rp.unit_by_stripe(si, rux)
                 if filt[0] == "wiener":
+                    if use_native:
+                        c6 = np.ascontiguousarray(
+                            np.asarray(filt[1], dtype=np.int32).reshape(-1)
+                        )
+                        lib.enc_wiener_apply_stripe(
+                            c6.ctypes.data,
+                            cdef_arr.ctypes.data,
+                            cdef_arr.strides[0] // cdef_arr.itemsize,
+                            debl_arr.ctypes.data,
+                            debl_arr.strides[0] // debl_arr.itemsize,
+                            cdef_arr.itemsize,
+                            out_arr.ctypes.data,
+                            out_arr.strides[0] // out_arr.itemsize,
+                            x, sy, uw, sh, crop_w, crop_h, bd,
+                        )
+                        continue
                     wiener_filter_stripe(
                         filt[1], cdef_arr, debl_arr, out_arr, x, sy, uw, sh,
                         crop_w, crop_h, bd,
                     )
                 elif filt[0] == "sgr":
                     s_r2, s_r1 = SGRPROJ_PARAMS_S[filt[1]]
+                    if use_native:
+                        lib.enc_sgr_apply_stripe(
+                            cdef_arr.ctypes.data,
+                            cdef_arr.strides[0] // cdef_arr.itemsize,
+                            debl_arr.ctypes.data,
+                            debl_arr.strides[0] // debl_arr.itemsize,
+                            cdef_arr.itemsize,
+                            out_arr.ctypes.data,
+                            out_arr.strides[0] // out_arr.itemsize,
+                            x, sy, uw, sh, crop_w, crop_h, bd,
+                            int(s_r2), int(s_r1),
+                            int(filt[2][0]), int(filt[2][1]),
+                        )
+                        continue
                     g = sgr_stripe_geom(
                         cdef_arr, debl_arr, x, sy, uw, sh, crop_w, crop_h
                     )

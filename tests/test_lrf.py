@@ -273,3 +273,49 @@ def test_sgr_decide_native_matches_python():
             )
             assert (x0n, x1n) == xqd, (h, w, sgr_set)
             assert ssen == sse, (h, w, sgr_set)
+
+
+def test_native_lrf_apply_parity():
+    """Native SGR/Wiener stripe apply bit-matches the numpy reference."""
+    import numpy as np
+    from rav1e_tpu import native
+    from rav1e_tpu.ops import lrf as L
+
+    lib = native.get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(0)
+    crop_w, crop_h, bd = 131, 89, 8
+    cdef = rng.integers(0, 256, (160, 160)).astype(np.uint8)
+    debl = rng.integers(0, 256, (160, 160)).astype(np.uint8)
+    for (sy, sh) in [(0, 56), (56, 33)]:
+        for x, uw in [(0, 64), (64, crop_w - 64)]:
+            for sset in (2, 10, 14):
+                s_r2, s_r1 = L.SGRPROJ_PARAMS_S[sset]
+                out_a = cdef.copy()
+                out_b = cdef.copy()
+                g = L.sgr_stripe_geom(cdef, debl, x, sy, uw, sh, crop_w, crop_h)
+                f2, f1 = L.sgr_compute_f_from_geom(g, bd, s_r2, s_r1)
+                r = L.sgr_apply(f2, f1, g["lines"], (-20, 40), bd)
+                out_a[sy : sy + sh, x : x + uw] = r.astype(np.uint8)
+                lib.enc_sgr_apply_stripe(
+                    cdef.ctypes.data, 160, debl.ctypes.data, 160, 1,
+                    out_b.ctypes.data, 160, x, sy, uw, sh, crop_w, crop_h,
+                    bd, s_r2, s_r1, -20, 40,
+                )
+                assert np.array_equal(out_a, out_b), ("sgr", sset, sy, x)
+            out_a = cdef.copy()
+            out_b = cdef.copy()
+            coeffs = [[2, -5, 12], [-1, 3, 10]]
+            L.wiener_filter_stripe(
+                coeffs, cdef, debl, out_a, x, sy, uw, sh, crop_w, crop_h, bd
+            )
+            c6 = np.ascontiguousarray(np.asarray(coeffs, np.int32).reshape(-1))
+            lib.enc_wiener_apply_stripe(
+                c6.ctypes.data, cdef.ctypes.data, 160, debl.ctypes.data,
+                160, 1, out_b.ctypes.data, 160, x, sy, uw, sh, crop_w,
+                crop_h, bd,
+            )
+            assert np.array_equal(out_a, out_b), ("wiener", sy, x)
