@@ -2015,7 +2015,7 @@ class FramePipeline:
             )
             if not enc.speed_settings.fast_deblock and cdef_y > 0:
                 with span("cdef_rdo"):
-                    cdef_y_list, cdef_uv_list, cdef_map = cdef_rdo_frame(
+                    cdef_y_list, cdef_uv_list, cdef_map, cdef_state = cdef_rdo_frame(
                         rec, frame, frame_blocks, fi.bit_depth,
                         enc.chroma_sampling, enc.width, enc.height,
                         cdef_damping, cdef_y, cdef_uv,
@@ -2026,6 +2026,7 @@ class FramePipeline:
                         (cdef_damping, cdef_y_list, cdef_uv_list), rec,
                         frame_blocks, fi.bit_depth, enc.chroma_sampling,
                         enc.width, enc.height, cdef_idx_map=cdef_map,
+                        state=cdef_state,
                     )
             else:
                 with span("cdef"):

@@ -179,9 +179,70 @@ def cdef_strengths_fast(ac_quant: int):
     return y, uv
 
 
+def cdef_frame_state(frame, blocks, bd: int, crop_w: int, crop_h: int,
+                     cdef_idx_map=None):
+    """Precompute the filtered-8x8 list, directions/variances and edge
+    availability once per frame (shared by the RDO candidates and the final
+    apply — the expensive half of cdef_filter_frame)."""
+    mi_cols, mi_rows = blocks.cols, blocks.rows
+    nbx = (mi_cols + 1) // 2
+    nby = (mi_rows + 1) // 2
+    skip = blocks.skip
+    sk = np.ones((nby * 2, nbx * 2), dtype=bool)
+    sk[:mi_rows, :mi_cols] = skip
+    sk8 = sk.reshape(nby, 2, nbx, 2).all(axis=(1, 3))
+    filt = ~sk8
+    sb_idx8 = None
+    if cdef_idx_map is not None:
+        sb_idx8 = cdef_idx_map[
+            np.minimum(np.arange(nby) // 8, cdef_idx_map.shape[0] - 1)[:, None],
+            np.minimum(np.arange(nbx) // 8, cdef_idx_map.shape[1] - 1)[None, :],
+        ]
+        filt &= sb_idx8 >= 0
+    by, bx = np.nonzero(filt)
+    if by.size == 0:
+        return None
+    blk_idx = (
+        sb_idx8[by, bx].astype(np.int64)
+        if cdef_idx_map is not None
+        else np.zeros(by.size, dtype=np.int64)
+    )
+
+    from rav1e_tpu import native
+
+    lib = native.get_lib()
+    luma = frame.planes[0]
+    pad = luma.cfg.pad
+    larr = luma.data[pad:, pad:]
+    if lib is not None and larr.itemsize in (1, 2):
+        by32 = np.ascontiguousarray(by, dtype=np.int32)
+        bx32 = np.ascontiguousarray(bx, dtype=np.int32)
+        dirs = np.empty(len(by), dtype=np.int32)
+        variances = np.empty(len(by), dtype=np.int32)
+        lib.enc_cdef_dirs(
+            larr.ctypes.data, larr.strides[0] // larr.itemsize, larr.itemsize,
+            len(by), by32.ctypes.data, bx32.ctypes.data, bd,
+            dirs.ctypes.data, variances.ctypes.data,
+        )
+        dirs = dirs.astype(np.int64)
+        variances = variances.astype(np.int64)
+    else:
+        win_idx_y = (by * 8)[:, None, None] + np.arange(8)[None, :, None]
+        win_idx_x = (bx * 8)[:, None, None] + np.arange(8)[None, None, :]
+        dirs, variances = cdef_find_dirs(larr[win_idx_y, win_idx_x], bd)
+
+    return {
+        "by": by, "bx": bx, "blk_idx": blk_idx,
+        "dirs": dirs, "variances": variances,
+        "have_top": by > 0, "have_left": bx > 0,
+        "have_right": (bx + 2) * 8 <= crop_w,
+        "have_bottom": (by + 2) * 8 <= crop_h,
+    }
+
+
 def cdef_filter_frame(
     fh_params, frame, blocks, bd: int, cs, crop_w: int, crop_h: int,
-    cdef_idx_map=None,
+    cdef_idx_map=None, state=None,
 ) -> None:
     """Apply CDEF in place over the whole frame.
 
@@ -209,68 +270,32 @@ def cdef_filter_frame(
         sec += int(sec == 3)
         return pri, sec
 
-    mi_cols, mi_rows = blocks.cols, blocks.rows
-    nbx = (mi_cols + 1) // 2  # 8x8 luma units
-    nby = (mi_rows + 1) // 2
-
-    # skip map: an 8x8 is filtered if any covering 4x4 is non-skip
-    skip = blocks.skip
-    pad_cols = nbx * 2
-    pad_rows = nby * 2
-    sk = np.ones((pad_rows, pad_cols), dtype=bool)
-    sk[:mi_rows, :mi_cols] = skip
-    sk8 = sk.reshape(nby, 2, nbx, 2).all(axis=(1, 3))
-    filt = ~sk8
-    if cdef_idx_map is not None:
-        sb_idx8 = cdef_idx_map[
-            np.minimum(np.arange(nby) // 8, cdef_idx_map.shape[0] - 1)[:, None],
-            np.minimum(np.arange(nbx) // 8, cdef_idx_map.shape[1] - 1)[None, :],
-        ]
-        filt &= sb_idx8 >= 0
-    by, bx = np.nonzero(filt)
-    if by.size == 0:
+    if state is None:
+        state = cdef_frame_state(frame, blocks, bd, crop_w, crop_h, cdef_idx_map)
+    if state is None:
         return
+    by, bx, blk_idx = state["by"], state["bx"], state["blk_idx"]
     if cdef_idx_map is not None:
-        blk_idx = sb_idx8[by, bx].astype(np.int64)
-    else:
-        blk_idx = np.zeros(by.size, dtype=np.int64)
+        # a shared state may have been built before the idx map existed
+        blk_idx = cdef_idx_map[
+            np.minimum(by // 8, cdef_idx_map.shape[0] - 1),
+            np.minimum(bx // 8, cdef_idx_map.shape[1] - 1),
+        ].astype(np.int64)
+        keepm = blk_idx >= 0
+        if not keepm.all():
+            by, bx, blk_idx = by[keepm], bx[keepm], blk_idx[keepm]
+            state = dict(state)
+            for k in ("dirs", "variances", "have_top", "have_left",
+                      "have_right", "have_bottom"):
+                state[k] = state[k][keepm]
+    dirs, variances = state["dirs"], state["variances"]
+    have_top, have_left = state["have_top"], state["have_left"]
+    have_right, have_bottom = state["have_right"], state["have_bottom"]
 
     pri_y_arr = np.array([unpack(v)[0] for v in y_list], dtype=np.int64)[blk_idx]
     sec_y_arr = np.array([unpack(v)[1] for v in y_list], dtype=np.int64)[blk_idx]
     pri_uv_arr = np.array([unpack(v)[0] for v in uv_list], dtype=np.int64)[blk_idx]
     sec_uv_arr = np.array([unpack(v)[1] for v in uv_list], dtype=np.int64)[blk_idx]
-
-    # direction analysis on pre-CDEF luma
-    from rav1e_tpu import native
-
-    lib = native.get_lib()
-    luma = frame.planes[0]
-    pad = luma.cfg.pad
-    larr = luma.data[pad:, pad:]
-    if lib is not None and larr.itemsize in (1, 2):
-        by32 = np.ascontiguousarray(by, dtype=np.int32)
-        bx32 = np.ascontiguousarray(bx, dtype=np.int32)
-        dirs = np.empty(len(by), dtype=np.int32)
-        variances = np.empty(len(by), dtype=np.int32)
-        lib.enc_cdef_dirs(
-            larr.ctypes.data, larr.strides[0] // larr.itemsize, larr.itemsize,
-            len(by), by32.ctypes.data, bx32.ctypes.data, bd,
-            dirs.ctypes.data, variances.ctypes.data,
-        )
-        dirs = dirs.astype(np.int64)
-        variances = variances.astype(np.int64)
-    else:
-        win_idx_y = (by * 8)[:, None, None] + np.arange(8)[None, :, None]
-        win_idx_x = (bx * 8)[:, None, None] + np.arange(8)[None, None, :]
-        blocks8 = larr[win_idx_y, win_idx_x]
-        dirs, variances = cdef_find_dirs(blocks8, bd)
-
-    # edge availability (cdef.rs:441-460): global 8x8 grid, rings must be
-    # fully inside the visible frame
-    have_top = by > 0
-    have_left = bx > 0
-    have_right = (bx + 2) * 8 <= crop_w
-    have_bottom = (by + 2) * 8 <= crop_h
 
     from rav1e_tpu import native
 
@@ -382,25 +407,42 @@ def cdef_rdo_frame(
     sb_rows = (crop_h + 63) // 64
     sb_cols = (crop_w + 63) // 64
 
-    def per_sb_sse(frame_obj):
-        total = np.zeros((sb_rows, sb_cols), dtype=np.int64)
-        for p, plane in enumerate(frame_obj.planes):
+    # the filtered-block set, directions and availability are
+    # candidate-independent — compute once and share across the 4 trials
+    # and the final apply (the caller passes idx_map back in)
+    state = cdef_frame_state(rec_frame, blocks, bd, crop_w, crop_h)
+    if state is None:
+        return y_strengths, uv_strengths, np.zeros((sb_rows, sb_cols), np.int32)
+    by, bx = state["by"], state["bx"]
+    sb_of_block = (np.minimum(by // 8, sb_rows - 1) * sb_cols
+                   + np.minimum(bx // 8, sb_cols - 1))
+
+    def filtered_block_sse(frame_obj):
+        """Per-SB SSE over the filtered 8x8 blocks only (unfiltered pixels
+        contribute the same constant to every candidate)."""
+        total = np.zeros(sb_rows * sb_cols, dtype=np.int64)
+        from rav1e_tpu.config import ChromaSampling
+
+        nplanes = 1 if cs == ChromaSampling.Cs400 else 3
+        for p in range(nplanes):
+            plane = frame_obj.planes[p]
             xd, yd = plane.cfg.xdec, plane.cfg.ydec
             pad = plane.cfg.pad
             pw = (crop_w + (1 << xd) - 1) >> xd
             ph = (crop_h + (1 << yd) - 1) >> yd
-            d = (
-                plane.data[pad : pad + ph, pad : pad + pw].astype(np.int64)
-                - src_frame.planes[p].data[pad : pad + ph, pad : pad + pw]
-            )
+            rec = plane.data[pad:, pad:]
+            src = src_frame.planes[p].data[pad:, pad:]
+            xs, ys = 8 >> xd, 8 >> yd
+            wy = (by * ys)[:, None, None] + np.arange(ys)[None, :, None]
+            wx = (bx * xs)[:, None, None] + np.arange(xs)[None, None, :]
+            # clip to the visible area (edge blocks are partially outside)
+            wyc = np.minimum(wy, ph - 1)
+            wxc = np.minimum(wx, pw - 1)
+            inside = (wy < ph) & (wx < pw)
+            d = rec[wyc, wxc].astype(np.int64) - src[wyc, wxc]
             d *= d
-            sbs = 64 >> xd
-            sbr = 64 >> yd
-            pad_h = sb_rows * sbr
-            pad_w = sb_cols * sbs
-            dd = np.zeros((pad_h, pad_w), dtype=np.int64)
-            dd[:ph, :pw] = d
-            total += dd.reshape(sb_rows, sbr, sb_cols, sbs).sum(axis=(1, 3))
+            d = np.where(inside, d, 0)
+            np.add.at(total, sb_of_block, d.sum(axis=(1, 2)))
         return total
 
     sses = []
@@ -408,8 +450,10 @@ def cdef_rdo_frame(
         work = _frame_scratch(rec_frame)
         cdef_filter_frame(
             (damping, y_strengths[ci], uv_strengths[ci]), work, blocks,
-            bd, cs, crop_w, crop_h,
+            bd, cs, crop_w, crop_h, state=state,
         )
-        sses.append(per_sb_sse(work))
-    idx_map = np.argmin(np.stack(sses), axis=0).astype(np.int32)
-    return y_strengths, uv_strengths, idx_map
+        sses.append(filtered_block_sse(work))
+    idx_map = (
+        np.argmin(np.stack(sses), axis=0).reshape(sb_rows, sb_cols).astype(np.int32)
+    )
+    return y_strengths, uv_strengths, idx_map, state
