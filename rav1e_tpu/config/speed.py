@@ -57,6 +57,9 @@ class TransformSpeedSettings:
     tx_domain_distortion: bool = True
     tx_domain_rate: bool = False
     rdo_tx_decision: bool = True
+    # trial every member of the allowed TxSet (reference
+    # rdo_tx_type_decision, rdo.rs:1701) instead of DCT-vs-mode-preferred
+    full_tx_type_search: bool = True
     enable_inter_tx_split: bool = False
 
 
@@ -119,6 +122,7 @@ class SpeedSettings:
         if speed >= 5:
             s.sgr_complexity = SGRComplexityLevel.Reduced
             s.motion.include_near_mvs = False
+            s.transform.full_tx_type_search = False
         if speed >= 6:
             s.rdo_lookahead_frames = 20
             s.transform.rdo_tx_decision = False

@@ -494,6 +494,16 @@ class TileEncoder:
                 inter = self._rebuild_inter(x, y, bsize, dec)
             else:
                 inter = self.select_inter(x, y, bsize)
+                if (
+                    self.speed.transform.rdo_tx_decision
+                    and not self._in_trial()
+                    and bsize >= BlockSize.BLOCK_8X8
+                ):
+                    # real-rate inter mode decision at quality speeds
+                    # (inter_frame_rdo_mode_decision, rdo.rs:1121): trial-code
+                    # the ME winner, the NEAREST/NEAR stack candidates per
+                    # ref, and the intra alternative with true rate
+                    inter = self._select_inter_rd(x, y, bsize, inter)
                 self._log_decision(
                     "blk", None if inter is None else (inter[0], inter[2])
                 )
@@ -504,6 +514,79 @@ class TileEncoder:
             self.encode_block_intra(x, y, bsize, in_inter_frame=True)
         else:
             self.encode_block_intra(x, y, bsize, in_inter_frame=False)
+
+    def _select_inter_rd(self, x, y, bsize, proxy):
+        """Trial-encode inter candidates (and the intra fallback) with real
+        rate on a WriterCounter with full rollback — the counterpart of the
+        reference's inter_frame_rdo_mode_decision (rdo.rs:1121); the SATD
+        proxy search supplies the NEWMV candidate, the MV stack supplies the
+        NEAREST/NEAR candidates."""
+        from rav1e_tpu.context.mv import ALTREF_FRAME, LAST_FRAME
+        from rav1e_tpu.ec import WriterCounter
+
+        fi = self.fi
+        cands = []
+        if proxy is not None:
+            cands.append(proxy)
+        finder = self._mv_finder()
+        for ref_type, ref_obj in (
+            (LAST_FRAME, fi.ref_frame),
+            (ALTREF_FRAME, fi.ref_frame_bwd),
+        ):
+            if ref_obj is None:
+                continue
+            stack, mode_ctx = finder.find_mvrefs(
+                x, y, ref_type, bsize, lambda r: 0
+            )
+            seen = set()
+            for c in stack[:2]:
+                mv = tuple(c.this_mv)
+                if mv in seen:
+                    continue
+                seen.add(mv)
+                if (
+                    proxy is not None
+                    and not isinstance(proxy[0], tuple)
+                    and proxy[0] == ref_type
+                    and proxy[2] == mv
+                ):
+                    continue
+                cands.append((ref_type, ref_obj, mv, stack, mode_ctx))
+
+        lam = self._rdo_lambda
+        ds = self._dist_scale(x, y, bsize)
+        best, best_cost = None, None
+        for cand in cands:
+            snap = self._rdo_snapshot(x, y, bsize)
+            w_sav = self.w
+            self.w = WriterCounter()
+            t0 = self.w.tell_frac()
+            try:
+                self.encode_block_inter(x, y, bsize, *cand)
+                bits = (self.w.tell_frac() - t0) / 8.0
+            finally:
+                self.w = w_sav
+            sse = self._region_sse(x, y, bsize)
+            self._rdo_restore(snap)
+            cost = sse * ds + lam * bits
+            if best_cost is None or cost < best_cost:
+                best, best_cost = cand, cost
+
+        # the intra alternative, same trial machinery
+        snap = self._rdo_snapshot(x, y, bsize)
+        w_sav = self.w
+        self.w = WriterCounter()
+        t0 = self.w.tell_frac()
+        try:
+            self.encode_block_intra(x, y, bsize, in_inter_frame=True)
+            bits = (self.w.tell_frac() - t0) / 8.0
+        finally:
+            self.w = w_sav
+        sse = self._region_sse(x, y, bsize)
+        self._rdo_restore(snap)
+        if best_cost is None or sse * ds + lam * bits < best_cost:
+            return None
+        return best
 
     def _rebuild_inter(self, x, y, bsize, dec):
         """Reconstitute a recorded (ref_type, mv) inter decision: the ref
@@ -1711,13 +1794,21 @@ class TileEncoder:
             tx_type = self._pop_decision("txt")
             rd_tx_type = False
         if rd_tx_type:
-            from rav1e_tpu.tx import TX_SET_MEMBERS, get_tx_set
+            from rav1e_tpu.tx import TX_SET_MEMBERS, get_tx_set, valid_av1_transform
 
             pref = uv_intra_mode_to_tx_type_context(mode)
             tx_set = get_tx_set(tx_size, False, fi.use_reduced_tx_set)
-            cands = [TxType.DCT_DCT]
-            if pref != TxType.DCT_DCT and pref in TX_SET_MEMBERS.get(tx_set, ()):
-                cands.append(pref)
+            if self.speed.transform.full_tx_type_search:
+                # full TxSet trial (reference rdo_tx_type_decision,
+                # rdo.rs:1701): every codable member of the allowed set
+                cands = [
+                    tt for tt in TX_SET_MEMBERS.get(tx_set, (TxType.DCT_DCT,))
+                    if valid_av1_transform(tx_size, tt)
+                ] or [TxType.DCT_DCT]
+            else:
+                cands = [TxType.DCT_DCT]
+                if pref != TxType.DCT_DCT and pref in TX_SET_MEMBERS.get(tx_set, ()):
+                    cands.append(pref)
             best = None
             for tt in cands:
                 c = T.forward_transform(residual[None], tx_size, tt, fi.bit_depth)[0]

@@ -411,8 +411,8 @@ def cdef_rdo_frame(
     # candidate-independent — compute once and share across the 4 trials
     # and the final apply (the caller passes idx_map back in)
     state = cdef_frame_state(rec_frame, blocks, bd, crop_w, crop_h)
-    if state is None:
-        return y_strengths, uv_strengths, np.zeros((sb_rows, sb_cols), np.int32)
+    if state is None:  # every 8x8 is skip: nothing to filter
+        return y_strengths, uv_strengths, np.zeros((sb_rows, sb_cols), np.int32), None
     by, bx = state["by"], state["bx"]
     sb_of_block = (np.minimum(by // 8, sb_rows - 1) * sb_cols
                    + np.minimum(bx // 8, sb_cols - 1))

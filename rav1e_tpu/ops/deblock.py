@@ -448,7 +448,7 @@ def deblock_search_levels(
             ptrs.ctypes.data, strides.ctypes.data, blocks.rows, blocks.cols,
             crop_w, crop_h, bd,
         )
-        return [best, best, fast_levels[2], fast_levels[3]]
+        return _with_luma_level(fast_levels, best)
 
     src = src_frame.planes[0].data[pad:, pad:][:crop_h, :crop_w].astype(np.int64)
 
@@ -464,7 +464,18 @@ def deblock_search_levels(
         sse = int(((wl - src) ** 2).sum())
         if best_sse is None or sse < best_sse:
             best_lv, best_sse = lv, sse
-    return [best_lv, best_lv, fast_levels[2], fast_levels[3]]
+    return _with_luma_level(fast_levels, best_lv)
+
+
+def _with_luma_level(fast_levels, best):
+    """Combine the searched luma level with the fast chroma levels.
+
+    When both luma levels are 0 the frame header omits the chroma levels
+    entirely (spec 5.9.11 loop_filter_params), so the decoder sees chroma
+    level 0 — the encoder must then not filter chroma either."""
+    if best == 0:
+        return [0, 0, 0, 0]
+    return [best, best, fast_levels[2], fast_levels[3]]
 
 
 def _luma_scratch(frame):
