@@ -282,22 +282,7 @@ class TileDecoder:
             partition = self.cr.read_partition(self.r, x, y, bsize)
         else:
             partition = PartitionType.PARTITION_NONE
-        if partition == PartitionType.PARTITION_NONE:
-            self.decode_block(x, y, bsize)
-            self.bc.update_partition_context(x, y, bsize, bsize)
-        elif partition == PartitionType.PARTITION_HORZ:
-            sub = bsize.subsize(PartitionType.PARTITION_HORZ)
-            self.decode_block(x, y, sub)
-            if (y + sub.height_mi) < self.mi_h:
-                self.decode_block(x, y + sub.height_mi, sub)
-            self.bc.update_partition_context(x, y, sub, bsize)
-        elif partition == PartitionType.PARTITION_VERT:
-            sub = bsize.subsize(PartitionType.PARTITION_VERT)
-            self.decode_block(x, y, sub)
-            if (x + sub.width_mi) < self.mi_w:
-                self.decode_block(x + sub.width_mi, y, sub)
-            self.bc.update_partition_context(x, y, sub, bsize)
-        elif partition == PartitionType.PARTITION_SPLIT:
+        if partition == PartitionType.PARTITION_SPLIT:
             sub = bsize.subsize(PartitionType.PARTITION_SPLIT)
             sw, sh = sub.width_mi, sub.height_mi
             self.decode_partition(x, y, sub)
@@ -305,7 +290,16 @@ class TileDecoder:
             self.decode_partition(x, y + sh, sub)
             self.decode_partition(x + sw, y + sh, sub)
         else:
-            raise DecodeError(f"partition {partition} not supported yet")
+            from rav1e_tpu.partition import partition_children
+
+            sub = bsize.subsize(partition)
+            if sub is None:
+                raise DecodeError(f"illegal partition {partition} for {bsize}")
+            for (cx, cy, csize) in partition_children(x, y, bsize, partition):
+                if cx >= self.mi_w or cy >= self.mi_h:
+                    continue
+                self.decode_block(cx, cy, csize)
+            self.bc.update_partition_context(x, y, sub, bsize)
 
     def decode_block(self, x: int, y: int, bsize: BlockSize) -> None:
         fh = self.fh

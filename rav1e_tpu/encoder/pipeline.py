@@ -313,15 +313,32 @@ class TileEncoder:
                     else PartitionType.PARTITION_NONE
                 )
             elif can_search:
-                # RD search over NONE/SPLIT/HORZ/VERT (counterpart of
-                # rdo.rs rdo_partition_decision:1949, trial-coded on
-                # WriterCounter with CDF/context rollback)
+                # RD search over the full partition-type set (counterpart of
+                # rdo.rs rdo_partition_decision:1949 + get_sub_partitions
+                # :1825, trial-coded on WriterCounter with rollback)
+                from rav1e_tpu.partition import (
+                    ext_partition_allowed,
+                    partition_4_allowed,
+                )
+
                 cands = [PartitionType.PARTITION_NONE, PartitionType.PARTITION_SPLIT]
                 if (
                     self.speed.partition.non_square_partition_max_threshold_log2
                     >= bsize.width_log2
                 ):
                     cands += [PartitionType.PARTITION_HORZ, PartitionType.PARTITION_VERT]
+                    if ext_partition_allowed(bsize):
+                        cands += [
+                            PartitionType.PARTITION_HORZ_A,
+                            PartitionType.PARTITION_HORZ_B,
+                            PartitionType.PARTITION_VERT_A,
+                            PartitionType.PARTITION_VERT_B,
+                        ]
+                    if partition_4_allowed(bsize):
+                        cands += [
+                            PartitionType.PARTITION_HORZ_4,
+                            PartitionType.PARTITION_VERT_4,
+                        ]
                 best = None
                 for p in cands:
                     c = self._partition_trial_cost(x, y, bsize, p)
@@ -336,28 +353,23 @@ class TileEncoder:
         if bsize >= BlockSize.BLOCK_8X8:
             self.cw.write_partition(self.w, x, y, partition, bsize)
 
-        if partition == PartitionType.PARTITION_NONE:
-            self.encode_block(x, y, bsize)
-            self.bc.update_partition_context(x, y, bsize, bsize)
-        elif partition == PartitionType.PARTITION_HORZ:
-            sub = bsize.subsize(PartitionType.PARTITION_HORZ)
-            self.encode_block(x, y, sub)
-            if (y + sub.height_mi) < self.mi_h:
-                self.encode_block(x, y + sub.height_mi, sub)
-            self.bc.update_partition_context(x, y, sub, bsize)
-        elif partition == PartitionType.PARTITION_VERT:
-            sub = bsize.subsize(PartitionType.PARTITION_VERT)
-            self.encode_block(x, y, sub)
-            if (x + sub.width_mi) < self.mi_w:
-                self.encode_block(x + sub.width_mi, y, sub)
-            self.bc.update_partition_context(x, y, sub, bsize)
-        else:
+        if partition == PartitionType.PARTITION_SPLIT:
             sub = bsize.subsize(PartitionType.PARTITION_SPLIT)
             sw, sh = sub.width_mi, sub.height_mi
             self.encode_partition(x, y, sub, trial)
             self.encode_partition(x + sw, y, sub, trial)
             self.encode_partition(x, y + sh, sub, trial)
             self.encode_partition(x + sw, y + sh, sub, trial)
+        else:
+            from rav1e_tpu.partition import partition_children
+
+            for (cx, cy, csize) in partition_children(x, y, bsize, partition):
+                if cx >= self.mi_w or cy >= self.mi_h:
+                    continue
+                self.encode_block(cx, cy, csize)
+            self.bc.update_partition_context(
+                x, y, bsize.subsize(partition), bsize
+            )
 
     # --- partition RDO helpers -------------------------------------------
 
@@ -438,28 +450,23 @@ class TileEncoder:
         t0 = self.w.tell_frac()
         try:
             self.cw.write_partition(self.w, x, y, partition, bsize)
-            if partition == PartitionType.PARTITION_NONE:
-                self.encode_block(x, y, bsize)
-                self.bc.update_partition_context(x, y, bsize, bsize)
-            elif partition == PartitionType.PARTITION_HORZ:
-                sub = bsize.subsize(PartitionType.PARTITION_HORZ)
-                self.encode_block(x, y, sub)
-                if (y + sub.height_mi) < self.mi_h:
-                    self.encode_block(x, y + sub.height_mi, sub)
-                self.bc.update_partition_context(x, y, sub, bsize)
-            elif partition == PartitionType.PARTITION_VERT:
-                sub = bsize.subsize(PartitionType.PARTITION_VERT)
-                self.encode_block(x, y, sub)
-                if (x + sub.width_mi) < self.mi_w:
-                    self.encode_block(x + sub.width_mi, y, sub)
-                self.bc.update_partition_context(x, y, sub, bsize)
-            else:
+            if partition == PartitionType.PARTITION_SPLIT:
                 sub = bsize.subsize(PartitionType.PARTITION_SPLIT)
                 sw, sh = sub.width_mi, sub.height_mi
                 self.encode_partition(x, y, sub, trial=True)
                 self.encode_partition(x + sw, y, sub, trial=True)
                 self.encode_partition(x, y + sh, sub, trial=True)
                 self.encode_partition(x + sw, y + sh, sub, trial=True)
+            else:
+                from rav1e_tpu.partition import partition_children
+
+                for (cx, cy, csize) in partition_children(x, y, bsize, partition):
+                    if cx >= self.mi_w or cy >= self.mi_h:
+                        continue
+                    self.encode_block(cx, cy, csize)
+                self.bc.update_partition_context(
+                    x, y, bsize.subsize(partition), bsize
+                )
             bits = (self.w.tell_frac() - t0) / 8.0  # Q3-bit fractional tell
         finally:
             self.w = w_sav

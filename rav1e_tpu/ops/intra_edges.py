@@ -102,12 +102,15 @@ def build_intra_edge(
     scaled_size = supersample_chroma_bsize(partition_size, xdec, ydec)
 
     if needs_topright:
+        # the extension fills above[w : w+h] (directional <90 reads up to
+        # index w+h-1), so the cap is h — not w (wide tx sizes like 64x16
+        # would otherwise overflow the buffer)
         num_avail = 0
         if y != 0 and has_top_right(
             scaled_size, mi_y, mi_x, have_top, right_available,
             tx_size, by4, bx4, xdec, ydec,
         ):
-            num_avail = min(w, rect_w - x - w)
+            num_avail = min(h, rect_w - x - w)
         if num_avail > 0:
             above[w : w + num_avail] = rec[y - 1, x + w : x + w + num_avail]
         if num_avail < h:
@@ -119,7 +122,7 @@ def build_intra_edge(
             scaled_size, mi_y, mi_x, bottom_available, have_left,
             tx_size, by4, bx4, xdec, ydec,
         ):
-            num_avail = min(h, rect_h - y - h)
+            num_avail = min(w, rect_h - y - h)  # fills left[h : h+w]
         if num_avail > 0:
             left[h : h + num_avail] = rec[y + h : y + h + num_avail, x - 1]
         if num_avail < w:

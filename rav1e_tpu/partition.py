@@ -167,6 +167,59 @@ def _build_subsize_table():
 _SUBSIZE_TABLE = _build_subsize_table()
 
 
+def partition_children(x: int, y: int, bsize: BlockSize, partition: "PartitionType"):
+    """Child blocks of a partition in coding order: [(cx, cy, csize)].
+
+    Covers all 10 partition types (reference get_sub_partitions,
+    rdo.rs:1825 + encoder.rs encode_partition_topdown AB/4 arms).  Callers
+    skip children outside the tile (cx >= mi_w or cy >= mi_h).
+    """
+    half_h = bsize.subsize(PartitionType.PARTITION_HORZ)
+    half_v = bsize.subsize(PartitionType.PARTITION_VERT)
+    quarter = bsize.subsize(PartitionType.PARTITION_SPLIT)
+    hw = bsize.width_mi // 2
+    hh = bsize.height_mi // 2
+    P = PartitionType
+    if partition == P.PARTITION_NONE:
+        return [(x, y, bsize)]
+    if partition == P.PARTITION_HORZ:
+        return [(x, y, half_h), (x, y + hh, half_h)]
+    if partition == P.PARTITION_VERT:
+        return [(x, y, half_v), (x + hw, y, half_v)]
+    if partition == P.PARTITION_HORZ_A:
+        return [(x, y, quarter), (x + hw, y, quarter), (x, y + hh, half_h)]
+    if partition == P.PARTITION_HORZ_B:
+        return [(x, y, half_h), (x, y + hh, quarter), (x + hw, y + hh, quarter)]
+    if partition == P.PARTITION_VERT_A:
+        return [(x, y, quarter), (x, y + hh, quarter), (x + hw, y, half_v)]
+    if partition == P.PARTITION_VERT_B:
+        return [(x, y, half_v), (x + hw, y, quarter), (x + hw, y + hh, quarter)]
+    if partition == P.PARTITION_HORZ_4:
+        s = bsize.subsize(P.PARTITION_HORZ_4)
+        qh = bsize.height_mi // 4
+        return [(x, y + k * qh, s) for k in range(4)]
+    if partition == P.PARTITION_VERT_4:
+        s = bsize.subsize(P.PARTITION_VERT_4)
+        qw = bsize.width_mi // 4
+        return [(x + k * qw, y, s) for k in range(4)]
+    raise ValueError(f"not a leaf partition: {partition}")
+
+
+def ext_partition_allowed(bsize: BlockSize) -> bool:
+    """AB partitions need the 10-symbol partition CDF (>= 16x16 square)."""
+    return bsize.is_sqr() and bsize.width >= 16 and bsize.width <= 64
+
+
+def partition_4_allowed(bsize: BlockSize) -> bool:
+    """HORZ_4/VERT_4 need a w x h/4 subsize (16x16..64x64 squares)."""
+    return (
+        bsize.is_sqr()
+        and bsize.width >= 16
+        and bsize.width <= 64
+        and bsize.subsize(PartitionType.PARTITION_HORZ_4) is not None
+    )
+
+
 class PredictionMode(IntEnum):
     """Spec order: intra modes 0..12, CFL, then inter modes."""
 

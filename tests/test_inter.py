@@ -104,6 +104,8 @@ def test_nearmv_coded_and_decodes():
     from rav1e_tpu.decoder import decode_packet
     from rav1e_tpu.partition import PredictionMode
 
+    import rav1e_tpu.native_tile as native_tile
+
     modes = []
     orig = ContextWriter.write_inter_mode
 
@@ -121,7 +123,9 @@ def test_nearmv_coded_and_decodes():
     rng = np.random.default_rng(12)
     base = np.clip(np.cumsum(rng.integers(-4, 5, (96 * 2, 128 * 2)), axis=1) + 128, 0, 255)
     pkts = []
-    with mock.patch.object(ContextWriter, "write_inter_mode", spy):
+    # the spy hooks the Python symbol layer; the C++ path is parity-tested
+    with mock.patch.object(ContextWriter, "write_inter_mode", spy), \
+         mock.patch.object(native_tile, "encode_tile_native", lambda te: None):
         for i in range(5):
             f = ctx.new_frame()
             # mixed motion: top half pans, bottom half static
