@@ -96,6 +96,9 @@ class SpeedSettings:
     scene_detection_mode: SceneDetectionSpeed = SceneDetectionSpeed.Standard
     cdef: bool = True
     lrf: bool = True
+    # score CDEF candidates through the loop-restoration output (the joint
+    # rdo_loop_decision of rdo.rs:2104) instead of deciding them separately
+    joint_loop_rdo: bool = True
     lru_on_skip: bool = True
     sgr_complexity: SGRComplexityLevel = SGRComplexityLevel.Full
     segmentation: SegmentationLevel = SegmentationLevel.Full
@@ -123,6 +126,7 @@ class SpeedSettings:
             s.sgr_complexity = SGRComplexityLevel.Reduced
             s.motion.include_near_mvs = False
             s.transform.full_tx_type_search = False
+            s.joint_loop_rdo = False
         if speed >= 6:
             s.rdo_lookahead_frames = 20
             s.transform.rdo_tx_decision = False

@@ -2118,6 +2118,21 @@ class FramePipeline:
                         enc.chroma_sampling, enc.width, enc.height,
                         cdef_damping, cdef_y, cdef_uv,
                     )
+                if (
+                    enc.speed_settings.joint_loop_rdo
+                    and use_lrf
+                    and cdef_state is not None
+                ):
+                    # joint CDEF x LRF decision (rdo_loop_decision,
+                    # rdo.rs:2104): re-score each CDEF candidate through the
+                    # loop-restoration it would get, per 64x64 SB
+                    with span("joint_loop_rdo"):
+                        cdef_map = self._joint_cdef_map(
+                            rec, frame, frame_blocks, fi, enc,
+                            deblocked_planes, cdef_damping,
+                            cdef_y_list, cdef_uv_list, cdef_state,
+                            sb_w, sb_h,
+                        )
                 cdef_bits = 2
                 with span("cdef"):
                     cdef_filter_frame(
@@ -2349,6 +2364,65 @@ class FramePipeline:
             enc_stats=enc_stats,
             opaque=params.opaque if params is not None else None,
         )
+
+    def _joint_cdef_map(self, rec, frame, frame_blocks, fi, enc,
+                        deblocked_planes, damping, y_list, uv_list, state,
+                        sb_w, sb_h):
+        """Joint CDEF x LRF scoring: per 64x64 SB, pick the CDEF candidate
+        minimizing SSE *after* the loop restoration each candidate would get
+        (the alternating optimization of the reference's rdo_loop_decision,
+        rdo.rs:2104, at frame granularity)."""
+        import numpy as np
+
+        from rav1e_tpu.ops.cdef import _frame_scratch, cdef_filter_frame
+        from rav1e_tpu.ops.lrf import (
+            RestorationState, lrf_decide_units, lrf_filter_frame,
+        )
+
+        sb_rows = (enc.height + 63) // 64
+        sb_cols = (enc.width + 63) // 64
+
+        def per_sb_sse(frame_obj):
+            total = np.zeros((sb_rows, sb_cols), dtype=np.int64)
+            for p, plane in enumerate(frame_obj.planes):
+                xd, yd = plane.cfg.xdec, plane.cfg.ydec
+                pad = plane.cfg.pad
+                pw = (enc.width + (1 << xd) - 1) >> xd
+                ph = (enc.height + (1 << yd) - 1) >> yd
+                d = (
+                    plane.data[pad : pad + ph, pad : pad + pw].astype(np.int64)
+                    - frame.planes[p].data[pad : pad + ph, pad : pad + pw]
+                )
+                d *= d
+                sbs, sbr = 64 >> xd, 64 >> yd
+                dd = np.zeros((sb_rows * sbr, sb_cols * sbs), dtype=np.int64)
+                dd[:ph, :pw] = d
+                total += dd.reshape(sb_rows, sbr, sb_cols, sbs).sum(axis=(1, 3))
+            return total
+
+        sses = []
+        for ci in range(4):
+            work = _frame_scratch(rec)
+            cdef_filter_frame(
+                (damping, y_list[ci], uv_list[ci]), work, frame_blocks,
+                fi.bit_depth, enc.chroma_sampling, enc.width, enc.height,
+                state=state,
+            )
+            rs_i = RestorationState.build(
+                enc.width, enc.height, enc.chroma_sampling, fi.base_q_idx,
+                sb_w, sb_h,
+            )
+            lrf_decide_units(
+                rs_i, work, deblocked_planes, frame, enc.width, enc.height,
+                fi.bit_depth, enc.chroma_sampling,
+            )
+            if rs_i.any_filters():
+                lrf_filter_frame(
+                    rs_i, work, deblocked_planes, enc.width, enc.height,
+                    fi.bit_depth, enc.chroma_sampling,
+                )
+            sses.append(per_sb_sse(work))
+        return np.argmin(np.stack(sses), axis=0).astype(np.int32)
 
     def emit_sef(self, plan) -> Packet:
         """Show-existing-frame packet (internal.rs:1335-1400; header.rs:468)."""
