@@ -97,6 +97,12 @@ void enc_put_8tap(const void* ref, long stride, int bytespp, long x0, long y0,
 
 // --- motion search ---------------------------------------------------------
 
+// full-pel search family + range (enc_me_set_method): 0 diamond, 1 hexagon,
+// 2 uneven multi-hex, 3 exhaustive — constant per frame, so a global is safe
+// across tile threads
+static int g_me_method = 0;
+static int g_me_range = 16;
+
 static long sad_block(const void* ref, long rstride, int bytespp, long ry,
                       long rx, const void* src, long sstride, long sy, long sx,
                       int w, int h) {
@@ -114,6 +120,17 @@ static long sad_block(const void* ref, long rstride, int bytespp, long ry,
 // capability counterpart of reference me.rs).  mv units are 1/8 pel.
 // Writes (mv_row, mv_col) into out_mv; returns the SAD (or -1 if no valid
 // candidate).
+void enc_me_set_method(int method, int range_px) {
+  g_me_method = method;
+  g_me_range = range_px;
+}
+
+long enc_me_fullpel_extra(const void* ref, long rstride, long rh, long rw,
+                          int bytespp, long ax, long ay, const void* src,
+                          long sstride, long spx, long spy, int w, int h,
+                          int max_off, int method, int range_px,
+                          int32_t* best_mv, long best_sad_in);
+
 long enc_me_search(const void* ref, long rstride, long rh, long rw,
                    int bytespp, long ax, long ay, const void* src,
                    long sstride, long spx, long spy, int w, int h, int bd,
@@ -155,6 +172,15 @@ long enc_me_search(const void* ref, long rstride, long rh, long rw,
     }
   }
 
+  if (g_me_method > 0) {
+    int32_t bm[2] = {best_r, best_c};
+    best_sad = enc_me_fullpel_extra(ref, rstride, rh, rw, bytespp, ax, ay,
+                                    src, sstride, spx, spy, w, h, max_off,
+                                    g_me_method, g_me_range, bm, best_sad);
+    best_r = bm[0];
+    best_c = bm[1];
+  }
+
   // subpel refine (REGULAR filters, quarter-pel so diffs stay even)
   std::vector<int32_t> pred(w * h);
   auto sad_subpel = [&](int mvr, int mvc) -> long {
@@ -190,6 +216,117 @@ long enc_me_search(const void* ref, long rstride, long rh, long rw,
 
   out_mv[0] = best_r;
   out_mv[1] = best_c;
+  return best_sad;
+}
+
+// Full-pel search pattern library (reference me.rs:955-1511 families):
+// method 0 = diamond only, 1 = + hexagon refine, 2 = + uneven multi-hex,
+// 3 = + exhaustive window.  Runs AFTER the diamond, before subpel; the
+// Python fallback in encoder/pipeline.py mirrors the exact candidate order
+// and strict-< acceptance so native-on/off bitstreams stay identical.
+long enc_me_fullpel_extra(const void* ref, long rstride, long rh, long rw,
+                          int bytespp, long ax, long ay, const void* src,
+                          long sstride, long spx, long spy, int w, int h,
+                          int max_off, int method, int range_px,
+                          int32_t* best_mv, long best_sad_in) {
+  long best_sad = best_sad_in;
+  int best_r = best_mv[0], best_c = best_mv[1];
+  auto sad_at = [&](int mvr, int mvc) -> long {
+    long dy = mvr >> 3, dx = mvc >> 3;
+    if (dy < -max_off || dy > max_off || dx < -max_off || dx > max_off)
+      return -1;
+    long ry = ay + dy, rx = ax + dx;
+    if (ry < 4 || rx < 4 || ry + h + 4 > rh || rx + w + 4 > rw) return -1;
+    return sad_block(ref, rstride, bytespp, ry, rx, src, sstride, spy, spx, w, h);
+  };
+  auto try_mv = [&](int dr_px, int dc_px) {
+    long s = sad_at(best_mv[0] + dr_px * 8, best_mv[1] + dc_px * 8);
+    if (s >= 0 && s < best_sad) {
+      best_sad = s;
+      best_r = best_mv[0] + dr_px * 8;
+      best_c = best_mv[1] + dc_px * 8;
+    }
+  };
+  // (dr, dc) hexagon offsets in px (me.rs:1055 hexagon_search pattern)
+  static const int hexp[6][2] = {{0, -2}, {0, 2}, {-2, -1}, {-2, 1}, {2, -1}, {2, 1}};
+  static const int sqr8[8][2] = {{-1, -1}, {-1, 0}, {-1, 1}, {0, -1},
+                                 {0, 1}, {1, -1}, {1, 0}, {1, 1}};
+  if (method >= 2) {
+    // uneven multi-hexagon (me.rs:1170): cross search, 5x5 window, then
+    // 16-point big-hex rings at growing radii
+    for (int d = 2; d <= range_px; d += 2) {
+      try_mv(0, -d); best_mv[0] = best_r; best_mv[1] = best_c;
+      try_mv(0, d);  best_mv[0] = best_r; best_mv[1] = best_c;
+      try_mv(-d, 0); best_mv[0] = best_r; best_mv[1] = best_c;
+      try_mv(d, 0);  best_mv[0] = best_r; best_mv[1] = best_c;
+    }
+    int cr = best_r, cc = best_c;
+    for (int dr = -2; dr <= 2; dr++)
+      for (int dc = -2; dc <= 2; dc++) {
+        long s = sad_at(cr + dr * 8, cc + dc * 8);
+        if (s >= 0 && s < best_sad) { best_sad = s; best_r = cr + dr * 8; best_c = cc + dc * 8; }
+      }
+    best_mv[0] = best_r; best_mv[1] = best_c;
+    static const int bighex[16][2] = {
+        {2, -4}, {1, -4}, {0, -4}, {-1, -4}, {-2, -4},
+        {2, 4}, {1, 4}, {0, 4}, {-1, 4}, {-2, 4},
+        {3, -2}, {4, 0}, {3, 2}, {-3, -2}, {-4, 0}, {-3, 2}};
+    cr = best_r; cc = best_c;
+    for (int i = 1; i * 4 <= range_px; i++)
+      for (auto& p : bighex) {
+        long s = sad_at(cr + p[0] * i * 8, cc + p[1] * i * 8);
+        if (s >= 0 && s < best_sad) {
+          best_sad = s; best_r = cr + p[0] * i * 8; best_c = cc + p[1] * i * 8;
+        }
+      }
+    best_mv[0] = best_r; best_mv[1] = best_c;
+  }
+  if (method >= 1) {
+    // hexagon hill-climb (me.rs:1055) then square refine
+    for (int step : {2, 1}) {
+      bool improved = true;
+      while (improved) {
+        improved = false;
+        for (auto& p : hexp) {
+          long s = sad_at(best_mv[0] + p[0] * step * 8, best_mv[1] + p[1] * step * 8);
+          if (s >= 0 && s < best_sad) {
+            best_sad = s;
+            best_r = best_mv[0] + p[0] * step * 8;
+            best_c = best_mv[1] + p[1] * step * 8;
+            improved = true;
+          }
+        }
+        best_mv[0] = best_r; best_mv[1] = best_c;
+      }
+    }
+    bool improved = true;
+    while (improved) {
+      improved = false;
+      for (auto& p : sqr8) {
+        long s = sad_at(best_mv[0] + p[0] * 8, best_mv[1] + p[1] * 8);
+        if (s >= 0 && s < best_sad) {
+          best_sad = s;
+          best_r = best_mv[0] + p[0] * 8;
+          best_c = best_mv[1] + p[1] * 8;
+          improved = true;
+        }
+      }
+      best_mv[0] = best_r; best_mv[1] = best_c;
+    }
+  }
+  if (method >= 3) {
+    // exhaustive window around the current best (me.rs full_search:1464)
+    int cr = best_r, cc = best_c;
+    for (int dr = -range_px; dr <= range_px; dr++)
+      for (int dc = -range_px; dc <= range_px; dc++) {
+        if (dr == 0 && dc == 0) continue;
+        long s = sad_at(cr + dr * 8, cc + dc * 8);
+        if (s >= 0 && s < best_sad) { best_sad = s; best_r = cr + dr * 8; best_c = cc + dc * 8; }
+      }
+    best_mv[0] = best_r; best_mv[1] = best_c;
+  }
+  best_mv[0] = best_r;
+  best_mv[1] = best_c;
   return best_sad;
 }
 

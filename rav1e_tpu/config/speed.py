@@ -75,6 +75,10 @@ class MotionSpeedSettings:
     use_satd_subpel: bool = True
     include_near_mvs: bool = True
     me_allow_full_search: bool = True
+    # full-pel search family (reference me.rs:955-1511): 0 diamond,
+    # 1 + hexagon refine, 2 + uneven multi-hex, 3 + exhaustive window
+    me_method: int = 3
+    me_range: int = 16
 
 
 @dataclass
@@ -117,11 +121,13 @@ class SpeedSettings:
         if speed >= 2:
             s.partition.non_square_partition_max_threshold_log2 = 3  # 8x8
             s.prediction.prediction_modes = PredictionModesSetting.ComplexKeyframes
+            s.motion.me_method = 2  # uneven multi-hex
         if speed >= 3:
             s.rdo_lookahead_frames = 30
             s.partition.partition_range = PartitionRange(3, 6)  # 8x8..64x64
         if speed >= 4:
             s.partition.encode_bottomup = False
+            s.motion.me_method = 1  # hexagon
         if speed >= 5:
             s.sgr_complexity = SGRComplexityLevel.Reduced
             s.motion.include_near_mvs = False
@@ -137,6 +143,7 @@ class SpeedSettings:
             s.prediction.prediction_modes = PredictionModesSetting.Simple
             s.multiref = False
             s.fast_deblock = True
+            s.motion.me_method = 0  # diamond only
         if speed >= 8:
             s.rdo_lookahead_frames = 10
             s.lrf = False

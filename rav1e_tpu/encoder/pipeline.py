@@ -91,6 +91,77 @@ def build_ief_params(blocks, x: int, y: int, plane: int, xdec: int, ydec: int):
     return IefParams(above_mode=above_mode, left_mode=left_mode)
 
 
+def _me_fullpel_extra(sad_at, best_mv, best_sad, method: int, range_px: int):
+    """Full-pel search families beyond the diamond (reference me.rs:
+    hexagon :1055, uneven multi-hex :1170, full_search :1464).  Candidate
+    order and strict-< acceptance mirror native/enc.cc enc_me_fullpel_extra
+    exactly so native-on/off bitstreams stay identical."""
+    if method <= 0:
+        return best_mv, best_sad
+
+    def probe(mv):
+        nonlocal best_mv, best_sad
+        c = sad_at(mv)
+        if c is not None and c < best_sad:
+            best_mv, best_sad = mv, c
+
+    if method >= 2:
+        # cross search (drifting base), 5x5 window, big-hex rings
+        for d in range(2, range_px + 1, 2):
+            for dr, dc in ((0, -d), (0, d), (-d, 0), (d, 0)):
+                probe((best_mv[0] + dr * 8, best_mv[1] + dc * 8))
+        cr, cc = best_mv
+        for dr in range(-2, 3):
+            for dc in range(-2, 3):
+                probe((cr + dr * 8, cc + dc * 8))
+        bighex = (
+            (2, -4), (1, -4), (0, -4), (-1, -4), (-2, -4),
+            (2, 4), (1, 4), (0, 4), (-1, 4), (-2, 4),
+            (3, -2), (4, 0), (3, 2), (-3, -2), (-4, 0), (-3, 2),
+        )
+        cr, cc = best_mv
+        i = 1
+        while i * 4 <= range_px:
+            for dr, dc in bighex:
+                probe((cr + dr * i * 8, cc + dc * i * 8))
+            i += 1
+
+    if method >= 1:
+        hexp = ((0, -2), (0, 2), (-2, -1), (-2, 1), (2, -1), (2, 1))
+        for step in (2, 1):
+            improved = True
+            while improved:
+                improved = False
+                base = best_mv
+                for dr, dc in hexp:
+                    c = sad_at((base[0] + dr * step * 8, base[1] + dc * step * 8))
+                    if c is not None and c < best_sad:
+                        best_mv = (base[0] + dr * step * 8, base[1] + dc * step * 8)
+                        best_sad = c
+                        improved = True
+        improved = True
+        while improved:
+            improved = False
+            base = best_mv
+            for dr, dc in (
+                (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1),
+            ):
+                c = sad_at((base[0] + dr * 8, base[1] + dc * 8))
+                if c is not None and c < best_sad:
+                    best_mv = (base[0] + dr * 8, base[1] + dc * 8)
+                    best_sad = c
+                    improved = True
+
+    if method >= 3:
+        cr, cc = best_mv
+        for dr in range(-range_px, range_px + 1):
+            for dc in range(-range_px, range_px + 1):
+                if dr == 0 and dc == 0:
+                    continue
+                probe((cr + dr * 8, cc + dc * 8))
+    return best_mv, best_sad
+
+
 def largest_chroma_tx_size(bsize: BlockSize, xdec: int, ydec: int) -> TxSize:
     """Chroma tx covering the whole (subsampled) block, capped at 32x32."""
     plane_bsize = bsize.chroma_block_size(xdec, ydec)
@@ -1090,6 +1161,11 @@ class TileEncoder:
                         best_mv, best_sad = cand, c
                         improved = True
 
+        best_mv, best_sad = _me_fullpel_extra(
+            sad_at, best_mv, best_sad,
+            self.speed.motion.me_method, self.speed.motion.me_range,
+        )
+
         from rav1e_tpu.ops.mc import REGULAR, mv_to_offsets, put_8tap
 
         def pred_subpel(mv2):
@@ -2044,6 +2120,18 @@ class FramePipeline:
                 fi.device_maps = analyze_frame(
                     src_y, ref_y, mvf, base_q_idx, lam, enc.bit_depth
                 )
+
+        # select the full-pel search family for this frame's speed tier
+        # (native ME reads it as a per-process constant; the python fallback
+        # reads speed.motion directly)
+        from rav1e_tpu import native as _native
+
+        _lib = _native.get_lib()
+        if _lib is not None:
+            _lib.enc_me_set_method(
+                enc.speed_settings.motion.me_method,
+                enc.speed_settings.motion.me_range,
+            )
 
         rec = Frame.new(enc.width, enc.height, enc.chroma_sampling, enc.bit_depth)
         frame_blocks = FrameBlocks(mi_cols, mi_rows)

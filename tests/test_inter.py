@@ -149,3 +149,42 @@ def test_nearmv_coded_and_decodes():
             dec.planes[0].as_array(), pkt.rec.planes[0].as_array()
         )
     assert PredictionMode.NEAR0MV in modes, set(modes)
+
+
+def test_me_search_families_reach():
+    """Hexagon/UMH/exhaustive full-pel families (me.rs:1055/:1170/:1464):
+    UMH and exhaustive must escape a +37px local-optimum trap that diamond
+    cannot, and the python fallback must mirror the native candidate walk."""
+    import numpy as np
+
+    from rav1e_tpu import native
+
+    lib = native.get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(0)
+    H, W = 256, 256
+    ref = rng.integers(0, 50, (H, W)).astype(np.uint8)
+    patch = rng.integers(100, 256, (16, 16)).astype(np.uint8)
+    ref[120:136, 157:173] = patch
+    src = rng.integers(0, 50, (H, W)).astype(np.uint8)
+    src[120:136, 120:136] = patch
+    seeds = np.zeros(2, dtype=np.int32)
+    out = np.zeros(2, dtype=np.int32)
+    sads = {}
+    try:
+        for method in (0, 2, 3):
+            lib.enc_me_set_method(method, 48)
+            sads[method] = lib.enc_me_search(
+                ref.ctypes.data, W, H, W, 1, 120, 120, src.ctypes.data, W,
+                120, 120, 16, 16, 8, seeds.ctypes.data, 1, 64,
+                out.ctypes.data,
+            )
+            if method >= 2:
+                assert (out[0], out[1]) == (0, 37 * 8), (method, tuple(out))
+    finally:
+        lib.enc_me_set_method(0, 16)
+    assert sads[2] == 0 and sads[3] == 0
+    assert sads[0] > 0  # diamond alone is trapped
