@@ -460,16 +460,15 @@ struct Coder {
     int yd = p == 0 ? 0 : P->ydec;
     return ((long)P->mi_y0 << 2 >> yd) + y;
   }
-  // clipped visible tile extent in plane units (pipeline plane_rect)
+  // coded mi-area extent in plane units (pipeline plane_rect; the mi dims
+  // round past the crop per spec 5.9.8, and recon exists there)
   inline long rect_w(int p) const {
     int xd = p == 0 ? 0 : P->xdec;
-    long px0 = (long)P->mi_x0 << 2 >> xd;
-    return std::min((long)P->mi_w << 2 >> xd, P->rec[p].vis_w - px0);
+    return (long)P->mi_w << 2 >> xd;
   }
   inline long rect_h(int p) const {
     int yd = p == 0 ? 0 : P->ydec;
-    long py0 = (long)P->mi_y0 << 2 >> yd;
-    return std::min((long)P->mi_h << 2 >> yd, P->rec[p].vis_h - py0);
+    return (long)P->mi_h << 2 >> yd;
   }
 };
 

@@ -112,6 +112,9 @@ class Packet:
     source: Optional[object] = None
     enc_stats: EncoderStats = field(default_factory=EncoderStats)
     opaque: object = None
+    # whether this packet displays a frame (False for hidden pyramid frames
+    # whose show-existing-frame packet arrives later)
+    show_frame: bool = True
 
     def __repr__(self):
         return (

@@ -35,6 +35,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile-rows", type=int, default=0)
     p.add_argument("--tile-cols", type=int, default=0)
     p.add_argument("-l", "--limit", type=int, default=0, help="max frames to encode")
+    p.add_argument("--first-pass", metavar="FILE",
+                   help="write first-pass rate stats to FILE (2-/3-pass)")
+    p.add_argument("--second-pass", metavar="FILE",
+                   help="read rate stats from FILE; combined with "
+                   "--first-pass this is the middle pass of a 3-pass encode "
+                   "(reference bin/common.rs:86-95)")
+    p.add_argument("-r", "--reconstruction", metavar="FILE",
+                   help="write the reconstruction as y4m to FILE")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="override a speed-settings field by dotted name "
+                   "(e.g. motion.me_method=2, cdef=false; bin/kv.rs analog)")
     p.add_argument("--psnr", action="store_true", help="print per-frame PSNR")
     p.add_argument("--metrics", action="store_true", help="print per-frame PSNR/SSIM/MS-SSIM")
     p.add_argument("--benchmark", action="store_true", help="print fps at end")
@@ -68,7 +79,20 @@ def main(argv=None) -> int:
         )
         enc.set_key_frame_interval(args.min_keyint, args.keyint)
         cfg = Config(enc=enc).with_speed_preset(args.speed)
+        for kv in args.set:
+            _apply_speed_override(cfg.enc.speed_settings, kv)
         ctx = cfg.new_context()
+
+        if args.second_pass:
+            with open(args.second_pass, "rb") as fpass:
+                n = ctx.twopass_in(fpass.read())
+            if args.verbose:
+                print(f"loaded {n} first-pass frame records", file=sys.stderr)
+
+        recon_out = None
+        if args.reconstruction:
+            recon_out = open(args.reconstruction, "wb")
+            _write_y4m_header(recon_out, y4m)
 
         t0 = time.monotonic()
         nframes = 0
@@ -85,12 +109,19 @@ def main(argv=None) -> int:
                 if args.psnr or args.metrics:
                     sources[nframes] = planes
                 nframes += 1
-                _drain(ctx, ivf, args, sources)
+                _drain(ctx, ivf, args, sources, recon_out=recon_out)
                 if args.still_picture:
                     break
             ctx.flush()
-            _drain(ctx, ivf, args, sources, flushing=True)
+            _drain(ctx, ivf, args, sources, flushing=True, recon_out=recon_out)
             ivf.close()
+        if recon_out is not None:
+            recon_out.close()
+        if args.first_pass:
+            data = ctx.twopass_out()
+            if data is not None:
+                with open(args.first_pass, "wb") as fpass:
+                    fpass.write(data)
         dt = time.monotonic() - t0
         if args.benchmark or args.verbose:
             print(
@@ -110,7 +141,57 @@ def main(argv=None) -> int:
     return 0
 
 
-def _drain(ctx, ivf, args, sources, flushing=False) -> None:
+def _apply_speed_override(ss, kv: str) -> None:
+    """Dotted key=value override of SpeedSettings fields (bin/kv.rs analog):
+    `--set motion.me_method=2`, `--set cdef=false`."""
+    key, _, value = kv.partition("=")
+    if not value:
+        raise SystemExit(f"--set expects KEY=VALUE, got {kv!r}")
+    obj = ss
+    parts = key.strip().split(".")
+    for part in parts[:-1]:
+        if not hasattr(obj, part):
+            raise SystemExit(f"unknown speed setting group {part!r}")
+        obj = getattr(obj, part)
+    leaf = parts[-1]
+    if not hasattr(obj, leaf):
+        raise SystemExit(f"unknown speed setting {key!r}")
+    cur = getattr(obj, leaf)
+    v = value.strip()
+    if isinstance(cur, bool):
+        setattr(obj, leaf, v.lower() in ("1", "true", "yes", "on"))
+    elif isinstance(cur, int):
+        setattr(obj, leaf, int(v))
+    else:
+        import enum
+
+        if isinstance(cur, enum.IntEnum):
+            setattr(obj, leaf, type(cur)(int(v)))
+        else:
+            raise SystemExit(f"cannot override {key!r} (type {type(cur).__name__})")
+
+
+def _write_y4m_header(fh, y4m) -> None:
+    cs_tag = {0: "420jpeg", 1: "422", 2: "444", 3: "mono"}
+    cs = cs_tag.get(int(y4m.chroma_sampling), "420jpeg")
+    if y4m.bit_depth > 8:
+        cs = {"420jpeg": "420", "422": "422", "444": "444"}.get(cs, cs) + f"p{y4m.bit_depth}"
+    fh.write(
+        f"YUV4MPEG2 W{y4m.width} H{y4m.height} "
+        f"F{y4m.fps_num}:{y4m.fps_den} Ip A1:1 C{cs}\n".encode()
+    )
+
+
+def _write_y4m_frame(fh, rec, width, height) -> None:
+    fh.write(b"FRAME\n")
+    for p in rec.planes:
+        xd, yd = p.cfg.xdec, p.cfg.ydec
+        w = (width + xd) >> xd
+        h = (height + yd) >> yd
+        fh.write(np.ascontiguousarray(p.as_array()[:h, :w]).tobytes())
+
+
+def _drain(ctx, ivf, args, sources, flushing=False, recon_out=None) -> None:
     while True:
         try:
             pkt = ctx.receive_packet()
@@ -119,6 +200,10 @@ def _drain(ctx, ivf, args, sources, flushing=False) -> None:
         except EncoderStatus.LimitReached:
             return
         ivf.write_frame(pkt.data, pkt.input_frameno)
+        if recon_out is not None and pkt.rec is not None and pkt.show_frame:
+            _write_y4m_frame(
+                recon_out, pkt.rec, ctx.config.enc.width, ctx.config.enc.height
+            )
         if args.verbose:
             print(
                 f"frame {pkt.input_frameno} {pkt.frame_type.name} qp={pkt.qp} "

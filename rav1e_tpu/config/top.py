@@ -97,6 +97,12 @@ class Config:
         sp = e.speed_settings.partition.partition_range
         if not (2 <= sp.min_log2 <= sp.max_log2 <= 6):
             raise InvalidConfig("invalid partition range")
+        if e.level_idx is not None:
+            from rav1e_tpu.config.levels import check_level
+
+            err = check_level(e.width, e.height, e.frame_rate(), e.level_idx)
+            if err is not None:
+                raise InvalidConfig(f"AV1 level violation: {err}")
 
     # ---- context construction ---------------------------------------------
 

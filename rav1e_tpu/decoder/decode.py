@@ -91,8 +91,9 @@ def decode_packet(data: bytes, state=None):
 
 def _decode_tile_group(payload: bytes, seq, fh: FrameHeader, state: "DecoderState") -> Frame:
     frame = Frame.new(fh.width, fh.height, seq.chroma_sampling, seq.bit_depth)
-    mi_cols = (fh.width + 3) >> 2
-    mi_rows = (fh.height + 3) >> 2
+    # spec 5.9.8 compute_image_size: mi dims round to EVEN (8px multiples)
+    mi_cols = 2 * ((fh.width + 7) >> 3)
+    mi_rows = 2 * ((fh.height + 7) >> 3)
     ti = fh.tiling
     n_tiles = ti.cols * ti.rows
 
@@ -253,8 +254,9 @@ class TileDecoder:
             py = (mi_y0 << MI_SIZE_LOG2) >> yd
             pad = p.cfg.pad
             self.rec_views.append(p.data[pad + py :, pad + px :])
-            rect_w = min(((mi_w << MI_SIZE_LOG2) >> xd), p.cfg.width - px)
-            rect_h = min(((mi_h << MI_SIZE_LOG2) >> yd), p.cfg.height - py)
+            # coded mi-area extent (mi dims round past the crop, spec 5.9.8)
+            rect_w = (mi_w << MI_SIZE_LOG2) >> xd
+            rect_h = (mi_h << MI_SIZE_LOG2) >> yd
             self.plane_rect.append((rect_w, rect_h))
 
     def decode(self, data: bytes) -> None:

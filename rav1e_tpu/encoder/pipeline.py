@@ -266,15 +266,24 @@ class TileEncoder:
         # the frame edge are defined)
         self.src_views = [self._tile_view(p) for p in src.planes]
         self.rec_views = [self._tile_view(p) for p in rec.planes]
+        # plane_rect: the coded mi-area extent (edges/prediction read recon
+        # up to here — spec mi dims round past the crop).  vis_rect: the
+        # visible crop (distortion is only counted inside it).
         self.plane_rect = []
+        self.vis_rect = []
         for pi, p in enumerate(rec.planes):
             xd = 0 if pi == 0 else self.xdec
             yd = 0 if pi == 0 else self.ydec
             px = (tile_mi_x << MI_SIZE_LOG2) >> xd
             py = (tile_mi_y << MI_SIZE_LOG2) >> yd
-            rect_w = min(((tile_mi_w << MI_SIZE_LOG2) >> xd), p.cfg.width - px)
-            rect_h = min(((tile_mi_h << MI_SIZE_LOG2) >> yd), p.cfg.height - py)
-            self.plane_rect.append((rect_w, rect_h))
+            self.plane_rect.append((
+                (tile_mi_w << MI_SIZE_LOG2) >> xd,
+                (tile_mi_h << MI_SIZE_LOG2) >> yd,
+            ))
+            self.vis_rect.append((
+                min(((tile_mi_w << MI_SIZE_LOG2) >> xd), p.cfg.width - px),
+                min(((tile_mi_h << MI_SIZE_LOG2) >> yd), p.cfg.height - py),
+            ))
 
     def _tile_view(self, plane: Plane) -> np.ndarray:
         pi = 0 if plane.cfg.xdec == 0 and plane.cfg.ydec == 0 else 1
@@ -481,7 +490,7 @@ class TileEncoder:
             py = (y << MI_SIZE_LOG2) >> yd
             pw = max(bsize.width >> xd, 4)
             ph = max(bsize.height >> yd, 4)
-            rect_w, rect_h = self.plane_rect[p]
+            rect_w, rect_h = self.vis_rect[p]
             pw = min(pw, rect_w - px)
             ph = min(ph, rect_h - py)
             if pw <= 0 or ph <= 0:
@@ -748,7 +757,14 @@ class TileEncoder:
         do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, cs)
 
         cfl = None
-        if do_chroma and cs != ChromaSampling.Cs400 and cfl_allowed(bsize):
+        # CfL is skipped when the block's own chroma coverage is narrower
+        # than the (min-4) clamped chroma tx: the luma AC array would not
+        # cover the prediction (sub-4 chroma in 4:2:2/4:2:0); always a legal
+        # encoder choice
+        cfl_fits = (
+            (bsize.width >> self.xdec) >= 4 and (bsize.height >> self.ydec) >= 4
+        )
+        if do_chroma and cs != ChromaSampling.Cs400 and cfl_allowed(bsize) and cfl_fits:
             if self._replaying():
                 cfl = self._pop_decision("cfl")
             else:
@@ -2035,8 +2051,10 @@ class FramePipeline:
                 primary_ref = 0
                 init_cdfs = self.cdf_buffer[plan.ref_slot_fwd]
 
-        mi_cols = (enc.width + 3) >> 2
-        mi_rows = (enc.height + 3) >> 2
+        # spec 5.9.8 compute_image_size: mi dims round to EVEN (8px
+        # multiples) so 4px edge blocks always pair for chroma coverage
+        mi_cols = 2 * ((enc.width + 7) >> 3)
+        mi_rows = 2 * ((enc.height + 7) >> 3)
 
         base_q_idx = self.rc.select_qi(frame_type, enc.width, enc.height, plan.level)
         dist_scales = None
@@ -2451,6 +2469,7 @@ class FramePipeline:
             rec=rec,
             enc_stats=enc_stats,
             opaque=params.opaque if params is not None else None,
+            show_frame=plan.show_frame,
         )
 
     def _joint_cdef_map(self, rec, frame, frame_blocks, fi, enc,

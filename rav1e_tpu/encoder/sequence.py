@@ -80,6 +80,11 @@ class Sequence:
             s.enable_order_hint = False
         if enc.level_idx is not None:
             s.level_idx = enc.level_idx
+        else:
+            # derive the minimal conforming level (levels.rs behavior)
+            from rav1e_tpu.config.levels import minimal_level
+
+            s.level_idx = minimal_level(enc.width, enc.height, enc.frame_rate())
         return s
 
 

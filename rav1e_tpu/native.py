@@ -160,6 +160,8 @@ def _bind_symbols(lib) -> None:
     lib.enc_me_search_satd.argtypes = lib.enc_me_search.argtypes
     lib.enc_me_search_satd.restype = c.c_long
     lib.enc_me_set_method.argtypes = [c.c_int, c.c_int]
+    lib.enc_prep_8tap.argtypes = lib.enc_put_8tap.argtypes
+    lib.enc_mc_avg.argtypes = [c.c_void_p, c.c_void_p, c.c_int, c.c_int, c.c_void_p]
     lib.enc_quantize.argtypes = [
         c.c_void_p, c.c_int, c.c_int, c.c_int, c.c_int, c.c_void_p, c.c_int,
         c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_void_p,
