@@ -147,15 +147,9 @@ class ContextInner:
         scene_cut = False
         from rav1e_tpu.config import SceneDetectionSpeed
 
-        if (
-            e.speed_settings.scene_detection_mode != SceneDetectionSpeed.NoDetection
-            and self._last_luma_ds is not None
-            and frameno > 0
-        ):
+        def shifted_mad(c, prev):
             import numpy as np
 
-            prev = self._last_luma_ds.astype(np.int32)
-            c = cur.astype(np.int32)
             # motion-robust: min difference over small global shifts (2x
             # downsample, +-3 ds px = +-6 source px) so pans don't read as cuts
             best = None
@@ -167,6 +161,18 @@ class ContextInner:
                     b = prev[max(-dy, 0) : h + min(-dy, 0), max(-dx, 0) : w + min(-dx, 0)]
                     mad = float(np.abs(a - b).mean())
                     best = mad if best is None else min(best, mad)
+            return best
+
+        if (
+            e.speed_settings.scene_detection_mode != SceneDetectionSpeed.NoDetection
+            and self._last_luma_ds is not None
+            and frameno > 0
+        ):
+            import numpy as np
+
+            prev = self._last_luma_ds.astype(np.int32)
+            c = cur.astype(np.int32)
+            best = shifted_mad(c, prev)
             if e.speed_settings.scene_detection_mode == SceneDetectionSpeed.Standard:
                 # Standard mode: inter-vs-intra cost comparison (reference
                 # av-scenechange cost mode, doc/FRAME_TYPE_SELECTION.md):
@@ -180,11 +186,29 @@ class ContextInner:
                 )
             else:
                 scene_cut = best > 14.0 * (1 << (e.bit_depth - 8))
+            # flash suppression (av-scenechange behavior,
+            # doc/FRAME_TYPE_SELECTION.md): when this frame returns to the
+            # content from *two* frames ago, the previous frame was a flash —
+            # suppress this cut and retract the flash's own keyframe if the
+            # scheduler hasn't consumed it yet
+            if scene_cut and getattr(self, "_prev2_luma_ds", None) is not None:
+                mad2 = shifted_mad(c, self._prev2_luma_ds.astype(np.int32))
+                if mad2 <= 7.0 * (1 << (e.bit_depth - 8)):
+                    scene_cut = False
+                    flash = frameno - 1
+                    if (
+                        flash == getattr(self, "_last_scene_cut", None)
+                        and flash in self.keyframes
+                        and flash >= self.plan_next_input
+                    ):
+                        self.keyframes.discard(flash)
+        self._prev2_luma_ds = self._last_luma_ds
         self._last_luma_ds = cur
         if distance >= e.max_key_frame_interval:
             self.keyframes.add(frameno)
         elif scene_cut and distance >= e.min_key_frame_interval:
             self.keyframes.add(frameno)
+            self._last_scene_cut = frameno
 
     @staticmethod
     def _downsample_luma(frame: Frame):

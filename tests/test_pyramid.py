@@ -233,3 +233,41 @@ def test_switch_frames():
                 dec.planes[pl].as_array(), pkt.rec.planes[pl].as_array(),
                 err_msg=f"packet {i} plane {pl}",
             )
+
+
+def test_scene_flash_suppression():
+    """A flash frame (A A F A A) must not leave keyframes on the flash or
+    the return frame (av-scenechange flash suppression behavior)."""
+    from rav1e_tpu import SpeedSettings
+    from rav1e_tpu.api.util import FrameType
+    from rav1e_tpu.config.speed import SceneDetectionSpeed
+
+    rng = np.random.default_rng(0)
+    A = np.repeat(np.repeat(rng.integers(0, 256, (8, 12)), 8, 0), 8, 1)
+    F = 255 - A
+    for mode in (SceneDetectionSpeed.Fast, SceneDetectionSpeed.Standard):
+        ss = SpeedSettings.from_preset(6)
+        ss.scene_detection_mode = mode
+        cfg = Config(
+            enc=EncoderConfig(
+                width=96, height=64, quantizer=110, low_latency=True,
+                speed_settings=ss, min_key_frame_interval=0,
+                max_key_frame_interval=99,
+            )
+        )
+        ctx = cfg.new_context()
+        for arr in [A, A, F, A, A, A]:
+            f = ctx.new_frame()
+            for i, p in enumerate(f.planes):
+                a = arr if i == 0 else np.full((p.cfg.height, p.cfg.width), 128)
+                p.copy_from(a[: p.cfg.height, : p.cfg.width].astype(np.uint8))
+            ctx.send_frame(f)
+        ctx.flush()
+        types = []
+        while True:
+            try:
+                types.append(ctx.receive_packet().frame_type)
+            except EncoderStatus.LimitReached:
+                break
+        assert types[2] != FrameType.KEY, types
+        assert types[3] != FrameType.KEY, types
