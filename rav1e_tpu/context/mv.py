@@ -343,6 +343,10 @@ class MvFinder:
                 min(max(c.this_mv[0], mvy_min), mvy_max),
                 min(max(c.this_mv[1], mvx_min), mvx_max),
             )
+            c.comp_mv = (
+                min(max(c.comp_mv[0], mvy_min), mvy_max),
+                min(max(c.comp_mv[1], mvx_min), mvx_max),
+            )
         return stack, mode_context
 
 

@@ -965,6 +965,9 @@ def _compound_methods():
             cctx = min(max(newmv_ctx, 1) + 3, 7)
         val = {
             PredictionMode.NEAREST_NEARESTMV: 0,
+            PredictionMode.NEAR_NEAR0MV: 1,
+            PredictionMode.NEAR_NEAR1MV: 1,
+            PredictionMode.NEAR_NEAR2MV: 1,
             PredictionMode.GLOBAL_GLOBALMV: 6,
             PredictionMode.NEW_NEWMV: 7,
         }[mode]

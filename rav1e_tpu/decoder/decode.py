@@ -486,6 +486,21 @@ class TileDecoder:
         elif mode == PredictionMode.NEAREST_NEARESTMV:
             mv0 = tuple(stack[0].this_mv) if stack else (0, 0)
             mv1 = tuple(stack[0].comp_mv) if stack else (0, 0)
+        elif mode == PredictionMode.NEAR_NEAR0MV:
+            ref_mv_idx = 1
+            for idx in (1, 2):
+                if num_found > idx + 1:
+                    ctx = int(stack[idx].weight < REF_CAT_LEVEL) + int(
+                        stack[idx + 1].weight < REF_CAT_LEVEL
+                    )
+                    if self.cr.read_drl_mode(self.r, ctx):
+                        ref_mv_idx = idx + 1
+                        continue
+                    ref_mv_idx = idx
+                    break
+            k = min(ref_mv_idx, num_found - 1) if num_found else 0
+            mv0 = tuple(stack[k].this_mv) if stack else (0, 0)
+            mv1 = tuple(stack[k].comp_mv) if stack else (0, 0)
         else:  # GLOBAL_GLOBALMV
             mv0 = (0, 0)
             mv1 = (0, 0)

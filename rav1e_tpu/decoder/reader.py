@@ -588,6 +588,7 @@ def _compound_read_methods():
         val = self._sym(r, self.fc.compound_mode_cdf, cctx)
         table = {
             0: PredictionMode.NEAREST_NEARESTMV,
+            1: PredictionMode.NEAR_NEAR0MV,
             6: PredictionMode.GLOBAL_GLOBALMV,
             7: PredictionMode.NEW_NEWMV,
         }

@@ -1060,20 +1060,34 @@ class TileEncoder:
                     w_px, h_px, cf, rf, 0, 0, fi.bit_depth,
                 )
 
-            t0 = prep_for(fi.ref_frame, mv0)
-            t1 = prep_for(fi.ref_frame_bwd, mv1)
-            comp_pred = mc_avg(t0, t1, fi.bit_depth)
-            comp_sad = int(np.abs(block - comp_pred).sum())
-            if comp_sad < best_sad:
-                finder = self._mv_finder()
-                stack_p, ctx_p = finder.find_mvrefs(
-                    x, y, (LAST_FRAME, ALTREF_FRAME), bsize, lambda r: 0
-                )
+            def comp_sad_for(m0, m1):
+                t0 = prep_for(fi.ref_frame, m0)
+                t1 = prep_for(fi.ref_frame_bwd, m1)
+                pred = mc_avg(t0, t1, fi.bit_depth)
+                return int(np.abs(block - pred).sum())
+
+            finder = self._mv_finder()
+            stack_p, ctx_p = finder.find_mvrefs(
+                x, y, (LAST_FRAME, ALTREF_FRAME), bsize, lambda r: 0
+            )
+            # candidates: the ME pair (pays a fullpel-MV rate proxy, it
+            # codes two NEWMVs) vs the MV-stack pairs (NEAREST/NEAR pairs
+            # code no MV) — reference rdo.rs compound mode loop
+            comp_sad = comp_sad_for(mv0, mv1)
+            pair_eff = comp_sad + (w_px + h_px) // 2
+            pair_raw, pair_mvs = comp_sad, (mv0, mv1)
+            for k in range(min(len(stack_p), 3)):
+                m0 = (int(stack_p[k].this_mv[0]), int(stack_p[k].this_mv[1]))
+                m1 = (int(stack_p[k].comp_mv[0]), int(stack_p[k].comp_mv[1]))
+                s = comp_sad_for(m0, m1)
+                if s < pair_eff:
+                    pair_eff, pair_raw, pair_mvs = s, s, (m0, m1)
+            if pair_raw < best_sad:
                 best = (
-                    comp_sad, (LAST_FRAME, ALTREF_FRAME),
-                    (fi.ref_frame, fi.ref_frame_bwd), (mv0, mv1), stack_p, ctx_p,
+                    pair_raw, (LAST_FRAME, ALTREF_FRAME),
+                    (fi.ref_frame, fi.ref_frame_bwd), pair_mvs, stack_p, ctx_p,
                 )
-                best_sad = comp_sad
+                best_sad = pair_raw
 
         # compare against a cheap intra proxy (DC from source neighbors)
         base = 128 << (fi.bit_depth - 8)
@@ -1402,12 +1416,24 @@ class TileEncoder:
 
         fi = self.fi
         mv0, mv1 = mvs
+        near_idx = 0
         if stack and tuple(stack[0].this_mv) == mv0 and tuple(stack[0].comp_mv) == mv1:
             mode = PredictionMode.NEAREST_NEARESTMV
-        elif not stack and mv0 == (0, 0) and mv1 == (0, 0):
-            mode = PredictionMode.GLOBAL_GLOBALMV
         else:
-            mode = PredictionMode.NEW_NEWMV
+            for k in (1, 2):
+                if (
+                    len(stack) > k
+                    and tuple(stack[k].this_mv) == mv0
+                    and tuple(stack[k].comp_mv) == mv1
+                ):
+                    mode = PredictionMode.NEAR_NEAR0MV
+                    near_idx = k
+                    break
+            else:
+                if not stack and mv0 == (0, 0) and mv1 == (0, 0):
+                    mode = PredictionMode.GLOBAL_GLOBALMV
+                else:
+                    mode = PredictionMode.NEW_NEWMV
 
         max_tx = self._luma_tx_size(bsize)
         do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, fi.seq.chroma_sampling)
@@ -1454,6 +1480,17 @@ class TileEncoder:
         self.cw.write_compound_mode(self.w, mode, mode_ctx)
 
         num_found = len(stack)
+        if mode == PredictionMode.NEAR_NEAR0MV:
+            # DRL selection of the NEAR pair (same scheme as single NEARMV)
+            for idx in (1, 2):
+                if num_found > idx + 1:
+                    drl = near_idx > idx
+                    ctx = int(stack[idx].weight < REF_CAT_LEVEL) + int(
+                        stack[idx + 1].weight < REF_CAT_LEVEL
+                    )
+                    self.cw.write_drl_mode(self.w, drl, ctx)
+                    if not drl:
+                        break
         if mode == PredictionMode.NEW_NEWMV:
             for idx in range(2):
                 if num_found > idx + 1:
