@@ -621,6 +621,113 @@ extern "C" void enc_cdef_dirs(const void* luma, long stride, int bytespp,
                  out_dirs + b, out_vars + b);
 }
 
+// Whole-frame CDEF strength RDO (ops/cdef.py cdef_rdo_frame; the reference's
+// rdo_loop_decision CDEF axis, rdo.rs:2104): for every filtered 8x8 block and
+// every candidate strength pair, filter in-register and accumulate the SSE
+// against the source into per-superblock bins.  No frame copies, no
+// write-backs -- the caller applies the winning map afterwards.
+extern "C" void enc_cdef_rdo(
+    int nplanes, const int64_t* pre_addr, const long* pre_stride,
+    const int64_t* src_addr, const long* src_stride, int bytespp,
+    const int32_t* xdec, const int32_t* ydec, const int64_t* vis_w,
+    const int64_t* vis_h, int n, const int32_t* by, const int32_t* bx,
+    const int32_t* dirs, const int32_t* vars, const uint8_t* have_t,
+    const uint8_t* have_l, const uint8_t* have_r, const uint8_t* have_b,
+    const int32_t* sb_of_block, int ncand, const int32_t* y_str,
+    const int32_t* uv_str, int damping, int bd, long nsb, int64_t* out_sse) {
+  const int coeff_shift = bd - 8;
+  static const int uv_dir_422[8] = {7, 0, 2, 4, 5, 6, 6, 6};
+  const int sec_taps[2] = {2, 1};
+  static const int pt_even[2] = {4, 2}, pt_odd[2] = {3, 3};
+  for (int ci = 0; ci < ncand; ci++) {
+    for (int p = 0; p < nplanes; p++) {
+      const void* pre = (const void*)(intptr_t)pre_addr[p];
+      const void* src = (const void*)(intptr_t)src_addr[p];
+      long pstride = pre_stride[p], sstride = src_stride[p];
+      int v = p == 0 ? y_str[ci] : uv_str[ci];
+      int pri_u = v / 4;
+      int sec_u = v % 4;
+      sec_u += sec_u == 3;
+      int sec = sec_u << coeff_shift;
+      int damp = damping + coeff_shift - (p == 0 ? 0 : 1);
+      int xs = 8 >> xdec[p], ys = 8 >> ydec[p];
+      long pw = vis_w[p], ph = vis_h[p];
+      for (int b = 0; b < n; b++) {
+        long oy = (long)by[b] * ys, ox = (long)bx[b] * xs;
+        if (oy >= ph || ox >= pw) continue;
+        int p0, dir;
+        if (p == 0) {
+          // _adjust_strength on the variance, zeroed when the unpacked
+          // primary is zero (dirs likewise)
+          int strength = pri_u << coeff_shift;
+          int var = vars[b];
+          int idx = 0;
+          if ((var >> 6) != 0) {
+            idx = 31 - __builtin_clz((unsigned)(var >> 6));
+            if (idx > 12) idx = 12;
+          }
+          p0 = var != 0 ? (strength * (4 + idx) + 8) >> 4 : 0;
+          if (pri_u == 0) p0 = 0;
+          dir = pri_u != 0 ? dirs[b] : 0;
+        } else {
+          p0 = pri_u << coeff_shift;
+          dir = xdec[p] != ydec[p] ? uv_dir_422[dirs[b]] : dirs[b];
+          if (pri_u == 0) {
+            p0 = 0;
+            dir = 0;
+          }
+        }
+        int64_t sse = 0;
+        if (p0 == 0 && sec == 0) {
+          // zero strengths: the filter is the identity
+          for (int i = 0; i < ys && oy + i < ph; i++)
+            for (int j = 0; j < xs && ox + j < pw; j++) {
+              int d = px_at(pre, pstride, bytespp, oy + i, ox + j) -
+                      px_at(src, sstride, bytespp, oy + i, ox + j);
+              sse += (int64_t)d * d;
+            }
+        } else {
+          const int* pri_taps =
+              (((p0 >> coeff_shift) & 1) == 0) ? pt_even : pt_odd;
+          for (int i = 0; i < ys && oy + i < ph; i++)
+            for (int j = 0; j < xs && ox + j < pw; j++) {
+              int x = px_at(pre, pstride, bytespp, oy + i, ox + j);
+              int mn = x, mx = x, total = 0;
+              for (int k = 0; k < 2; k++)
+                for (int which = 0; which < 3; which++) {
+                  int d2 = which == 0 ? dir
+                                      : (which == 1 ? (dir + 2) & 7
+                                                    : (dir + 6) & 7);
+                  int dy = kCdefDir[d2][k][0], dx = kCdefDir[d2][k][1];
+                  for (int sgn : {1, -1}) {
+                    int ty = i + sgn * dy, tx = j + sgn * dx;
+                    int pv;
+                    if ((ty < 0 && !have_t[b]) || (ty >= ys && !have_b[b]) ||
+                        (tx < 0 && !have_l[b]) || (tx >= xs && !have_r[b]))
+                      pv = CDEF_VERY_LARGE;
+                    else
+                      pv = px_at(pre, pstride, bytespp, oy + ty, ox + tx);
+                    int diff = pv - x;
+                    if (which == 0)
+                      total += pri_taps[k] * constrain1(diff, p0, damp);
+                    else
+                      total += sec_taps[k] * constrain1(diff, sec, damp);
+                    if (pv != CDEF_VERY_LARGE) mx = std::max(mx, pv);
+                    mn = std::min(mn, pv);
+                  }
+                }
+              int ov = x + ((8 + total - (total < 0 ? 1 : 0)) >> 4);
+              ov = std::clamp(ov, mn, mx);
+              int d = ov - px_at(src, sstride, bytespp, oy + i, ox + j);
+              sse += (int64_t)d * d;
+            }
+        }
+        out_sse[(long)ci * nsb + sb_of_block[b]] += sse;
+      }
+    }
+  }
+}
+
 // --- SATD (dist.py::get_satd; reference dist.rs:156-221) -------------------
 
 namespace {

@@ -472,10 +472,24 @@ def _frame_analysis(luma, ref, mv8, q, lam, bd: int, has_inter: bool):
 
 @functools.lru_cache(None)
 def frame_analysis_jit(bd: int, has_inter: bool):
+    """Jitted analysis with the maps packed into ONE int32 vector on device:
+    cell = size_log2 | mode<<3 | inter<<9, with round(bits_est*16) appended.
+    A single device->host transfer per frame (the per-call latency dominates
+    on a tunneled TPU, so map count matters more than bytes)."""
     import jax
 
+    jnp = _jnp()
+
     def fn(luma, ref, mv8, q, lam):
-        return _frame_analysis(luma, ref, mv8, q, lam, bd, has_inter)
+        size_map, mode_map, inter_map, bits_est = _frame_analysis(
+            luma.astype(jnp.int32), ref.astype(jnp.int32),
+            mv8.astype(jnp.int32), q, lam, bd, has_inter,
+        )
+        packed = (
+            size_map | (mode_map << 3) | (inter_map.astype(jnp.int32) << 9)
+        ).reshape(-1)
+        bits = jnp.round(bits_est * 16.0).astype(jnp.int32)
+        return jnp.concatenate([packed, bits[None]])
 
     return jax.jit(fn)
 
@@ -498,29 +512,32 @@ def analyze_frame(
     h, w = luma_np.shape
     h64 = (h + 63) & ~63
     w64 = (w + 63) & ~63
-    luma = np.pad(luma_np, ((0, h64 - h), (0, w64 - w)), mode="edge").astype(np.int32)
+    # upload in the plane's natural dtype (uint8/uint16) — the jitted program
+    # widens on device; int16 MVs.  Minimises host->device bytes.
+    luma = np.pad(luma_np, ((0, h64 - h), (0, w64 - w)), mode="edge")
     has_inter = ref_np is not None and mv_field is not None
     if has_inter:
-        ref = np.pad(ref_np, ((0, h64 - h), (0, w64 - w)), mode="edge").astype(np.int32)
+        ref = np.pad(ref_np, ((0, h64 - h), (0, w64 - w)), mode="edge")
         # 16px-grid field -> 8px cells
         mvf = np.repeat(np.repeat(mv_field, 2, axis=0), 2, axis=1)
-        mv8 = np.zeros((h64 // 8, w64 // 8, 2), dtype=np.int32)
+        mv8 = np.zeros((h64 // 8, w64 // 8, 2), dtype=np.int16)
         cy = min(mvf.shape[0], mv8.shape[0])
         cx = min(mvf.shape[1], mv8.shape[1])
         mv8[:cy, :cx] = mvf[:cy, :cx]
     else:
         ref = luma
-        mv8 = np.zeros((h64 // 8, w64 // 8, 2), dtype=np.int32)
+        mv8 = np.zeros((h64 // 8, w64 // 8, 2), dtype=np.int16)
 
     q = float(tables.ac_q(qindex, 0, bd))
     fn = frame_analysis_jit(bd, has_inter)
-    size_map, mode_map, inter_map, bits_est = fn(
-        jnp.asarray(luma), jnp.asarray(ref), jnp.asarray(mv8),
-        jnp.float32(q), jnp.float32(lam),
+    out = np.asarray(
+        fn(jnp.asarray(luma), jnp.asarray(ref), jnp.asarray(mv8),
+           jnp.float32(q), jnp.float32(lam))
     )
+    packed = out[:-1].reshape(h64 // 8, w64 // 8)
     return DeviceMaps(
-        size_log2=np.asarray(size_map),
-        mode=np.asarray(mode_map),
-        use_inter=np.asarray(inter_map),
-        bits_est=float(bits_est),
+        size_log2=packed & 7,
+        mode=(packed >> 3) & 0x1F,
+        use_inter=((packed >> 9) & 1).astype(bool),
+        bits_est=float(out[-1]) / 16.0,
     )

@@ -190,6 +190,13 @@ def _bind_symbols(lib) -> None:
         c.c_int, c.c_int, c.c_int, c.c_void_p, c.c_void_p, c.c_void_p,
         c.c_void_p,
     ]
+    lib.enc_cdef_rdo.argtypes = [
+        c.c_int, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int, c.c_void_p,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_int, c.c_void_p, c.c_void_p,
+        c.c_int, c.c_int, c.c_long, c.c_void_p,
+    ]
     lib.tile_deblock_plane.argtypes = [
         c.c_void_p, c.c_void_p, c.c_long, c.c_int, c.c_void_p, c.c_void_p,
         c.c_int, c.c_int, c.c_int, c.c_long, c.c_long, c.c_int, c.c_int,

@@ -445,14 +445,72 @@ def cdef_rdo_frame(
             np.add.at(total, sb_of_block, d.sum(axis=(1, 2)))
         return total
 
-    sses = []
-    for ci in range(4):
-        work = _frame_scratch(rec_frame)
-        cdef_filter_frame(
-            (damping, y_strengths[ci], uv_strengths[ci]), work, blocks,
-            bd, cs, crop_w, crop_h, state=state,
+    from rav1e_tpu import native
+    from rav1e_tpu.config import ChromaSampling
+
+    lib = native.get_lib()
+    nplanes = 1 if cs == ChromaSampling.Cs400 else 3
+    itemsize = rec_frame.planes[0].data.itemsize
+    if lib is not None and itemsize in (1, 2):
+        # single native sweep: filter every candidate per block in-register
+        # and bin the SSE per superblock (no frame copies)
+        pre_addr = np.zeros(nplanes, dtype=np.int64)
+        src_addr = np.zeros(nplanes, dtype=np.int64)
+        pre_stride = np.zeros(nplanes, dtype=np.int64)
+        src_stride = np.zeros(nplanes, dtype=np.int64)
+        xd_arr = np.zeros(nplanes, dtype=np.int32)
+        yd_arr = np.zeros(nplanes, dtype=np.int32)
+        vw = np.zeros(nplanes, dtype=np.int64)
+        vh = np.zeros(nplanes, dtype=np.int64)
+        views = []  # keep the plane views alive across the ctypes call
+        for p in range(nplanes):
+            rp = rec_frame.planes[p]
+            sp = src_frame.planes[p]
+            pad = rp.cfg.pad
+            rv = rp.data[pad:, pad:]
+            sv = sp.data[pad:, pad:]
+            views += [rv, sv]
+            pre_addr[p] = rv.ctypes.data
+            src_addr[p] = sv.ctypes.data
+            pre_stride[p] = rv.strides[0] // itemsize
+            src_stride[p] = sv.strides[0] // itemsize
+            xd_arr[p] = rp.cfg.xdec
+            yd_arr[p] = rp.cfg.ydec
+            vw[p] = (crop_w + (1 << rp.cfg.xdec) - 1) >> rp.cfg.xdec
+            vh[p] = (crop_h + (1 << rp.cfg.ydec) - 1) >> rp.cfg.ydec
+        n = len(by)
+        by32 = np.ascontiguousarray(by, dtype=np.int32)
+        bx32 = np.ascontiguousarray(bx, dtype=np.int32)
+        dirs32 = np.ascontiguousarray(state["dirs"], dtype=np.int32)
+        vars32 = np.ascontiguousarray(state["variances"], dtype=np.int32)
+        ht = np.ascontiguousarray(state["have_top"], dtype=np.uint8)
+        hl = np.ascontiguousarray(state["have_left"], dtype=np.uint8)
+        hr = np.ascontiguousarray(state["have_right"], dtype=np.uint8)
+        hb = np.ascontiguousarray(state["have_bottom"], dtype=np.uint8)
+        sb32 = np.ascontiguousarray(sb_of_block, dtype=np.int32)
+        ys32 = np.ascontiguousarray(y_strengths, dtype=np.int32)
+        us32 = np.ascontiguousarray(uv_strengths, dtype=np.int32)
+        out = np.zeros(4 * sb_rows * sb_cols, dtype=np.int64)
+        lib.enc_cdef_rdo(
+            nplanes, pre_addr.ctypes.data, pre_stride.ctypes.data,
+            src_addr.ctypes.data, src_stride.ctypes.data, itemsize,
+            xd_arr.ctypes.data, yd_arr.ctypes.data, vw.ctypes.data,
+            vh.ctypes.data, n, by32.ctypes.data, bx32.ctypes.data,
+            dirs32.ctypes.data, vars32.ctypes.data, ht.ctypes.data,
+            hl.ctypes.data, hr.ctypes.data, hb.ctypes.data, sb32.ctypes.data,
+            4, ys32.ctypes.data, us32.ctypes.data, damping, bd,
+            sb_rows * sb_cols, out.ctypes.data,
         )
-        sses.append(filtered_block_sse(work))
+        sses = list(out.reshape(4, -1))
+    else:
+        sses = []
+        for ci in range(4):
+            work = _frame_scratch(rec_frame)
+            cdef_filter_frame(
+                (damping, y_strengths[ci], uv_strengths[ci]), work, blocks,
+                bd, cs, crop_w, crop_h, state=state,
+            )
+            sses.append(filtered_block_sse(work))
     idx_map = (
         np.argmin(np.stack(sses), axis=0).reshape(sb_rows, sb_cols).astype(np.int32)
     )

@@ -1,6 +1,7 @@
 """CDEF tests: direction search, filter core vs a scalar oracle, and
 frame-level round-trip activity."""
 
+import pytest
 import numpy as np
 
 from rav1e_tpu.ops.cdef import (
@@ -125,3 +126,41 @@ def test_cdef_active_in_roundtrip():
 
     dec, _ = decode_packet(pkt_on.data)
     np.testing.assert_array_equal(dec.planes[0].as_array(), y_on)
+
+
+def test_cdef_rdo_native_matches_python():
+    """The one-call native RDO sweep must pick the same per-SB strength map
+    as the python candidate loop (which filters whole frames per candidate)."""
+    from unittest import mock
+
+    import rav1e_tpu.ops.cdef as cdef_mod
+    from rav1e_tpu import native
+    from rav1e_tpu.config import ChromaSampling
+    from rav1e_tpu.frame import Frame
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    class Blocks:
+        pass
+
+    rng = np.random.default_rng(5)
+    W, H = 136, 88
+    for bd, dt in ((8, np.uint8), (10, np.uint16)):
+        for cs in (ChromaSampling.Cs420, ChromaSampling.Cs422, ChromaSampling.Cs444):
+            rec = Frame.new(W, H, cs, bd)
+            src = Frame.new(W, H, cs, bd)
+            for f in (rec, src):
+                for p in f.planes:
+                    arr = rng.integers(0, 1 << bd, (p.cfg.height, p.cfg.width))
+                    p.copy_from(arr.astype(dt))
+                    p.pad()
+            mi_cols, mi_rows = (W + 7) // 8 * 2, (H + 7) // 8 * 2
+            blocks = Blocks()
+            blocks.cols, blocks.rows = mi_cols, mi_rows
+            blocks.skip = rng.integers(0, 2, (mi_rows, mi_cols)).astype(bool)
+            a = cdef_mod.cdef_rdo_frame(rec, src, blocks, bd, cs, W, H, 3, 9, 5)
+            with mock.patch.object(native, "get_lib", lambda: None):
+                b = cdef_mod.cdef_rdo_frame(rec, src, blocks, bd, cs, W, H, 3, 9, 5)
+            assert a[0] == b[0] and a[1] == b[1]
+            np.testing.assert_array_equal(a[2], b[2], err_msg=f"bd={bd} cs={cs}")
