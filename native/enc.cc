@@ -103,17 +103,35 @@ void enc_put_8tap(const void* ref, long stride, int bytespp, long x0, long y0,
 static int g_me_method = 0;
 static int g_me_range = 16;
 
+#define SAD_BLOCK_T(NAME, T)                                              \
+  static long NAME(const T* ref, long rstride, long ry, long rx,          \
+                   const T* src, long sstride, long sy, long sx, int w,   \
+                   int h) {                                               \
+    long sad = 0;                                                         \
+    for (int y = 0; y < h; y++) {                                         \
+      const T* rr = ref + (ry + y) * rstride + rx;                        \
+      const T* sr = src + (sy + y) * sstride + sx;                        \
+      long row = 0;                                                       \
+      for (int x = 0; x < w; x++) {                                       \
+        int d = (int)sr[x] - (int)rr[x];                                  \
+        row += d < 0 ? -d : d;                                            \
+      }                                                                   \
+      sad += row;                                                         \
+    }                                                                     \
+    return sad;                                                           \
+  }
+SAD_BLOCK_T(sad_block_u8, uint8_t)
+SAD_BLOCK_T(sad_block_u16, uint16_t)
+
+// dispatch once per block on the pixel width so the inner loop vectorizes
 static long sad_block(const void* ref, long rstride, int bytespp, long ry,
                       long rx, const void* src, long sstride, long sy, long sx,
                       int w, int h) {
-  long sad = 0;
-  for (int y = 0; y < h; y++)
-    for (int x = 0; x < w; x++) {
-      int d = px_at(src, sstride, bytespp, sy + y, sx + x) -
-              px_at(ref, rstride, bytespp, ry + y, rx + x);
-      sad += d < 0 ? -d : d;
-    }
-  return sad;
+  if (bytespp == 1)
+    return sad_block_u8((const uint8_t*)ref, rstride, ry, rx,
+                        (const uint8_t*)src, sstride, sy, sx, w, h);
+  return sad_block_u16((const uint16_t*)ref, rstride, ry, rx,
+                       (const uint16_t*)src, sstride, sy, sx, w, h);
 }
 
 // Diamond full-pel + half/quarter-pel refinement (pipeline.py select_inter;
@@ -678,12 +696,83 @@ extern "C" void enc_cdef_rdo(
           }
         }
         int64_t sse = 0;
+        bool interior = have_t[b] && have_l[b] && have_r[b] && have_b[b];
         if (p0 == 0 && sec == 0) {
           // zero strengths: the filter is the identity
-          for (int i = 0; i < ys && oy + i < ph; i++)
-            for (int j = 0; j < xs && ox + j < pw; j++) {
-              int d = px_at(pre, pstride, bytespp, oy + i, ox + j) -
-                      px_at(src, sstride, bytespp, oy + i, ox + j);
+          int ih = (int)std::min<long>(ys, ph - oy);
+          int iw = (int)std::min<long>(xs, pw - ox);
+          if (bytespp == 1) {
+            const uint8_t* pr = (const uint8_t*)pre + oy * pstride + ox;
+            const uint8_t* sr = (const uint8_t*)src + oy * sstride + ox;
+            for (int i = 0; i < ih; i++)
+              for (int j = 0; j < iw; j++) {
+                int d = (int)pr[i * pstride + j] - (int)sr[i * sstride + j];
+                sse += (int64_t)d * d;
+              }
+          } else {
+            const uint16_t* pr = (const uint16_t*)pre + oy * pstride + ox;
+            const uint16_t* sr = (const uint16_t*)src + oy * sstride + ox;
+            for (int i = 0; i < ih; i++)
+              for (int j = 0; j < iw; j++) {
+                int d = (int)pr[i * pstride + j] - (int)sr[i * sstride + j];
+                sse += (int64_t)d * d;
+              }
+          }
+        } else if (interior) {
+          // fast path: every tap is a real pixel; per-block tap offsets,
+          // strengths and shifts computed once
+          const int* pri_taps =
+              (((p0 >> coeff_shift) & 1) == 0) ? pt_even : pt_odd;
+          long off[12];
+          int tap[12], thr[12], sh[12];
+          int pri_msb = p0 > 0 ? 31 - __builtin_clz((unsigned)p0) : 0;
+          int pri_shift = std::max(0, damp - pri_msb);
+          int sec_msb = sec > 0 ? 31 - __builtin_clz((unsigned)sec) : 0;
+          int sec_shift = std::max(0, damp - sec_msb);
+          int nt = 0;
+          for (int k = 0; k < 2; k++)
+            for (int which = 0; which < 3; which++) {
+              int d2 = which == 0 ? dir
+                                  : (which == 1 ? (dir + 2) & 7
+                                                : (dir + 6) & 7);
+              for (int sgn : {1, -1}) {
+                off[nt] = sgn * (kCdefDir[d2][k][0] * pstride +
+                                 kCdefDir[d2][k][1]);
+                tap[nt] = which == 0 ? pri_taps[k] : sec_taps[k];
+                thr[nt] = which == 0 ? p0 : sec;
+                sh[nt] = which == 0 ? pri_shift : sec_shift;
+                nt++;
+              }
+            }
+          int ih = (int)std::min<long>(ys, ph - oy);
+          int iw = (int)std::min<long>(xs, pw - ox);
+          for (int i = 0; i < ih; i++)
+            for (int j = 0; j < iw; j++) {
+              long base = (oy + i) * pstride + ox + j;
+              int x, spx_v;
+              if (bytespp == 1) {
+                x = ((const uint8_t*)pre)[base];
+                spx_v = ((const uint8_t*)src)[(oy + i) * sstride + ox + j];
+              } else {
+                x = ((const uint16_t*)pre)[base];
+                spx_v = ((const uint16_t*)src)[(oy + i) * sstride + ox + j];
+              }
+              int mn = x, mx = x, total = 0;
+              for (int t = 0; t < nt; t++) {
+                int pv = bytespp == 1 ? ((const uint8_t*)pre)[base + off[t]]
+                                      : ((const uint16_t*)pre)[base + off[t]];
+                int diff = pv - x;
+                if (thr[t]) {
+                  int ad = diff < 0 ? -diff : diff;
+                  int mag = std::clamp(thr[t] - (ad >> sh[t]), 0, ad);
+                  total += tap[t] * (diff < 0 ? -mag : mag);
+                }
+                mx = pv > mx ? pv : mx;
+                mn = pv < mn ? pv : mn;
+              }
+              int ov = x + ((8 + total - (total < 0 ? 1 : 0)) >> 4);
+              ov = std::clamp(ov, mn, mx);
+              int d = ov - spx_v;
               sse += (int64_t)d * d;
             }
         } else {

@@ -360,6 +360,15 @@ class ContextInner:
         frame = self.frame_q[in_no]
         params = self.frame_params[in_no]
         frame_type = FrameType.KEY if entry.kind == "key" else FrameType.INTER
+        # hint the pipeline at the next coded frame (if already queued) so it
+        # can pre-dispatch that frame's device analysis asynchronously
+        next_hint = None
+        for e2 in self.plan:
+            if e2.kind == "sef":
+                continue
+            if e2.input_frameno in self.frame_q:
+                next_hint = (e2, self.frame_q[e2.input_frameno])
+            break
         packet = pipeline.encode_frame(
             frame,
             input_frameno=in_no,
@@ -367,6 +376,7 @@ class ContextInner:
             params=params,
             is_first=(self.packet_count == 0),
             plan=entry,
+            next_hint=next_hint,
         )
         # garbage-collect consumed input (reference: internal.rs:1564)
         del self.frame_q[in_no]

@@ -13,8 +13,13 @@ instead of serial trial encodes.
 
 from rav1e_tpu.device.analysis import (
     DeviceMaps,
+    analyze_finish,
     analyze_frame,
+    analyze_frame_async,
     frame_analysis_jit,
 )
 
-__all__ = ["DeviceMaps", "analyze_frame", "frame_analysis_jit"]
+__all__ = [
+    "DeviceMaps", "analyze_finish", "analyze_frame", "analyze_frame_async",
+    "frame_analysis_jit",
+]

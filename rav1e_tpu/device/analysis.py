@@ -502,6 +502,20 @@ def analyze_frame(
     lam: float,
     bd: int,
 ) -> DeviceMaps:
+    """Synchronous host entry: dispatch + fetch in one call."""
+    return analyze_finish(
+        analyze_frame_async(luma_np, ref_np, mv_field, qindex, lam, bd)
+    )
+
+
+def analyze_frame_async(
+    luma_np: np.ndarray,
+    ref_np,
+    mv_field,
+    qindex: int,
+    lam: float,
+    bd: int,
+):
     """Host entry: pad to 64-multiples, run the jitted analysis, return maps.
 
     luma_np/ref_np: (H, W) visible-luma numpy arrays; mv_field: (nby, nbx, 2)
@@ -530,14 +544,22 @@ def analyze_frame(
 
     q = float(tables.ac_q(qindex, 0, bd))
     fn = frame_analysis_jit(bd, has_inter)
-    out = np.asarray(
-        fn(jnp.asarray(luma), jnp.asarray(ref), jnp.asarray(mv8),
-           jnp.float32(q), jnp.float32(lam))
+    out = fn(
+        jnp.asarray(luma), jnp.asarray(ref), jnp.asarray(mv8),
+        jnp.float32(q), jnp.float32(lam),
     )
-    packed = out[:-1].reshape(h64 // 8, w64 // 8)
+    # jax dispatch is asynchronous: `out` is a future until fetched.
+    return (out, h64 // 8, w64 // 8)
+
+
+def analyze_finish(handle) -> DeviceMaps:
+    """Block on an analyze_frame_async handle and unpack the maps."""
+    out, ny, nx = handle
+    arr = np.asarray(out)
+    packed = arr[:-1].reshape(ny, nx)
     return DeviceMaps(
         size_log2=packed & 7,
         mode=(packed >> 3) & 0x1F,
         use_inter=((packed >> 9) & 1).astype(bool),
-        bits_est=float(out[-1]) / 16.0,
+        bits_est=float(arr[-1]) / 16.0,
     )

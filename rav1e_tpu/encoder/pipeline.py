@@ -2020,6 +2020,11 @@ class FramePipeline:
         self.rec_frame: Optional[Frame] = None
         # reference slot buffer (reference: ReferenceFramesSet, encoder.rs:340)
         self.rec_buffer: list = [None] * 8
+        # per-slot SOURCE luma (estimation refs for ME fields + device
+        # analysis, like the reference's lookahead ME stats on sources)
+        self.src_buffer: list = [None] * 8
+        # async device-analysis dispatched for the next planned frame
+        self._pending_analysis = None
         self._fallback_slot = 0
         self.prev_mvs = None  # last coded frame's MV field (ME stats analog)
         self.cdf_buffer: list = [None] * 8  # per-slot end-of-frame CDF states
@@ -2037,6 +2042,105 @@ class FramePipeline:
             max_key_frame_interval=enc.max_key_frame_interval,
         )
 
+    def _ref_src_luma(self, slot):
+        """Source luma of the frame occupying a reference slot (falls back to
+        the reconstruction when the source is gone, e.g. after resume)."""
+        s = self.src_buffer[slot]
+        if s is not None:
+            return s
+        r = self.rec_buffer[slot]
+        if r is None:
+            return None
+        enc = self.config.enc
+        return r.planes[0].as_array()[: enc.height, : enc.width]
+
+    def _predispatch_analysis(self, next_hint, cur_frame, cur_ft, cur_plan):
+        """Dispatch the next planned frame's device analysis asynchronously.
+
+        Runs right after this frame's maps are fetched, so the next frame's
+        TPU round-trip overlaps this frame's host tile coding and loop
+        filters.  Uses the RC's current qi estimate (stale by one frame) —
+        the analysis q only steers heuristics, and the estimate is
+        deterministic, so bitstreams stay reproducible."""
+        from rav1e_tpu.context.mv import ALTREF_FRAME, LAST_FRAME
+        from rav1e_tpu.device import analyze_frame_async
+        from rav1e_tpu.encoder.lookahead import hierarchical_me
+
+        nplan, nframe = next_hint
+        enc = self.config.enc
+        cur_refresh = (
+            0xFF
+            if cur_ft in (FrameType.KEY, FrameType.SWITCH)
+            else (1 << cur_plan.slot)
+        )
+        cur_src = cur_frame.planes[0].as_array()[: enc.height, : enc.width]
+
+        def src_of(slot):
+            if (cur_refresh >> slot) & 1:
+                return cur_src
+            return self._ref_src_luma(slot)
+
+        is_key = nplan.kind == "key"
+        ref_avail = not is_key and (
+            ((cur_refresh >> nplan.ref_slot_fwd) & 1)
+            or self.rec_buffer[nplan.ref_slot_fwd] is not None
+        )
+        is_inter = not is_key and ref_avail
+        me_fields = None
+        ref_y = mvf = None
+        if is_inter:
+            nsrc = nframe.planes[0].as_array()[: enc.height, : enc.width]
+            f0 = src_of(nplan.ref_slot_fwd)
+            if f0 is None:
+                is_inter = False
+            else:
+                me_fields = {LAST_FRAME: hierarchical_me(nsrc, f0, enc.bit_depth)}
+                if nplan.ref_slot_bwd is not None:
+                    f1 = src_of(nplan.ref_slot_bwd)
+                    if f1 is not None:
+                        me_fields[ALTREF_FRAME] = hierarchical_me(
+                            nsrc, f1, enc.bit_depth
+                        )
+                ref_y = f0
+                mvf = me_fields[LAST_FRAME]
+        q_guess = self.rc.select_qi(
+            FrameType.KEY if is_key else FrameType.INTER,
+            enc.width, enc.height, nplan.level,
+        )
+        q_step = tables.ac_q(q_guess, 0, enc.bit_depth) / 8.0
+        lam = 0.12 * q_step * q_step
+        handle = analyze_frame_async(
+            nframe.planes[0].as_array()[: enc.height, : enc.width],
+            ref_y, mvf, q_guess, lam, enc.bit_depth,
+        )
+        # fetch on a worker thread: the device->host wait is IO (GIL
+        # released), so the round-trip overlaps this frame's host coding
+        import threading
+
+        from rav1e_tpu.device import analyze_finish
+
+        box = {}
+
+        def _fetch():
+            try:
+                box["maps"] = analyze_finish(handle)
+            except Exception as e:  # consumed as a sync fallback
+                box["err"] = e
+
+        th = threading.Thread(target=_fetch, daemon=True)
+        th.start()
+        self._pending_analysis = {
+            "frameno": nplan.input_frameno,
+            "q": q_guess,
+            "is_inter": is_inter,
+            "slot_fwd": nplan.ref_slot_fwd if is_inter else None,
+            "slot_bwd": nplan.ref_slot_bwd if is_inter else None,
+            "me_fields": me_fields,
+            "handle": handle,
+            "thread": th,
+            "box": box,
+        }
+
     def encode_frame(
         self,
         frame: Frame,
@@ -2045,6 +2149,7 @@ class FramePipeline:
         params=None,
         is_first: bool = False,
         plan=None,
+        next_hint=None,
     ) -> Packet:
         enc = self.config.enc
         assert frame_type == FrameType.KEY or not enc.still_picture
@@ -2138,43 +2243,91 @@ class FramePipeline:
         fi.dist_scales = dist_scales
 
         # hierarchical 3-pass motion fields per reference (me.rs:153-284):
-        # coarse-to-fine pyramid seeds for the per-block search
+        # coarse-to-fine pyramid seeds, measured on SOURCE frames like the
+        # reference's lookahead ME stats (api/lookahead.rs) — which also lets
+        # the device analysis for the NEXT frame be dispatched while this
+        # frame is still coding (the predispatch below)
+        pending = self._pending_analysis
+        self._pending_analysis = None
+        # validity: the dispatched program must have seen exactly the inputs
+        # the sync path would use, so the bitstream is identical whether or
+        # not the next frame was queued early.  The maps additionally require
+        # the SAME qi (checked at consumption); the ME fields do not.
+        if pending is not None and not (
+            pending["frameno"] == input_frameno
+            and pending["is_inter"] == fi.is_inter_frame
+            and (
+                not fi.is_inter_frame
+                or (
+                    pending["slot_fwd"] == plan.ref_slot_fwd
+                    and pending["slot_bwd"] == plan.ref_slot_bwd
+                )
+            )
+        ):
+            pending = None
+
         if fi.is_inter_frame and min(enc.width, enc.height) >= 64:
             from rav1e_tpu.context.mv import ALTREF_FRAME, LAST_FRAME
             from rav1e_tpu.encoder.lookahead import hierarchical_me
             from rav1e_tpu.utils.trace import span
 
-            src_y = frame.planes[0].as_array()[: enc.height, : enc.width]
-            fields = {}
-            with span("hier_me"):
-                f0 = fi.ref_frame.planes[0].as_array()[: enc.height, : enc.width]
-                fields[LAST_FRAME] = hierarchical_me(src_y, f0, enc.bit_depth)
-                if fi.ref_frame_bwd is not None:
-                    f1 = fi.ref_frame_bwd.planes[0].as_array()[: enc.height, : enc.width]
-                    fields[ALTREF_FRAME] = hierarchical_me(src_y, f1, enc.bit_depth)
-            fi.me_fields = fields
+            if pending is not None and pending["me_fields"] is not None:
+                fi.me_fields = pending["me_fields"]
+            else:
+                src_y = frame.planes[0].as_array()[: enc.height, : enc.width]
+                fields = {}
+                with span("hier_me"):
+                    f0 = self._ref_src_luma(plan.ref_slot_fwd)
+                    fields[LAST_FRAME] = hierarchical_me(src_y, f0, enc.bit_depth)
+                    if fi.ref_frame_bwd is not None and plan.ref_slot_bwd is not None:
+                        f1 = self._ref_src_luma(plan.ref_slot_bwd)
+                        fields[ALTREF_FRAME] = hierarchical_me(
+                            src_y, f1, enc.bit_depth
+                        )
+                fi.me_fields = fields
 
         # device analysis: one jitted TPU program decides partitions and
         # intra modes (and intra-vs-inter) for the whole frame; the tile
         # encoders below consume the maps instead of running trial searches
         if enc.speed_settings.device_analysis and min(enc.width, enc.height) >= 64:
-            from rav1e_tpu.device import analyze_frame
+            from rav1e_tpu.device import analyze_finish, analyze_frame_async
             from rav1e_tpu.utils.trace import span as _span
 
-            src_y = frame.planes[0].as_array()[: enc.height, : enc.width]
-            ref_y = None
-            mvf = None
-            if fi.is_inter_frame and fi.me_fields is not None:
-                from rav1e_tpu.context.mv import LAST_FRAME
+            maps = None
+            if (
+                pending is not None
+                and pending["handle"] is not None
+                and pending["q"] == base_q_idx
+            ):
+                with _span("device_analysis"):
+                    pending["thread"].join()
+                    maps = pending["box"].get("maps")
+            if maps is not None:
+                fi.device_maps = maps
+            else:
+                src_y = frame.planes[0].as_array()[: enc.height, : enc.width]
+                ref_y = None
+                mvf = None
+                if fi.is_inter_frame and fi.me_fields is not None:
+                    from rav1e_tpu.context.mv import LAST_FRAME
 
-                ref_y = fi.ref_frame.planes[0].as_array()[: enc.height, : enc.width]
-                mvf = fi.me_fields.get(LAST_FRAME)
-            q_step = tables.ac_q(base_q_idx, 0, enc.bit_depth) / 8.0
-            lam = 0.12 * q_step * q_step
-            with _span("device_analysis"):
-                fi.device_maps = analyze_frame(
-                    src_y, ref_y, mvf, base_q_idx, lam, enc.bit_depth
-                )
+                    ref_y = self._ref_src_luma(plan.ref_slot_fwd)
+                    mvf = fi.me_fields.get(LAST_FRAME)
+                q_step = tables.ac_q(base_q_idx, 0, enc.bit_depth) / 8.0
+                lam = 0.12 * q_step * q_step
+                with _span("device_analysis"):
+                    fi.device_maps = analyze_finish(analyze_frame_async(
+                        src_y, ref_y, mvf, base_q_idx, lam, enc.bit_depth
+                    ))
+            # dispatch the NEXT planned frame's analysis now, so its device
+            # round-trip overlaps this frame's host coding and loop filters
+            if next_hint is not None:
+                try:
+                    self._predispatch_analysis(
+                        next_hint, frame, frame_type, plan
+                    )
+                except Exception:
+                    self._pending_analysis = None
 
         # select the full-pel search family for this frame's speed tier
         # (native ME reads it as a per-process constant; the python fallback
@@ -2474,7 +2627,8 @@ class FramePipeline:
                 # its _fallback_slot rotation) does not run a second time:
                 # the retry encodes into the same ref slot as the first try.
                 return self.encode_frame(
-                    frame, input_frameno, frame_type, params, is_first, plan
+                    frame, input_frameno, frame_type, params, is_first, plan,
+                    next_hint=next_hint,
                 )
             finally:
                 self._rc_retry = False
@@ -2490,9 +2644,11 @@ class FramePipeline:
         for i in range(8):
             if (refresh >> i) & 1:
                 self.slot_order_hints[i] = plan.order_hint & ((1 << n_hint_bits) - 1)
+        src_luma = frame.planes[0].as_array()[: enc.height, : enc.width].copy()
         for i in range(8):
             if (refresh >> i) & 1:
                 self.rec_buffer[i] = rec
+                self.src_buffer[i] = src_luma
         self.frames_encoded += 1
         self.rc.update_state(
             len(packet_data) * 8, frame_type, fi.base_q_idx, enc.width, enc.height,

@@ -77,6 +77,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         or _HASH.read_text().strip() != digest
     )
     if stale and not _build(digest):
+        import sys
+
+        print(
+            "rav1e_tpu: native library build FAILED -- falling back to the "
+            "(much slower) pure-python paths. Run "
+            "`g++ -O3 -march=native -shared -fPIC native/ec.cc native/itx.cc "
+            "native/enc.cc native/lrf.cc native/tile.cc -o "
+            "native/librav1e_tpu_ec.so` to see the error.",
+            file=sys.stderr,
+        )
         return None
     try:
         lib = ctypes.CDLL(str(_LIB))
