@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cmath>
 #include <cfenv>
+#include <array>
 #include <vector>
 #include <algorithm>
 
@@ -90,10 +91,15 @@ inline void sum_finish(int64_t ssq, int64_t ssum, long n, long one_over_n,
   int64_t p = sssq * n - ssum_s * ssum_s;
   if (p < 0) p = 0;
   int64_t z = (p * s + ((int64_t)1 << SGRPROJ_MTABLE_BITS >> 1)) >> SGRPROJ_MTABLE_BITS;
-  int64_t a;
-  if (z >= 255) a = 256;
-  else if (z == 0) a = 1;
-  else a = ((z << SGRPROJ_SGR_BITS) + z / 2) / (z + 1);
+  // a depends only on z in [0,255]: LUT replaces the per-pixel division
+  static const auto z_lut = [] {
+    std::array<int64_t, 256> t{};
+    t[0] = 1;
+    for (int64_t zz = 1; zz < 256; zz++)
+      t[zz] = ((zz << SGRPROJ_SGR_BITS) + zz / 2) / (zz + 1);
+    return t;
+  }();
+  int64_t a = z >= 255 ? 256 : z_lut[z];
   int64_t b = ((int64_t)((1 << SGRPROJ_SGR_BITS) - a)) * ssum * one_over_n;
   *a_out = a;
   *b_out = (b + ((int64_t)1 << SGRPROJ_RECIP_BITS >> 1)) >> SGRPROJ_RECIP_BITS;
@@ -294,6 +300,36 @@ long long enc_sgr_decide_unit(
     out[3 * s + 2] = sse;
   }
   return sse_none;
+}
+
+// Whole-plane SgrProj decision: loop every restoration unit inside one
+// call (ops/lrf.py lrf_decide_units) — removes ~#units ctypes round-trips
+// and numpy slicing per frame.  stripes: ALL plane stripes (sy, sh) with
+// their unit row; out: rows*cols*nsets triples; out_none: rows*cols.
+void enc_sgr_decide_plane(
+    const void* cdef, long cstride, const void* debl, long dstride,
+    const void* src, long sstride, int bytespp, long crop_w, long crop_h,
+    int bd, const long* stripes, const int32_t* stripe_urow, int nstripes,
+    long unit_size, int rows, int cols, const long* params, int nsets,
+    long long* out, long long* out_none) {
+  static thread_local std::vector<long> ust;
+  for (int uy = 0; uy < rows; uy++) {
+    ust.clear();
+    for (int si = 0; si < nstripes; si++)
+      if (stripe_urow[si] == uy) {
+        ust.push_back(stripes[2 * si]);
+        ust.push_back(stripes[2 * si + 1]);
+      }
+    int nu = (int)(ust.size() / 2);
+    for (int ux = 0; ux < cols; ux++) {
+      long x = ux * unit_size;
+      int uw = (int)(ux == cols - 1 ? crop_w - x : unit_size);
+      long long* o = out + ((long)uy * cols + ux) * nsets * 3;
+      out_none[(long)uy * cols + ux] = enc_sgr_decide_unit(
+          cdef, cstride, debl, dstride, src, sstride, bytespp, x, uw,
+          ust.data(), nu, crop_w, crop_h, bd, params, nsets, o);
+    }
+  }
 }
 
 // Apply SgrProj to one (unit, stripe) rectangle, writing into `outp`

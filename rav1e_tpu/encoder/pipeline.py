@@ -2459,10 +2459,18 @@ class FramePipeline:
                 enc.width, enc.height, enc.chroma_sampling, fi.base_q_idx,
                 sb_w, sb_h,
             )
+            from rav1e_tpu.ops.lrf import SGRPROJ_FAST_SETS, SGRPROJ_REDUCED_SETS
+
+            _sets = (
+                SGRPROJ_REDUCED_SETS
+                if enc.speed_settings.joint_loop_rdo
+                or not enc.speed_settings.device_analysis
+                else SGRPROJ_FAST_SETS
+            )
             with span("lrf_decide"):
                 lrf_decide_units(
                     rs, rec, deblocked_planes, frame, enc.width, enc.height,
-                    fi.bit_depth, enc.chroma_sampling,
+                    fi.bit_depth, enc.chroma_sampling, sets=_sets,
                 )
             if rs.any_filters():
                 lrf_filter_frame(

@@ -138,6 +138,12 @@ def _bind_symbols(lib) -> None:
         c.c_int, c.c_void_p, c.c_int, c.c_void_p,
     ]
     lib.enc_sgr_decide_unit.restype = c.c_longlong
+    lib.enc_sgr_decide_plane.argtypes = [
+        c.c_void_p, c.c_long, c.c_void_p, c.c_long, c.c_void_p, c.c_long,
+        c.c_int, c.c_long, c.c_long, c.c_int, c.c_void_p, c.c_void_p,
+        c.c_int, c.c_long, c.c_int, c.c_int, c.c_void_p, c.c_int,
+        c.c_void_p, c.c_void_p,
+    ]
     lib.enc_lookahead_me.argtypes = [
         c.c_void_p, c.c_long, c.c_void_p, c.c_long, c.c_int, c.c_long,
         c.c_long, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int,

@@ -49,6 +49,7 @@ SGRPROJ_PARAMS_S = [
 ]
 
 SGRPROJ_REDUCED_SETS = [1, 3, 5, 7, 9, 11, 13, 15]
+SGRPROJ_FAST_SETS = [3, 7, 11, 15]  # fast presets: half the solve cost
 SGRPROJ_ALL_SETS = list(range(16))
 
 
@@ -578,12 +579,60 @@ def lrf_decide_units(rs: RestorationState, frame, deblocked_planes, source,
 
         # stripe list per unit row (stripe-quantized unit regions)
         unit_stripes: List[List[int]] = [[] for _ in range(rp.cfg.rows)]
+        flat_stripes: List[int] = []
+        stripe_urow: List[int] = []
         for si in range(stripe_n):
             sy, sh = _plane_stripes(si, ydec, crop_h)
             if sh <= 0 or sy >= crop_h:
                 continue
             uy = min(si * rp.cfg.stripe_height // rp.cfg.unit_size, rp.cfg.rows - 1)
             unit_stripes[uy].append(si)
+            flat_stripes += [sy, sh]
+            stripe_urow.append(uy)
+
+        from rav1e_tpu import native as _native
+
+        lib = _native.get_lib()
+        if (
+            lib is not None
+            and cdef_arr.itemsize in (1, 2)
+            and cdef_arr.strides[1] == cdef_arr.itemsize
+            and debl_arr.strides[1] == debl_arr.itemsize
+            and src_arr.strides[1] == src_arr.itemsize
+        ):
+            # one native call decides every unit of the plane
+            st = np.ascontiguousarray(np.array(flat_stripes, dtype=np.int64))
+            ur = np.ascontiguousarray(np.array(stripe_urow, dtype=np.int32))
+            pr = np.ascontiguousarray(
+                np.array([SGRPROJ_PARAMS_S[ss] for ss in sets], dtype=np.int64)
+                .reshape(-1)
+            )
+            rows, cols = rp.cfg.rows, rp.cfg.cols
+            out = np.zeros(rows * cols * len(sets) * 3, dtype=np.int64)
+            out_none = np.zeros(rows * cols, dtype=np.int64)
+            lib.enc_sgr_decide_plane(
+                cdef_arr.ctypes.data, cdef_arr.strides[0] // cdef_arr.itemsize,
+                debl_arr.ctypes.data, debl_arr.strides[0] // debl_arr.itemsize,
+                src_arr.ctypes.data, src_arr.strides[0] // src_arr.itemsize,
+                cdef_arr.itemsize, crop_w, crop_h, bd,
+                st.ctypes.data, ur.ctypes.data, len(stripe_urow),
+                rp.cfg.unit_size, rows, cols, pr.ctypes.data, len(sets),
+                out.ctypes.data, out_none.ctypes.data,
+            )
+            out = out.reshape(rows, cols, len(sets), 3)
+            out_none = out_none.reshape(rows, cols)
+            for uy in range(rows):
+                for ux in range(cols):
+                    best = FILTER_NONE
+                    best_sse = int(out_none[uy, ux])
+                    for k, sgr_set in enumerate(sets):
+                        sse = int(out[uy, ux, k, 2])
+                        if sse < best_sse:
+                            best_sse = sse
+                            best = ("sgr", sgr_set,
+                                    (int(out[uy, ux, k, 0]), int(out[uy, ux, k, 1])))
+                    rp.units[uy][ux] = best
+            continue
 
         for uy in range(rp.cfg.rows):
             for ux in range(rp.cfg.cols):
