@@ -39,60 +39,75 @@ void enc_set_subpel_filters(const int32_t* data) {
 
 // put_8tap: (h, w) int32 prediction at integer pos (x0, y0) + 1/16 fracs.
 // Exact pipeline of mc.py::put_8tap / reference mc.rs:250-355.
+// int32 accumulators are exact here: |coeff sum| * max px < 2^31 for all
+// supported bit depths, and the i16 intermediate matches the wrap rule.
+#define PUT8TAP_BODY(T)                                                     \
+  {                                                                         \
+    const T* rp = (const T*)ref;                                            \
+    if (col_frac == 0 && row_frac == 0) {                                   \
+      for (int y = 0; y < h; y++) {                                         \
+        const T* row = rp + (y0 + y) * stride + x0;                         \
+        for (int x = 0; x < w; x++) out[y * w + x] = row[x];                \
+      }                                                                     \
+      return;                                                               \
+    }                                                                       \
+    const int32_t* xf = get_filter(mode_x, col_frac, w);                    \
+    const int32_t* yf = get_filter(mode_y, row_frac, h);                    \
+    if (col_frac == 0) {                                                    \
+      for (int y = 0; y < h; y++) {                                         \
+        const T* base = rp + (y0 + y - 3) * stride + x0;                    \
+        for (int x = 0; x < w; x++) {                                       \
+          int32_t acc = 0;                                                  \
+          for (int k = 0; k < 8; k++)                                       \
+            acc += yf[k] * (int32_t)base[(long)k * stride + x];             \
+          int32_t v = (acc + (1 << 6)) >> 7;                                \
+          out[y * w + x] = std::clamp(v, 0, max_val);                       \
+        }                                                                   \
+      }                                                                     \
+      return;                                                               \
+    }                                                                       \
+    if (row_frac == 0) {                                                    \
+      for (int y = 0; y < h; y++) {                                         \
+        const T* row = rp + (y0 + y) * stride + x0 - 3;                     \
+        for (int x = 0; x < w; x++) {                                       \
+          int32_t acc = 0;                                                  \
+          for (int k = 0; k < 8; k++) acc += xf[k] * (int32_t)row[x + k];   \
+          int32_t v = (acc + (1 << (6 - inter_bits))) >> (7 - inter_bits);  \
+          v = (v + (1 << inter_bits >> 1)) >> inter_bits;                   \
+          out[y * w + x] = std::clamp(v, 0, max_val);                       \
+        }                                                                   \
+      }                                                                     \
+      return;                                                               \
+    }                                                                       \
+    static thread_local std::vector<int16_t> horiz;                         \
+    horiz.resize((size_t)(h + 7) * w);                                      \
+    for (int y = 0; y < h + 7; y++) {                                       \
+      const T* row = rp + (y0 + y - 3) * stride + x0 - 3;                   \
+      for (int x = 0; x < w; x++) {                                         \
+        int32_t acc = 0;                                                    \
+        for (int k = 0; k < 8; k++) acc += xf[k] * (int32_t)row[x + k];     \
+        int32_t v = (acc + (1 << (6 - inter_bits))) >> (7 - inter_bits);    \
+        horiz[(size_t)y * w + x] = (int16_t)v;                              \
+      }                                                                     \
+    }                                                                       \
+    for (int y = 0; y < h; y++)                                             \
+      for (int x = 0; x < w; x++) {                                         \
+        int32_t acc = 0;                                                    \
+        for (int k = 0; k < 8; k++)                                         \
+          acc += yf[k] * (int32_t)horiz[(size_t)(y + k) * w + x];           \
+        int32_t sh = 7 + inter_bits;                                        \
+        int32_t v = (acc + (1 << sh >> 1)) >> sh;                           \
+        out[y * w + x] = std::clamp(v, 0, max_val);                         \
+      }                                                                     \
+  }
+
 void enc_put_8tap(const void* ref, long stride, int bytespp, long x0, long y0,
                   int w, int h, int col_frac, int row_frac, int mode_x,
                   int mode_y, int bd, int32_t* out) {
   const int max_val = (1 << bd) - 1;
   const int inter_bits = 4 - (bd == 12 ? 2 : 0);
-
-  if (col_frac == 0 && row_frac == 0) {
-    for (int y = 0; y < h; y++)
-      for (int x = 0; x < w; x++)
-        out[y * w + x] = px_at(ref, stride, bytespp, y0 + y, x0 + x);
-    return;
-  }
-  const int32_t* xf = get_filter(mode_x, col_frac, w);
-  const int32_t* yf = get_filter(mode_y, row_frac, h);
-
-  if (col_frac == 0) {
-    for (int y = 0; y < h; y++)
-      for (int x = 0; x < w; x++) {
-        int64_t acc = 0;
-        for (int k = 0; k < 8; k++)
-          acc += (int64_t)yf[k] * px_at(ref, stride, bytespp, y0 + y - 3 + k, x0 + x);
-        int64_t v = round_shift(acc, 7);
-        out[y * w + x] = (int32_t)std::clamp<int64_t>(v, 0, max_val);
-      }
-    return;
-  }
-  if (row_frac == 0) {
-    for (int y = 0; y < h; y++)
-      for (int x = 0; x < w; x++) {
-        int64_t acc = 0;
-        for (int k = 0; k < 8; k++)
-          acc += (int64_t)xf[k] * px_at(ref, stride, bytespp, y0 + y, x0 + x - 3 + k);
-        int64_t v = round_shift(round_shift(acc, 7 - inter_bits), inter_bits);
-        out[y * w + x] = (int32_t)std::clamp<int64_t>(v, 0, max_val);
-      }
-    return;
-  }
-  // separable: horizontal into i16 intermediate (wrap), then vertical
-  std::vector<int16_t> horiz((h + 7) * w);
-  for (int y = 0; y < h + 7; y++)
-    for (int x = 0; x < w; x++) {
-      int64_t acc = 0;
-      for (int k = 0; k < 8; k++)
-        acc += (int64_t)xf[k] * px_at(ref, stride, bytespp, y0 + y - 3, x0 + x - 3 + k);
-      int64_t v = round_shift(acc, 7 - inter_bits);
-      horiz[y * w + x] = (int16_t)(((v + (1 << 15)) & 0xFFFF) - (1 << 15));
-    }
-  for (int y = 0; y < h; y++)
-    for (int x = 0; x < w; x++) {
-      int64_t acc = 0;
-      for (int k = 0; k < 8; k++) acc += (int64_t)yf[k] * horiz[(y + k) * w + x];
-      int64_t v = round_shift(acc, 7 + inter_bits);
-      out[y * w + x] = (int32_t)std::clamp<int64_t>(v, 0, max_val);
-    }
+  if (bytespp == 1) PUT8TAP_BODY(uint8_t)
+  else PUT8TAP_BODY(uint16_t)
 }
 
 // --- motion search ---------------------------------------------------------
@@ -132,6 +147,42 @@ static long sad_block(const void* ref, long rstride, int bytespp, long ry,
                         (const uint8_t*)src, sstride, sy, sx, w, h);
   return sad_block_u16((const uint16_t*)ref, rstride, ry, rx,
                        (const uint16_t*)src, sstride, sy, sx, w, h);
+}
+
+// src-vs-int32-pred SAD / diff with per-width dispatch (vectorizable)
+#define SADPRED_BODY(T)                                                    \
+  {                                                                        \
+    const T* sp = (const T*)src + sy * sstride + sx;                       \
+    long sad = 0;                                                          \
+    for (int y = 0; y < h; y++) {                                          \
+      long row = 0;                                                        \
+      for (int x = 0; x < w; x++) {                                        \
+        int d = (int)sp[y * sstride + x] - pred[y * w + x];                \
+        row += d < 0 ? -d : d;                                             \
+      }                                                                    \
+      sad += row;                                                          \
+    }                                                                      \
+    return sad;                                                            \
+  }
+static long sad_pred(const void* src, long sstride, int bytespp, long sy,
+                     long sx, const int32_t* pred, int w, int h) {
+  if (bytespp == 1) SADPRED_BODY(uint8_t)
+  SADPRED_BODY(uint16_t)
+}
+static void diff_pred(const void* src, long sstride, int bytespp, long sy,
+                      long sx, const int32_t* pred, int w, int h,
+                      int32_t* diff) {
+  if (bytespp == 1) {
+    const uint8_t* sp = (const uint8_t*)src + sy * sstride + sx;
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++)
+        diff[y * w + x] = (int)sp[y * sstride + x] - pred[y * w + x];
+  } else {
+    const uint16_t* sp = (const uint16_t*)src + sy * sstride + sx;
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++)
+        diff[y * w + x] = (int)sp[y * sstride + x] - pred[y * w + x];
+  }
 }
 
 // Diamond full-pel + half/quarter-pel refinement (pipeline.py select_inter;
@@ -210,13 +261,7 @@ long enc_me_search(const void* ref, long rstride, long rh, long rw,
     int row_frac = (mvr << 1) & 0xF, col_frac = (mvc << 1) & 0xF;
     enc_put_8tap(ref, rstride, bytespp, ax + col_int, ay + row_int, w, h,
                  col_frac, row_frac, 0, 0, bd, pred.data());
-    long sad = 0;
-    for (int y = 0; y < h; y++)
-      for (int x = 0; x < w; x++) {
-        int dv = px_at(src, sstride, bytespp, spy + y, spx + x) - pred[y * w + x];
-        sad += dv < 0 ? -dv : dv;
-      }
-    return sad;
+    return sad_pred(src, sstride, bytespp, spy, spx, pred.data(), w, h);
   };
   for (int step : {4, 2}) {
     bool improved = true;
@@ -889,10 +934,7 @@ extern "C" long enc_me_search_satd(
     int row_frac = (mvr << 1) & 0xF, col_frac = (mvc << 1) & 0xF;
     enc_put_8tap(ref, rstride, bytespp, ax + (mvc >> 3), ay + (mvr >> 3), w, h,
                  col_frac, row_frac, 0, 0, bd, pred.data());
-    for (int y = 0; y < h; y++)
-      for (int x = 0; x < w; x++)
-        diff[y * w + x] =
-            px_at(src, sstride, bytespp, spy + y, spx + x) - pred[y * w + x];
+    diff_pred(src, sstride, bytespp, spy, spx, pred.data(), w, h, diff.data());
     return satd_block(diff.data(), w, h);
   };
 

@@ -15,6 +15,7 @@
 // forward tx + quantize (enc.cc), dequant + inverse tx recon (itx.cc),
 // 8-tap MC + motion search (enc.cc).
 
+#include <ctime>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -71,6 +72,28 @@ long enc_me_search_satd(const void* ref, long rstride, long rh, long rw,
                         long sstride, long spx, long spy, int w, int h, int bd,
                         const int32_t* seeds, int nseeds, int max_off,
                         int32_t* out_mv);
+}
+
+// --- lightweight phase counters (ns) for the tile engine ------------------
+// slots: 0 me, 1 mc, 2 intra-pred, 3 fwd+quant, 4 itx-recon, 5 coeff-write,
+// 6 symbols/other.  Read+reset via tile_perf().
+static int64_t g_tile_perf[8] = {0};
+static inline int64_t perf_now_ns() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec * 1000000000LL + ts.tv_nsec;
+}
+struct PerfScope {
+  int idx;
+  int64_t t0;
+  explicit PerfScope(int i) : idx(i), t0(perf_now_ns()) {}
+  ~PerfScope() { g_tile_perf[idx] += perf_now_ns() - t0; }
+};
+extern "C" void tile_perf(int64_t* out) {
+  for (int i = 0; i < 8; i++) {
+    out[i] = g_tile_perf[i];
+    g_tile_perf[i] = 0;
+  }
 }
 
 namespace tile {

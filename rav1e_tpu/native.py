@@ -213,6 +213,7 @@ def _bind_symbols(lib) -> None:
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_int, c.c_void_p, c.c_void_p,
         c.c_int, c.c_int, c.c_long, c.c_void_p,
     ]
+    lib.tile_perf.argtypes = [c.c_void_p]
     lib.tile_deblock_plane.argtypes = [
         c.c_void_p, c.c_void_p, c.c_long, c.c_int, c.c_void_p, c.c_void_p,
         c.c_int, c.c_int, c.c_int, c.c_long, c.c_long, c.c_int, c.c_int,
