@@ -409,6 +409,12 @@ struct TileParams {
   const uint8_t* reuse_is_inter;  long reuse_is_inter_s;
   const int8_t* reuse_ref;        long reuse_ref_s;
   const int16_t* reuse_mv;        long reuse_mv_s;
+  // pass-1/2 coefficient log: pass 2 replays quantized coefficients and
+  // skips ALL pixel work (predict/MC/fwd/quant/recon) — symbol-only
+  int coeff_log_mode;  // 0 off, 1 record, 2 replay
+  uint8_t* coeff_log;
+  long coeff_log_cap;
+  long* coeff_log_len;  // record: out bytes used; replay: in bytes
 };
 
 // ---------------------------------------------------------------------------
@@ -440,6 +446,7 @@ struct Coder {
   int wiener_ref[3][2][3];
 
   int err = 0;  // sticky error -> caller falls back
+  long clog = 0;  // coefficient-log cursor (bytes)
 
   void sym(int s, int id, long i0 = 0, long i1 = 0, long i2 = 0) {
     if (g_trace && g_trace_n + 3 <= g_trace_cap) {
@@ -637,6 +644,8 @@ long tile_encode(const tile::TileParams* params,
   c.ec = ectx_new();
   long n = tile::encode_tile(&c, out, cap);
   ectx_free(c.ec);
+  if (n >= 0 && params->coeff_log_mode == 1 && params->coeff_log_len)
+    *params->coeff_log_len = c.clog;
   return n;
 }
 

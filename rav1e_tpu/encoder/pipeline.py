@@ -2350,7 +2350,8 @@ class FramePipeline:
         tile_payloads: List[bytes] = []
         enc_stats = EncoderStats()
         with span("encode_tiles", frame=input_frameno):
-            tile_payloads, enc_stats, frame_cdfs, decisions = self._encode_tiles(
+            (tile_payloads, enc_stats, frame_cdfs, decisions,
+             coeff_logs) = self._encode_tiles(
                 fi, frame, rec, frame_blocks, mi_cols, mi_rows, record=True
             )
 
@@ -2501,10 +2502,10 @@ class FramePipeline:
                 enc.width, enc.height, enc.chroma_sampling, enc.bit_depth
             )
             fb_scratch = FrameBlocks(mi_cols, mi_rows)
-            tile_payloads, _, frame_cdfs, _ = self._encode_tiles(
+            tile_payloads, _, frame_cdfs, _, _ = self._encode_tiles(
                 fi, frame, rec_scratch, fb_scratch, mi_cols, mi_rows, rs=rs,
                 cdef_bits=cdef_bits, cdef_idx_map=cdef_map, replays=decisions,
-                reuse_from=frame_blocks,
+                reuse_from=frame_blocks, coeff_logs=coeff_logs,
             )
             tile_group = self._build_tile_group(tile_payloads)
 
@@ -2757,7 +2758,7 @@ class FramePipeline:
 
     def _encode_tiles(self, fi, frame, rec, frame_blocks, mi_cols, mi_rows, rs=None,
                       cdef_bits=0, cdef_idx_map=None, record=False, replays=None,
-                      reuse_from=None):
+                      reuse_from=None, coeff_logs=None):
         """Encode all tiles, in parallel threads when configured
         (reference encoder.rs:3249-3257 rayon par_iter; disjoint TileBlocksMut
         views make tiles data-race free by construction).
@@ -2783,7 +2784,10 @@ class FramePipeline:
                 replay=list(replays[idx]) if replays is not None else None,
                 reuse_blocks=reuse_from,
             )
-            return te.encode(), te.stats, te.fc, tw * th, te.decision_log
+            if coeff_logs is not None:
+                te.coeff_log_in = coeff_logs[idx]
+            return (te.encode(), te.stats, te.fc, tw * th, te.decision_log,
+                    getattr(te, "coeff_log_out", None))
 
         nthreads = self.config.threads or 0
         if len(rects) > 1 and nthreads != 1:
@@ -2795,13 +2799,13 @@ class FramePipeline:
         else:
             results = [one(ir) for ir in enumerate(rects)]
         stats = EncoderStats()
-        for _, st, _, _, _ in results:
-            stats += st
+        for r in results:
+            stats += r[1]
         # frame-end CDFs: largest tile wins (encoder.rs:3331-3336)
         frame_cdfs = max(results, key=lambda r: r[3])[2]
         return (
-            [p for p, _, _, _, _ in results], stats, frame_cdfs,
-            [d for _, _, _, _, d in results],
+            [r[0] for r in results], stats, frame_cdfs,
+            [r[4] for r in results], [r[5] for r in results],
         )
 
     def _build_tile_group(self, tile_payloads: List[bytes]) -> bytes:

@@ -72,6 +72,9 @@ class TileParamsC(ctypes.Structure):
         ("reuse_is_inter", c_ptr), ("reuse_is_inter_s", c_long),
         ("reuse_ref", c_ptr), ("reuse_ref_s", c_long),
         ("reuse_mv", c_ptr), ("reuse_mv_s", c_long),
+        ("coeff_log_mode", c_int),
+        ("coeff_log", c_ptr), ("coeff_log_cap", c_long),
+        ("coeff_log_len", c_ptr),
     ]
 
 
@@ -358,6 +361,29 @@ def encode_tile_native(te) -> Optional[tuple]:
     keep.append(stats)
     p.stats = stats.ctypes.data
 
+    # pass-1/2 coefficient log: record on pass 1, replay (symbol-only,
+    # no pixel work) on pass 2
+    clog_buf = None
+    clog_len = None
+    clog_in = getattr(te, "coeff_log_in", None)
+    if getattr(te, "reuse_blocks", None) is not None and clog_in is not None:
+        buf, used = clog_in
+        p.coeff_log_mode = 2
+        p.coeff_log = buf.ctypes.data
+        p.coeff_log_cap = buf.nbytes
+        clog_len = ctypes.c_long(used)
+        p.coeff_log_len = ctypes.addressof(clog_len)
+        keep.extend([buf, clog_len])
+    elif getattr(te, "decision_log", None) is not None:
+        px = (te.mi_w * 4) * (te.mi_h * 4)
+        clog_buf = np.empty(px * 10 + (1 << 17), dtype=np.uint8)
+        p.coeff_log_mode = 1
+        p.coeff_log = clog_buf.ctypes.data
+        p.coeff_log_cap = clog_buf.nbytes
+        clog_len = ctypes.c_long(0)
+        p.coeff_log_len = ctypes.addressof(clog_len)
+        keep.extend([clog_buf, clog_len])
+
     # pass-2 decision reuse from pass 1's frame-level grids
     rb = getattr(te, "reuse_blocks", None)
     if rb is not None:
@@ -401,6 +427,8 @@ def encode_tile_native(te) -> Optional[tuple]:
     )
     if n < 0:
         return None
+    if clog_buf is not None:
+        te.coeff_log_out = (clog_buf, int(clog_len.value))
 
     st = EncoderStats()
     for bs in range(22):
