@@ -361,7 +361,14 @@ class ContextInner:
         params = self.frame_params[in_no]
         frame_type = FrameType.KEY if entry.kind == "key" else FrameType.INTER
         # hint the pipeline at the next coded frame (if already queued) so it
-        # can pre-dispatch that frame's device analysis asynchronously
+        # can pre-dispatch that frame's device analysis asynchronously.  The
+        # plan extends lazily; try extending now — with insufficient
+        # lookahead it raises (NeedMoreData), which just means no hint yet.
+        if not self.plan:
+            try:
+                self._extend_plan(is_flushing)
+            except Exception:
+                pass
         next_hint = None
         for e2 in self.plan:
             if e2.kind == "sef":
