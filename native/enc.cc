@@ -7,6 +7,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cmath>
 #include <cstring>
 #include <vector>
 
@@ -926,16 +927,30 @@ extern "C" long enc_me_search_satd(
   int best_r = out_mv[0], best_c = out_mv[1];
 
   std::vector<int32_t> pred(w * h), diff(w * h);
+  // memoize positions: the refinement loop re-evaluates the old best when
+  // it moves (lossless -- identical decisions, ~30% fewer interpolations)
+  int seen_mv[48][2];
+  long seen_s[48];
+  int nseen = 0;
   auto satd_at = [&](int mvr, int mvc) -> long {
     long dy = mvr >> 3, dx = mvc >> 3;
     if (dy < -(max_off - 1) || dy > max_off - 1 || dx < -(max_off - 1) ||
         dx > max_off - 1)
       return -1;
+    for (int i = 0; i < nseen; i++)
+      if (seen_mv[i][0] == mvr && seen_mv[i][1] == mvc) return seen_s[i];
     int row_frac = (mvr << 1) & 0xF, col_frac = (mvc << 1) & 0xF;
     enc_put_8tap(ref, rstride, bytespp, ax + (mvc >> 3), ay + (mvr >> 3), w, h,
                  col_frac, row_frac, 0, 0, bd, pred.data());
     diff_pred(src, sstride, bytespp, spy, spx, pred.data(), w, h, diff.data());
-    return satd_block(diff.data(), w, h);
+    long s = satd_block(diff.data(), w, h);
+    if (nseen < 48) {
+      seen_mv[nseen][0] = mvr;
+      seen_mv[nseen][1] = mvc;
+      seen_s[nseen] = s;
+      nseen++;
+    }
+    return s;
   };
 
   long best = satd_at(best_r, best_c);
@@ -1072,6 +1087,79 @@ extern "C" int enc_fwd_quant(
       qcoeffs[(size_t)r * w + c] = (int32_t)q[r * coded_w + c];
   return eob;
 }
+
+// Per-8x8 inter cost for temporal RDO (encoder/lookahead.py
+// inter_costs_8x8; reference lookahead.rs:182 estimate_inter_costs).
+extern "C" void enc_inter_costs_8x8(
+    const void* src, long sstride, const void* ref, long rstride, int bytespp,
+    long h, long w, const int32_t* mvs, long mby, long mbx, int bd,
+    double* out) {
+  const int B = 8;
+  long nby = h / B > 0 ? h / B : 1, nbx = w / B > 0 ? w / B : 1;
+  double norm = (double)(1 << (bd - 8));
+  for (long by = 0; by < nby; by++)
+    for (long bx = 0; bx < nbx; bx++) {
+      long py = by * B, px = bx * B;
+      long bh = std::min<long>(B, h - py), bw = std::min<long>(B, w - px);
+      long myi = std::min(by / 2, mby - 1), mxi = std::min(bx / 2, mbx - 1);
+      long ry = std::clamp<long>(py + mvs[(myi * mbx + mxi) * 2], 0, h - bh);
+      long rx = std::clamp<long>(px + mvs[(myi * mbx + mxi) * 2 + 1], 0, w - bw);
+      long sad = 0;
+      if (bytespp == 1) {
+        const uint8_t* sp = (const uint8_t*)src;
+        const uint8_t* rp = (const uint8_t*)ref;
+        for (long r = 0; r < bh; r++)
+          for (long c = 0; c < bw; c++) {
+            int d = (int)sp[(py + r) * sstride + px + c] -
+                    (int)rp[(ry + r) * rstride + rx + c];
+            sad += d < 0 ? -d : d;
+          }
+      } else {
+        const uint16_t* sp = (const uint16_t*)src;
+        const uint16_t* rp = (const uint16_t*)ref;
+        for (long r = 0; r < bh; r++)
+          for (long c = 0; c < bw; c++) {
+            int d = (int)sp[(py + r) * sstride + px + c] -
+                    (int)rp[(ry + r) * rstride + rx + c];
+            sad += d < 0 ? -d : d;
+          }
+      }
+      double v = (double)sad / norm;
+      out[by * nbx + bx] = v > 1.0 ? v : 1.0;
+    }
+}
+
+// Importance back-propagation scatter (encoder/lookahead.py
+// propagate_importance; reference internal.rs:1030-1160).  `amount` is
+// precomputed on the host; accumulation order matches the python loops
+// exactly so the doubles are bit-identical (fp-contract off: an FMA here
+// would round differently from numpy).
+#pragma GCC push_options
+#pragma GCC optimize("fp-contract=off")
+extern "C" void enc_propagate_importance(
+    const double* amount, long nby, long nbx, const int32_t* mvs, long mby,
+    long mbx, double* ref_imp, long rby, long rbx) {
+  for (long by = 0; by < nby; by++)
+    for (long bx = 0; bx < nbx; bx++) {
+      double a = amount[by * nbx + bx];
+      if (a <= 0.0) continue;
+      long myi = std::min(by / 2, mby - 1), mxi = std::min(bx / 2, mbx - 1);
+      double fy = (double)by + mvs[(myi * mbx + mxi) * 2] / 8.0;
+      double fx = (double)bx + mvs[(myi * mbx + mxi) * 2 + 1] / 8.0;
+      double yf = std::floor(fy), xf = std::floor(fx);
+      long y0 = (long)yf, x0 = (long)xf;
+      double wy = fy - yf, wx = fx - xf;
+      const double wys[2] = {1.0 - wy, wy};
+      const double wxs[2] = {1.0 - wx, wx};
+      for (int dy = 0; dy < 2; dy++)
+        for (int dx = 0; dx < 2; dx++) {
+          long ty = y0 + dy, tx = x0 + dx;
+          if (ty >= 0 && ty < rby && tx >= 0 && tx < rbx)
+            ref_imp[ty * rbx + tx] += a * wys[dy] * wxs[dx];
+        }
+    }
+}
+#pragma GCC pop_options
 
 // --- lookahead grid motion (encoder/lookahead.py lookahead_motion) --------
 // Full-pel 16x16 diamond over the whole frame grid, optionally seeded from

@@ -170,6 +170,26 @@ def inter_costs_8x8(mvs: np.ndarray, src: np.ndarray, ref: np.ndarray,
     """Per-8x8 inter cost: SAD of the motion-compensated 16x16 parent,
     measured per 8x8 quadrant (estimate_inter_costs, lookahead.rs:182)."""
     h, w = src.shape
+    from rav1e_tpu import native as _native
+
+    lib = _native.get_lib()
+    if (
+        lib is not None
+        and src.dtype.itemsize in (1, 2)
+        and src.dtype == ref.dtype
+        and src.strides[1] == src.itemsize
+        and ref.strides[1] == ref.itemsize
+    ):
+        nby, nbx = max(h // IMP_BLOCK, 1), max(w // IMP_BLOCK, 1)
+        out = np.empty((nby, nbx), dtype=np.float64)
+        mv32 = np.ascontiguousarray(mvs, dtype=np.int32)
+        lib.enc_inter_costs_8x8(
+            src.ctypes.data, src.strides[0] // src.itemsize,
+            ref.ctypes.data, ref.strides[0] // ref.itemsize,
+            src.itemsize, h, w, mv32.ctypes.data,
+            mv32.shape[0], mv32.shape[1], bit_depth, out.ctypes.data,
+        )
+        return out
     nby, nbx = max(h // IMP_BLOCK, 1), max(w // IMP_BLOCK, 1)
     out = np.ones((nby, nbx), dtype=np.float64)
     norm = 1 << (bit_depth - 8)
@@ -209,6 +229,19 @@ def propagate_importance(
     fract = np.clip(1.0 - inter / np.maximum(intra, 1e-6), 0.0, 1.0)
     amount = (intra + importances) * fract
     rby, rbx = ref_importances.shape
+    from rav1e_tpu import native as _native
+
+    lib = _native.get_lib()
+    if lib is not None:
+        am = np.ascontiguousarray(amount, dtype=np.float64)
+        mv32 = np.ascontiguousarray(mvs, dtype=np.int32)
+        ri = ref_importances
+        assert ri.flags.c_contiguous and ri.dtype == np.float64
+        lib.enc_propagate_importance(
+            am.ctypes.data, nby, nbx, mv32.ctypes.data,
+            mv32.shape[0], mv32.shape[1], ri.ctypes.data, rby, rbx,
+        )
+        return
     for by in range(nby):
         for bx in range(nbx):
             a = amount[by, bx]

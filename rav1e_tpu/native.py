@@ -206,6 +206,14 @@ def _bind_symbols(lib) -> None:
         c.c_int, c.c_int, c.c_int, c.c_void_p, c.c_void_p, c.c_void_p,
         c.c_void_p,
     ]
+    lib.enc_inter_costs_8x8.argtypes = [
+        c.c_void_p, c.c_long, c.c_void_p, c.c_long, c.c_int, c.c_long,
+        c.c_long, c.c_void_p, c.c_long, c.c_long, c.c_int, c.c_void_p,
+    ]
+    lib.enc_propagate_importance.argtypes = [
+        c.c_void_p, c.c_long, c.c_long, c.c_void_p, c.c_long, c.c_long,
+        c.c_void_p, c.c_long, c.c_long,
+    ]
     lib.enc_cdef_rdo.argtypes = [
         c.c_int, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int,
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int, c.c_void_p,

@@ -73,3 +73,35 @@ def test_temporal_rdo_end_to_end_round_trip():
                 np.asarray(fr.planes[0].as_array()),
                 np.asarray(p.rec.planes[0].as_array()),
             )
+
+
+def test_native_lookahead_kernels_bit_identical():
+    """The C++ inter-cost / importance-propagation kernels must match the
+    python loops bitwise (doubles included: fp-contract is disabled)."""
+    from unittest import mock
+
+    import rav1e_tpu.encoder.lookahead as la
+    from rav1e_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    for dt, bd in ((np.uint8, 8), (np.uint16, 10)):
+        src = rng.integers(0, 1 << bd, (200, 328)).astype(dt)
+        ref = rng.integers(0, 1 << bd, (200, 328)).astype(dt)
+        mvs = rng.integers(-20, 21, (13, 21, 2)).astype(np.int32)
+        a = la.inter_costs_8x8(mvs, src, ref, bd)
+        with mock.patch.object(native, "get_lib", lambda: None):
+            b = la.inter_costs_8x8(mvs, src, ref, bd)
+        np.testing.assert_array_equal(a, b)
+
+    intra = rng.random((25, 41)) * 1000
+    inter = rng.random((25, 41)) * 1000
+    imp = rng.random((25, 41)) * 10
+    mvs = rng.integers(-30, 31, (13, 21, 2)).astype(np.int32)
+    r1 = np.zeros((25, 41))
+    r2 = np.zeros((25, 41))
+    la.propagate_importance(imp, intra, inter, mvs, r1)
+    with mock.patch.object(native, "get_lib", lambda: None):
+        la.propagate_importance(imp, intra, inter, mvs, r2)
+    np.testing.assert_array_equal(r1, r2)
