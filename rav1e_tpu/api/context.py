@@ -342,6 +342,27 @@ class ContextInner:
                 g.importances = d.importances
                 g.la_intra = d.intra
 
+    def _peek_next_hint(self, is_flushing: bool):
+        """The next *coded* plan entry + its queued frame, for the
+        pipeline's async device-analysis predispatch.  The plan extends
+        lazily; try extending when only SEF entries remain — with
+        insufficient lookahead the extension raises (NeedMoreData), which
+        just means no hint yet (send-pattern determinism is unaffected:
+        extension is a pure function of the frames available)."""
+        for attempt in range(2):
+            for e2 in self.plan:
+                if e2.kind == "sef":
+                    continue
+                if e2.input_frameno in self.frame_q:
+                    return (e2, self.frame_q[e2.input_frameno])
+                return None
+            if attempt == 0:
+                try:
+                    self._extend_plan(is_flushing)
+                except Exception:
+                    return None
+        return None
+
     def receive_packet(self, pipeline, is_flushing: bool) -> Packet:
         while not self.plan:
             self._extend_plan(is_flushing)
@@ -351,6 +372,10 @@ class ContextInner:
             self.plan.popleft()
             packet = pipeline.emit_sef(entry)
             self.packet_count += 1
+            # a show-existing packet codes nothing: use the gap to
+            # pre-dispatch the next real frame's device analysis
+            if hasattr(pipeline, "predispatch_idle"):
+                pipeline.predispatch_idle(self._peek_next_hint(is_flushing))
             return packet
 
         in_no = entry.input_frameno
@@ -360,22 +385,7 @@ class ContextInner:
         frame = self.frame_q[in_no]
         params = self.frame_params[in_no]
         frame_type = FrameType.KEY if entry.kind == "key" else FrameType.INTER
-        # hint the pipeline at the next coded frame (if already queued) so it
-        # can pre-dispatch that frame's device analysis asynchronously.  The
-        # plan extends lazily; try extending now — with insufficient
-        # lookahead it raises (NeedMoreData), which just means no hint yet.
-        if not self.plan:
-            try:
-                self._extend_plan(is_flushing)
-            except Exception:
-                pass
-        next_hint = None
-        for e2 in self.plan:
-            if e2.kind == "sef":
-                continue
-            if e2.input_frameno in self.frame_q:
-                next_hint = (e2, self.frame_q[e2.input_frameno])
-            break
+        next_hint = self._peek_next_hint(is_flushing)
         packet = pipeline.encode_frame(
             frame,
             input_frameno=in_no,

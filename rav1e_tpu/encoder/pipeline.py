@@ -2054,6 +2054,20 @@ class FramePipeline:
         enc = self.config.enc
         return r.planes[0].as_array()[: enc.height, : enc.width]
 
+    def predispatch_idle(self, next_hint) -> None:
+        """Predispatch from a non-coding point (e.g. while emitting a
+        show-existing packet): reference slots are already final."""
+        enc = self.config.enc
+        if self._pending_analysis is not None or next_hint is None:
+            return
+        if not (enc.speed_settings.device_analysis
+                and min(enc.width, enc.height) >= 64):
+            return
+        try:
+            self._predispatch_analysis(next_hint, None, None, None)
+        except Exception:
+            self._pending_analysis = None
+
     def _predispatch_analysis(self, next_hint, cur_frame, cur_ft, cur_plan):
         """Dispatch the next planned frame's device analysis asynchronously.
 
@@ -2068,12 +2082,16 @@ class FramePipeline:
 
         nplan, nframe = next_hint
         enc = self.config.enc
-        cur_refresh = (
-            0xFF
-            if cur_ft in (FrameType.KEY, FrameType.SWITCH)
-            else (1 << cur_plan.slot)
-        )
-        cur_src = cur_frame.planes[0].as_array()[: enc.height, : enc.width]
+        if cur_frame is None:
+            cur_refresh = 0
+            cur_src = None
+        else:
+            cur_refresh = (
+                0xFF
+                if cur_ft in (FrameType.KEY, FrameType.SWITCH)
+                else (1 << cur_plan.slot)
+            )
+            cur_src = cur_frame.planes[0].as_array()[: enc.height, : enc.width]
 
         def src_of(slot):
             if (cur_refresh >> slot) & 1:
