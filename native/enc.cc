@@ -8,6 +8,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cmath>
+#include <climits>
 #include <cstring>
 #include <vector>
 
@@ -190,9 +191,15 @@ static void diff_pred(const void* src, long sstride, int bytespp, long sy,
 // capability counterpart of reference me.rs).  mv units are 1/8 pel.
 // Writes (mv_row, mv_col) into out_mv; returns the SAD (or -1 if no valid
 // candidate).
+static int g_subpel_iters = 1 << 20;  // per-step refinement iteration cap
+
 void enc_me_set_method(int method, int range_px) {
   g_me_method = method;
   g_me_range = range_px;
+}
+
+void enc_me_set_subpel_iters(int iters) {
+  g_subpel_iters = iters > 0 ? iters : 1 << 20;
 }
 
 long enc_me_fullpel_extra(const void* ref, long rstride, long rh, long rw,
@@ -932,6 +939,55 @@ extern "C" long enc_me_search_satd(
   int seen_mv[48][2];
   long seen_s[48];
   int nseen = 0;
+  const int IB = 4 - (bd == 12 ? 2 : 0);
+  const int maxval = (1 << bd) - 1;
+  // horizontal-pass cache: vertically adjacent candidates share the same
+  // (col_int, col_frac) intermediate (bit-exact: same rounding + i16 wrap)
+  struct HC {
+    long ci = LONG_MIN;
+    int cf = -1;
+    long row0 = 0;
+    int rows = 0;
+    std::vector<int16_t> buf;
+  };
+  static thread_local HC hcache[4];
+  for (auto& e : hcache) e.ci = LONG_MIN;  // invalidate; keep allocations
+  int hrr = 0;
+  auto horiz_for = [&](long ci, int cf, long need0, int needn) -> const int16_t* {
+    for (auto& e : hcache)
+      if (e.ci == ci && e.cf == cf && e.row0 <= need0 &&
+          e.row0 + e.rows >= need0 + needn)
+        return e.buf.data() + (need0 - e.row0) * w;
+    HC& e = hcache[hrr];
+    hrr = (hrr + 1) & 3;
+    e.ci = ci;
+    e.cf = cf;
+    e.row0 = need0 - 2;
+    e.rows = needn + 4;
+    e.buf.resize((size_t)e.rows * w);
+    const int32_t* xf = get_filter(0, cf, w);
+    for (int r = 0; r < e.rows; r++) {
+      long ry = e.row0 + r;
+      if (bytespp == 1) {
+        const uint8_t* row = (const uint8_t*)ref + ry * rstride + ci - 3;
+        for (int x = 0; x < w; x++) {
+          int32_t acc = 0;
+          for (int k = 0; k < 8; k++) acc += xf[k] * (int32_t)row[x + k];
+          e.buf[(size_t)r * w + x] =
+              (int16_t)((acc + (1 << (6 - IB))) >> (7 - IB));
+        }
+      } else {
+        const uint16_t* row = (const uint16_t*)ref + ry * rstride + ci - 3;
+        for (int x = 0; x < w; x++) {
+          int32_t acc = 0;
+          for (int k = 0; k < 8; k++) acc += xf[k] * (int32_t)row[x + k];
+          e.buf[(size_t)r * w + x] =
+              (int16_t)((acc + (1 << (6 - IB))) >> (7 - IB));
+        }
+      }
+    }
+    return e.buf.data() + (need0 - e.row0) * w;
+  };
   auto satd_at = [&](int mvr, int mvc) -> long {
     long dy = mvr >> 3, dx = mvc >> 3;
     if (dy < -(max_off - 1) || dy > max_off - 1 || dx < -(max_off - 1) ||
@@ -940,8 +996,23 @@ extern "C" long enc_me_search_satd(
     for (int i = 0; i < nseen; i++)
       if (seen_mv[i][0] == mvr && seen_mv[i][1] == mvc) return seen_s[i];
     int row_frac = (mvr << 1) & 0xF, col_frac = (mvc << 1) & 0xF;
-    enc_put_8tap(ref, rstride, bytespp, ax + (mvc >> 3), ay + (mvr >> 3), w, h,
-                 col_frac, row_frac, 0, 0, bd, pred.data());
+    if (col_frac != 0 && row_frac != 0) {
+      const int16_t* hz =
+          horiz_for(ax + (mvc >> 3), col_frac, ay + (mvr >> 3) - 3, h + 7);
+      const int32_t* yf = get_filter(0, row_frac, h);
+      const int sh = 7 + IB;
+      for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++) {
+          int32_t acc = 0;
+          for (int k = 0; k < 8; k++)
+            acc += yf[k] * (int32_t)hz[(size_t)(y + k) * w + x];
+          int32_t v = (acc + (1 << sh >> 1)) >> sh;
+          pred[y * w + x] = std::clamp(v, 0, maxval);
+        }
+    } else {
+      enc_put_8tap(ref, rstride, bytespp, ax + (mvc >> 3), ay + (mvr >> 3), w,
+                   h, col_frac, row_frac, 0, 0, bd, pred.data());
+    }
     diff_pred(src, sstride, bytespp, spy, spx, pred.data(), w, h, diff.data());
     long s = satd_block(diff.data(), w, h);
     if (nseen < 48) {
@@ -957,7 +1028,7 @@ extern "C" long enc_me_search_satd(
   static const int dirs[4][2] = {{-1, 0}, {1, 0}, {0, -1}, {0, 1}};
   for (int step : {4, 2}) {
     bool improved = true;
-    while (improved) {
+    for (int it = 0; it < g_subpel_iters && improved; it++) {
       improved = false;
       for (auto& d : dirs) {
         int r = best_r + d[0] * step, c = best_c + d[1] * step;
