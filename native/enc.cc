@@ -618,56 +618,69 @@ void enc_cdef_filter(const void* pre, long stride, int bytespp, void* out,
 
 // prep_8tap: compound-prediction intermediate (ops/mc.py prep_8tap;
 // reference mc.rs:360-452) — i16-domain output, no final clamp.
+#define PREP8TAP_BODY(T)                                                    \
+  {                                                                         \
+    const T* rp = (const T*)ref;                                            \
+    if (col_frac == 0 && row_frac == 0) {                                   \
+      for (int y = 0; y < h; y++) {                                         \
+        const T* row = rp + (y0 + y) * stride + x0;                         \
+        for (int x = 0; x < w; x++)                                         \
+          out[y * w + x] = ((int32_t)row[x] << inter_bits) - prep_bias;     \
+      }                                                                     \
+      return;                                                               \
+    }                                                                       \
+    const int32_t* xf = get_filter(mode_x, col_frac, w);                    \
+    const int32_t* yf = get_filter(mode_y, row_frac, h);                    \
+    const int sh1 = 7 - inter_bits;                                         \
+    if (col_frac == 0) {                                                    \
+      for (int y = 0; y < h; y++) {                                         \
+        const T* base = rp + (y0 + y - 3) * stride + x0;                    \
+        for (int x = 0; x < w; x++) {                                       \
+          int32_t acc = 0;                                                  \
+          for (int k = 0; k < 8; k++)                                       \
+            acc += yf[k] * (int32_t)base[(long)k * stride + x];             \
+          out[y * w + x] = ((acc + (1 << sh1 >> 1)) >> sh1) - prep_bias;    \
+        }                                                                   \
+      }                                                                     \
+      return;                                                               \
+    }                                                                       \
+    if (row_frac == 0) {                                                    \
+      for (int y = 0; y < h; y++) {                                         \
+        const T* row = rp + (y0 + y) * stride + x0 - 3;                     \
+        for (int x = 0; x < w; x++) {                                       \
+          int32_t acc = 0;                                                  \
+          for (int k = 0; k < 8; k++) acc += xf[k] * (int32_t)row[x + k];   \
+          out[y * w + x] = ((acc + (1 << sh1 >> 1)) >> sh1) - prep_bias;    \
+        }                                                                   \
+      }                                                                     \
+      return;                                                               \
+    }                                                                       \
+    static thread_local std::vector<int16_t> horiz;                        \
+    horiz.resize((size_t)(h + 7) * w);                                      \
+    for (int y = 0; y < h + 7; y++) {                                       \
+      const T* row = rp + (y0 + y - 3) * stride + x0 - 3;                   \
+      for (int x = 0; x < w; x++) {                                         \
+        int32_t acc = 0;                                                    \
+        for (int k = 0; k < 8; k++) acc += xf[k] * (int32_t)row[x + k];     \
+        horiz[(size_t)y * w + x] = (int16_t)((acc + (1 << sh1 >> 1)) >> sh1); \
+      }                                                                     \
+    }                                                                       \
+    for (int y = 0; y < h; y++)                                             \
+      for (int x = 0; x < w; x++) {                                         \
+        int32_t acc = 0;                                                    \
+        for (int k = 0; k < 8; k++)                                         \
+          acc += yf[k] * (int32_t)horiz[(size_t)(y + k) * w + x];           \
+        out[y * w + x] = ((acc + (1 << 6)) >> 7) - prep_bias;               \
+      }                                                                     \
+  }
+
 void enc_prep_8tap(const void* ref, long stride, int bytespp, long x0, long y0,
                    int w, int h, int col_frac, int row_frac, int mode_x,
                    int mode_y, int bd, int32_t* out) {
   const int inter_bits = 4 - (bd == 12 ? 2 : 0);
   const int prep_bias = bd == 8 ? 0 : 8192;
-  if (col_frac == 0 && row_frac == 0) {
-    for (int y = 0; y < h; y++)
-      for (int x = 0; x < w; x++)
-        out[y * w + x] =
-            (int32_t)(((int64_t)px_at(ref, stride, bytespp, y0 + y, x0 + x)
-                       << inter_bits) - prep_bias);
-    return;
-  }
-  const int32_t* xf = get_filter(mode_x, col_frac, w);
-  const int32_t* yf = get_filter(mode_y, row_frac, h);
-  if (col_frac == 0) {
-    for (int y = 0; y < h; y++)
-      for (int x = 0; x < w; x++) {
-        int64_t acc = 0;
-        for (int k = 0; k < 8; k++)
-          acc += (int64_t)yf[k] * px_at(ref, stride, bytespp, y0 + y - 3 + k, x0 + x);
-        out[y * w + x] = (int32_t)(round_shift(acc, 7 - inter_bits) - prep_bias);
-      }
-    return;
-  }
-  if (row_frac == 0) {
-    for (int y = 0; y < h; y++)
-      for (int x = 0; x < w; x++) {
-        int64_t acc = 0;
-        for (int k = 0; k < 8; k++)
-          acc += (int64_t)xf[k] * px_at(ref, stride, bytespp, y0 + y, x0 + x - 3 + k);
-        out[y * w + x] = (int32_t)(round_shift(acc, 7 - inter_bits) - prep_bias);
-      }
-    return;
-  }
-  std::vector<int16_t> horiz((h + 7) * w);
-  for (int y = 0; y < h + 7; y++)
-    for (int x = 0; x < w; x++) {
-      int64_t acc = 0;
-      for (int k = 0; k < 8; k++)
-        acc += (int64_t)xf[k] * px_at(ref, stride, bytespp, y0 + y - 3, x0 + x - 3 + k);
-      int64_t v = round_shift(acc, 7 - inter_bits);
-      horiz[y * w + x] = (int16_t)(((v + (1 << 15)) & 0xFFFF) - (1 << 15));
-    }
-  for (int y = 0; y < h; y++)
-    for (int x = 0; x < w; x++) {
-      int64_t acc = 0;
-      for (int k = 0; k < 8; k++) acc += (int64_t)yf[k] * horiz[(y + k) * w + x];
-      out[y * w + x] = (int32_t)(round_shift(acc, 7) - prep_bias);
-    }
+  if (bytespp == 1) PREP8TAP_BODY(uint8_t)
+  else PREP8TAP_BODY(uint16_t)
 }
 
 // compound average of two prep_8tap intermediates (ops/mc.py mc_avg)

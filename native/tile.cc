@@ -290,6 +290,7 @@ enum CdfId {
   C_LRF_SWITCHABLE,    // (4,)  wait: 3 symbols + counter
   C_LRF_SGRPROJ,       // (3,)
   C_LRF_WIENER,        // (3,)
+  C_SKIP_MODE,         // (3, 3)
   N_CDFS
 };
 
@@ -409,6 +410,7 @@ struct TileParams {
   const uint8_t* reuse_is_inter;  long reuse_is_inter_s;
   const int8_t* reuse_ref;        long reuse_ref_s;
   const int16_t* reuse_mv;        long reuse_mv_s;
+  int skip_mode_present;  // frame codes skip_mode flags (spec 5.9.22)
   // pass-1/2 coefficient log: pass 2 replays quantized coefficients and
   // skips ALL pixel work (predict/MC/fwd/quant/recon) — symbol-only
   int coeff_log_mode;  // 0 off, 1 record, 2 replay

@@ -191,6 +191,24 @@ class ContextWriter:
         ctx = self.bc.skip_context(x, y)
         self._sym(w, int(skip), self.fc.skip_cdfs, ctx)
 
+    def _skip_mode_at(self, x: int, y: int) -> bool:
+        """Whether the mi cell was coded via skip mode.  The encoder forces
+        every qualifying block (compound NEAREST_NEARESTMV + skip) through
+        the skip-mode syntax, so the predicate equals the coded flag."""
+        b = self.bc.blocks
+        return (
+            bool(b.is_inter_flag[y, x])
+            and int(b.mode[y, x]) == int(PredictionMode.NEAREST_NEARESTMV)
+            and bool(b.skip[y, x])
+            and int(b.ref_frames[y, x, 1]) > 0
+        )
+
+    def write_skip_mode(self, w: WriterBase, x: int, y: int, sm: bool) -> None:
+        ctx = int(y > 0 and self._skip_mode_at(x, y - 1)) + int(
+            x > 0 and self._skip_mode_at(x - 1, y)
+        )
+        self._sym(w, int(sm), self.fc.skip_mode_cdfs, ctx)
+
     def write_intra_mode_kf(self, w: WriterBase, x: int, y: int, mode: PredictionMode) -> None:
         above = int(self.bc.blocks.mode[y - 1, x]) if y > 0 else int(PredictionMode.DC_PRED)
         left = int(self.bc.blocks.mode[y, x - 1]) if x > 0 else int(PredictionMode.DC_PRED)

@@ -306,7 +306,15 @@ class TileDecoder:
     def decode_block(self, x: int, y: int, bsize: BlockSize) -> None:
         fh = self.fh
         cs = self.seq.chroma_sampling
-        skip = self.cr.read_skip(self.r, x, y)
+        sm = False
+        if (
+            getattr(fh, "skip_mode_present", False)
+            and fh.frame_type.has_inter()
+            and bsize.width >= 8
+            and bsize.height >= 8
+        ):
+            sm = self.cr.read_skip_mode(self.r, x, y)
+        skip = True if sm else self.cr.read_skip(self.r, x, y)
         self.blocks.set_rect("skip", x, y, bsize, skip)
         if self.seg_q is not None:
             self.cr.read_segmentation(
@@ -319,6 +327,10 @@ class TileDecoder:
             self._cdef_read = True
         self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
 
+        if sm:
+            self.blocks.set_rect("is_inter_flag", x, y, bsize, True)
+            self._decode_block_skip_mode(x, y, bsize)
+            return
         is_inter = False
         if fh.frame_type.has_inter():
             is_inter = self.cr.read_is_inter(self.r, x, y)
@@ -456,6 +468,47 @@ class TileDecoder:
         do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, self.seq.chroma_sampling)
         if not skip:
             self._decode_inter_residual(x, y, bsize, mode, tx_size, do_chroma)
+
+    def _decode_block_skip_mode(self, x, y, bsize) -> None:
+        """Skip-mode block (spec 7.8/5.11.27): compound NEAREST_NEARESTMV on
+        the frame's derived (LAST, ALTREF) pair, skip=1, no residual."""
+        from rav1e_tpu.context.mv import ALTREF_FRAME, LAST_FRAME, MvFinder
+        from rav1e_tpu.context.writer import MAX_TXSIZE_RECT
+
+        fh = self.fh
+        finder = MvFinder(
+            self.blocks, self.mi_cols, self.mi_rows, self.mi_x0, self.mi_y0
+        )
+        stack, _ = finder.find_mvrefs(
+            x, y, (LAST_FRAME, ALTREF_FRAME), bsize, lambda r: 0
+        )
+        mv0 = tuple(stack[0].this_mv) if stack else (0, 0)
+        mv1 = tuple(stack[0].comp_mv) if stack else (0, 0)
+        mode = PredictionMode.NEAREST_NEARESTMV
+        self.blocks.set_rect("mode", x, y, bsize, int(mode))
+        self.blocks.ref_frames[y : y + bsize.height_mi, x : x + bsize.width_mi, 0] = LAST_FRAME
+        self.blocks.ref_frames[y : y + bsize.height_mi, x : x + bsize.width_mi, 1] = ALTREF_FRAME
+        self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 0, 0] = mv0[0]
+        self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 0, 1] = mv0[1]
+        self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 1, 0] = mv1[0]
+        self.blocks.mv[y : y + bsize.height_mi, x : x + bsize.width_mi, 1, 1] = mv1[1]
+
+        tx_size = MAX_TXSIZE_RECT[int(bsize)]
+        if fh.tx_mode_select:
+            self.bc.update_tx_size_context(x, y, bsize, tx_size, True)
+        else:
+            self.bc.update_tx_size_context(x, y, bsize, tx_size, True)
+        self.blocks.set_rect("tx_size", x, y, bsize, int(tx_size))
+        self.bc.reset_skip_context(
+            x, y, bsize, self.xdec, self.ydec,
+            self.seq.chroma_sampling == ChromaSampling.Cs400,
+            has_chroma(x, y, bsize, self.xdec, self.ydec, self.seq.chroma_sampling),
+        )
+        ref_obj0 = self.ref_frame[LAST_FRAME - 1]
+        ref_obj1 = self.ref_frame[ALTREF_FRAME - 1]
+        if ref_obj0 is None or ref_obj1 is None:
+            raise DecodeError("missing skip-mode reference frame")
+        self._motion_compensate_compound(x, y, bsize, mv0, mv1, ref_obj0, ref_obj1)
 
     def _decode_block_inter_compound(self, x, y, bsize, skip, counts, finder) -> None:
         """Compound bidirectional block (mirror of

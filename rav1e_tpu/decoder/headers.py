@@ -431,9 +431,9 @@ def parse_frame_header(payload: bytes, seq: Sequence, ref_order_hints=None) -> F
     from rav1e_tpu.encoder.obu import _skip_mode_allowed
 
     fh.ref_order_hints = list(ref_order_hints) if ref_order_hints is not None else [0] * 8
+    fh.skip_mode_present = False
     if _skip_mode_allowed(seq, fh):
-        if br.read_bit():
-            raise DecodeError("skip mode unsupported")
+        fh.skip_mode_present = bool(br.read_bit())
     if not (fh.intra_only or fh.error_resilient or not seq.enable_warped_motion):
         br.read_bit()
     fh.use_reduced_tx_set = bool(br.read_bit())

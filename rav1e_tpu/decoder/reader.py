@@ -85,6 +85,23 @@ class ContextReader:
         ctx = self.bc.skip_context(x, y)
         return self._sym(r, self.fc.skip_cdfs, ctx) == 1
 
+    def _skip_mode_at(self, x: int, y: int) -> bool:
+        from rav1e_tpu.partition import PredictionMode
+
+        b = self.bc.blocks
+        return (
+            bool(b.is_inter_flag[y, x])
+            and int(b.mode[y, x]) == int(PredictionMode.NEAREST_NEARESTMV)
+            and bool(b.skip[y, x])
+            and int(b.ref_frames[y, x, 1]) > 0
+        )
+
+    def read_skip_mode(self, r: Reader, x: int, y: int) -> bool:
+        ctx = int(y > 0 and self._skip_mode_at(x, y - 1)) + int(
+            x > 0 and self._skip_mode_at(x - 1, y)
+        )
+        return self._sym(r, self.fc.skip_mode_cdfs, ctx) == 1
+
     def read_intra_mode_kf(self, r: Reader, x: int, y: int) -> PredictionMode:
         above = int(self.bc.blocks.mode[y - 1, x]) if y > 0 else 0
         left = int(self.bc.blocks.mode[y, x - 1]) if x > 0 else 0

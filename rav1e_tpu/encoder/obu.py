@@ -92,6 +92,7 @@ class FrameHeaderInfo:
     # modes
     tx_mode_select: bool = True
     reference_mode_select: bool = False
+    skip_mode_present: bool = False
     use_reduced_tx_set: bool = False
     enable_segmentation: bool = False
     segmentation_update_map: bool = True
@@ -422,10 +423,10 @@ def frame_header_payload(seq: Sequence, fh: FrameHeaderInfo, tiling) -> bytes:
     bw.write_bit(int(fh.tx_mode_select))
     if not fh.intra_only:
         bw.write_bit(int(fh.reference_mode_select))
-    # skip mode (only allowed with reference_select + order hints; not used)
+    # skip mode (spec 5.9.22; reference header.rs skip-mode arm)
     skip_mode_allowed = _skip_mode_allowed(seq, fh)
     if skip_mode_allowed:
-        bw.write_bit(0)
+        bw.write_bit(int(fh.skip_mode_present))
     if not (fh.intra_only or fh.error_resilient or not seq.enable_warped_motion):
         bw.write_bit(0)  # allow_warped_motion
     bw.write_bit(int(fh.use_reduced_tx_set))
@@ -507,12 +508,12 @@ def _write_film_grain(bw: BitWriter, seq: Sequence, fh: FrameHeaderInfo, gp) -> 
     bw.write_bit(int(seq.pixel_range == PixelRange.Limited))
 
 
-def _skip_mode_allowed(seq: Sequence, fh: FrameHeaderInfo) -> bool:
+def _skip_mode_refs(seq: Sequence, fh: FrameHeaderInfo):
     """Spec 7.8 skip-mode derivation (reference Sequence::get_skip_mode_allowed):
-    allowed when reference select is on and both a forward and a backward
-    reference (by order hint) exist."""
+    the (forward, backward) reference-list indices of the closest refs by
+    order hint, or None when skip mode is not allowed."""
     if fh.intra_only or not fh.reference_mode_select or not seq.enable_order_hint:
-        return False
+        return None
     bits = seq.order_hint_bits_minus_1 + 1
 
     def rel(a, b):
@@ -521,15 +522,22 @@ def _skip_mode_allowed(seq: Sequence, fh: FrameHeaderInfo) -> bool:
         return (d & (m - 1)) - (d & m)
 
     fwd = bwd = None
+    fwd_i = bwd_i = -1
     for i in range(INTER_REFS_PER_FRAME):
         hint = fh.ref_order_hints[fh.ref_frames[i]]
         if rel(hint, fh.order_hint) < 0:
             if fwd is None or rel(hint, fwd) > 0:
-                fwd = hint
+                fwd, fwd_i = hint, i
         elif rel(hint, fh.order_hint) > 0:
             if bwd is None or rel(hint, bwd) < 0:
-                bwd = hint
-    return fwd is not None and bwd is not None
+                bwd, bwd_i = hint, i
+    if fwd is None or bwd is None:
+        return None
+    return (fwd_i, bwd_i)
+
+
+def _skip_mode_allowed(seq: Sequence, fh: FrameHeaderInfo) -> bool:
+    return _skip_mode_refs(seq, fh) is not None
 
 
 def _write_frame_size(bw: BitWriter, seq: Sequence, fh: FrameHeaderInfo, force_override=False) -> None:

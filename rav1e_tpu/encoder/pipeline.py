@@ -193,6 +193,7 @@ class FrameInvariantsLite:
     init_cdfs: Optional[object] = None  # CDFContext inherited via primary_ref_frame
     dist_scales: Optional[np.ndarray] = None  # per-8x8 temporal-RDO distortion scales
     me_fields: Optional[dict] = None  # ref_type -> (nby, nbx, 2) px MV field
+    skip_mode_present: bool = False  # frame codes skip_mode flags (spec 5.9.22)
     device_maps: Optional[object] = None  # rav1e_tpu.device.DeviceMaps decisions
 
     @property
@@ -773,6 +774,8 @@ class TileEncoder:
                 chroma_mode = PredictionMode.UV_CFL_PRED
 
         # symbols: skip, mode info
+        if fi.skip_mode_present and bsize.width >= 8 and bsize.height >= 8:
+            self.cw.write_skip_mode(self.w, x, y, False)
         self.cw.write_skip(self.w, x, y, skip)
         seg_id = 0
         if fi.seg is not None:
@@ -1314,6 +1317,8 @@ class TileEncoder:
         self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
         self.blocks.set_rect("tx_size", x, y, bsize, int(tx_size))
 
+        if fi.skip_mode_present and bsize.width >= 8 and bsize.height >= 8:
+            self.cw.write_skip_mode(self.w, x, y, False)
         self.cw.write_skip(self.w, x, y, skip)
         seg_id = 0
         if fi.seg is not None:
@@ -1465,7 +1470,16 @@ class TileEncoder:
         self.blocks.set_rect("bsize", x, y, bsize, int(bsize))
         self.blocks.set_rect("tx_size", x, y, bsize, int(tx_size))
 
-        self.cw.write_skip(self.w, x, y, skip)
+        sm_allowed = (
+            fi.skip_mode_present and bsize.width >= 8 and bsize.height >= 8
+        )
+        use_sm = (
+            sm_allowed and mode == PredictionMode.NEAREST_NEARESTMV and skip
+        )
+        if sm_allowed:
+            self.cw.write_skip_mode(self.w, x, y, use_sm)
+        if not use_sm:
+            self.cw.write_skip(self.w, x, y, skip)
         seg_id = 0
         if fi.seg is not None:
             sid = int(fi.seg.seg_map[self.mi_y0 + y, self.mi_x0 + x])
@@ -1473,14 +1487,15 @@ class TileEncoder:
                 self.w, x, y, bsize, skip, fi.seg.last_active_segid, sid
             )
         self._maybe_write_cdef_idx(x, y, skip)
-        self.cw.write_is_inter(self.w, x, y, True)
         self.blocks.set_rect("is_inter_flag", x, y, bsize, True)
-        self.cw.write_comp_mode(self.w, x, y, True)
-        self.cw.write_ref_frames_compound(self.w, x, y, counts)
-        self.cw.write_compound_mode(self.w, mode, mode_ctx)
+        if not use_sm:
+            self.cw.write_is_inter(self.w, x, y, True)
+            self.cw.write_comp_mode(self.w, x, y, True)
+            self.cw.write_ref_frames_compound(self.w, x, y, counts)
+            self.cw.write_compound_mode(self.w, mode, mode_ctx)
 
         num_found = len(stack)
-        if mode == PredictionMode.NEAR_NEAR0MV:
+        if not use_sm and mode == PredictionMode.NEAR_NEAR0MV:
             # DRL selection of the NEAR pair (same scheme as single NEARMV)
             for idx in (1, 2):
                 if num_found > idx + 1:
@@ -1491,7 +1506,7 @@ class TileEncoder:
                     self.cw.write_drl_mode(self.w, drl, ctx)
                     if not drl:
                         break
-        if mode == PredictionMode.NEW_NEWMV:
+        if not use_sm and mode == PredictionMode.NEW_NEWMV:
             for idx in range(2):
                 if num_found > idx + 1:
                     ctx = int(stack[idx].weight < REF_CAT_LEVEL) + int(
@@ -2260,6 +2275,23 @@ class FramePipeline:
         )
         fi.dist_scales = dist_scales
 
+        # skip-mode (spec 5.9.22): enabled when the derived closest-ref pair
+        # is exactly (LAST, ALTREF) — the pair our compound blocks use
+        if fi.is_inter_frame and fi.ref_frame_bwd is not None:
+            from rav1e_tpu.encoder.obu import _skip_mode_refs
+
+            class _Probe:
+                pass
+
+            _p = _Probe()
+            _p.intra_only = False
+            _p.reference_mode_select = True
+            _p.ref_order_hints = list(self.slot_order_hints)
+            _p.ref_frames = list(plan.ref_frames)
+            _nb = self.seq.order_hint_bits_minus_1 + 1
+            _p.order_hint = plan.order_hint & ((1 << _nb) - 1)
+            fi.skip_mode_present = _skip_mode_refs(self.seq, _p) == (0, 6)
+
         # hierarchical 3-pass motion fields per reference (me.rs:153-284):
         # coarse-to-fine pyramid seeds, measured on SOURCE frames like the
         # reference's lookahead ME stats (api/lookahead.rs) — which also lets
@@ -2593,6 +2625,7 @@ class FramePipeline:
             order_hint=plan.order_hint & ((1 << n_hint) - 1),
             primary_ref_frame=primary_ref if is_inter else 7,
             reference_mode_select=fi.ref_frame_bwd is not None,
+            skip_mode_present=fi.skip_mode_present,
             error_resilient=(enc.error_resilient or frame_type == FrameType.SWITCH) and is_inter,
             ref_order_hints=list(self.slot_order_hints),
             show_frame=plan.show_frame,

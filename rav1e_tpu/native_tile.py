@@ -72,6 +72,7 @@ class TileParamsC(ctypes.Structure):
         ("reuse_is_inter", c_ptr), ("reuse_is_inter_s", c_long),
         ("reuse_ref", c_ptr), ("reuse_ref_s", c_long),
         ("reuse_mv", c_ptr), ("reuse_mv_s", c_long),
+        ("skip_mode_present", c_int),
         ("coeff_log_mode", c_int),
         ("coeff_log", c_ptr), ("coeff_log_cap", c_long),
         ("coeff_log_len", c_ptr),
@@ -95,6 +96,7 @@ CDF_ORDER = [
     "eob_flag_cdf128", "eob_flag_cdf256", "eob_flag_cdf512",
     "eob_flag_cdf1024", "coeff_base_eob_cdf", "coeff_base_cdf",
     "coeff_br_cdf", "lrf_switchable_cdf", "lrf_sgrproj_cdf", "lrf_wiener_cdf",
+    "skip_mode_cdfs",
 ]
 
 _bound = False
@@ -230,6 +232,7 @@ def encode_tile_native(te) -> Optional[tuple]:
     p.enable_filter_intra = int(fi.seq.enable_filter_intra)
     p.enable_intra_edge_filter = int(fi.seq.enable_intra_edge_filter)
     p.reference_mode_select = int(fi.ref_frame_bwd is not None)
+    p.skip_mode_present = int(getattr(fi, "skip_mode_present", False))
     pr = te.speed.partition.partition_range
     p.pr_min_log2, p.pr_max_log2 = pr.min_log2, pr.max_log2
     p.enable_inter_tx_split = int(te.speed.transform.enable_inter_tx_split)

@@ -338,3 +338,55 @@ def test_scene_flash_suppression():
                 break
         assert types[2] != FrameType.KEY, types
         assert types[3] != FrameType.KEY, types
+
+
+def test_skip_mode_blocks():
+    """Static B-frame content must code some blocks via skip-mode syntax
+    (spec 5.9.22/7.8: compound NEAREST on the derived ref pair, no residual,
+    no mode/ref syntax) and round-trip bit-exactly."""
+    from unittest import mock
+
+    import rav1e_tpu.native_tile as native_tile
+    from rav1e_tpu.context.writer import ContextWriter
+    from rav1e_tpu.decoder import decode_packet
+
+    sm = []
+    orig = ContextWriter.write_skip_mode
+
+    def spy(self, w, x, y, flag):
+        sm.append(flag)
+        return orig(self, w, x, y, flag)
+
+    cfg = Config(
+        enc=EncoderConfig(
+            width=128, height=96, quantizer=110, low_latency=False,
+            min_key_frame_interval=0, max_key_frame_interval=9999,
+        )
+    ).with_speed_preset(10)
+    ctx = cfg.new_context()
+    rng = np.random.default_rng(0)
+    base = np.clip(np.cumsum(rng.integers(-4, 5, (96, 128 * 2)), axis=1) + 128, 0, 255)
+    pkts = []
+    with mock.patch.object(ContextWriter, "write_skip_mode", spy), \
+         mock.patch.object(native_tile, "encode_tile_native", lambda te: None):
+        for i in range(9):
+            f = ctx.new_frame()
+            for p in f.planes:
+                ch, cw = p.cfg.height, p.cfg.width
+                p.copy_from(base[:ch, :cw].astype(np.uint8))
+            ctx.send_frame(f)
+        ctx.flush()
+        while True:
+            try:
+                pkts.append(ctx.receive_packet())
+            except EncoderStatus.LimitReached:
+                break
+    assert sum(sm) > 0, "skip mode never used on static B content"
+    state = None
+    for i, pkt in enumerate(pkts):
+        dec, state = decode_packet(pkt.data, state)
+        for pl in range(3):
+            np.testing.assert_array_equal(
+                dec.planes[pl].as_array(), pkt.rec.planes[pl].as_array(),
+                err_msg=f"packet {i} plane {pl}",
+            )
