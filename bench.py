@@ -62,9 +62,10 @@ def main():
         )
     rng = np.random.default_rng(42)
 
-    # warm-up context: jit compiles, table loads, native build (not timed)
+    # warm-up context: jit compiles (all three analysis variants: key,
+    # inter, inter+bwd), table loads, native build (not timed)
     warm = mk_cfg().new_context()
-    for f in [synth_frame(warm, rng, w, h, t) for t in range(2)]:
+    for f in [synth_frame(warm, rng, w, h, t) for t in range(6)]:
         warm.send_frame(f)
     warm.flush()
     while True:

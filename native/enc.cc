@@ -171,6 +171,12 @@ static long sad_pred(const void* src, long sstride, int bytespp, long sy,
   if (bytespp == 1) SADPRED_BODY(uint8_t)
   SADPRED_BODY(uint16_t)
 }
+// exported for the tile engine's device-MV candidate evaluation
+extern "C" long sad_pred_ext(const void* src, long sstride, int bytespp,
+                             long sy, long sx, const int32_t* pred, int w,
+                             int h) {
+  return sad_pred(src, sstride, bytespp, sy, sx, pred, w, h);
+}
 static void diff_pred(const void* src, long sstride, int bytespp, long sy,
                       long sx, const int32_t* pred, int w, int h,
                       int32_t* diff) {

@@ -67,6 +67,8 @@ long enc_me_search(const void* ref, long rstride, long rh, long rw,
                    long sstride, long spx, long spy, int w, int h, int bd,
                    const int32_t* seeds, int nseeds, int max_off,
                    int32_t* out_mv);
+long sad_pred_ext(const void* src, long sstride, int bytespp, long sy,
+                  long sx, const int32_t* pred, int w, int h);
 long enc_me_search_satd(const void* ref, long rstride, long rh, long rw,
                         int bytespp, long ax, long ay, const void* src,
                         long sstride, long spx, long spy, int w, int h, int bd,
@@ -399,6 +401,12 @@ struct TileParams {
   const int32_t* me_field1;  long me_f1_h, me_f1_w;
   // previous frame MV field (frame mi grid, int16 pairs), may be null
   const int16_t* prev_mvs;  long prev_mvs_s;
+  // device ME output (device/me.py): 1/8-pel MVs on the 16px cell grid;
+  // when present the per-block host search is replaced by candidate
+  // evaluation (me_candidates_one)
+  const int32_t* dev_mv0;
+  const int32_t* dev_mv1;
+  long dev_mv_h, dev_mv_w;
   // LRF (pass 2); lrf_present=0 on pass 1
   int lrf_present;
   LrfPlane lrf[3];

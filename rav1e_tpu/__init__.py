@@ -25,6 +25,7 @@ from rav1e_tpu.config import (
     ChromaSamplePosition,
     Config,
     EncoderConfig,
+    InvalidConfig,
     PixelRange,
     RateControlConfig,
     SpeedSettings,
@@ -49,6 +50,7 @@ __all__ = [
     "EncoderStatus",
     "Frame",
     "FrameParameters",
+    "InvalidConfig",
     "FrameType",
     "FrameTypeOverride",
     "Packet",

@@ -401,6 +401,8 @@ class DeviceMaps:
     mode: np.ndarray  # (H/8, W/8) intra PredictionMode at the chosen size
     use_inter: np.ndarray  # (H/8, W/8) bool: inter beat intra at chosen size
     bits_est: float  # frame rate-estimate total (RC aggregation input)
+    mv0: np.ndarray = None  # (H/16, W/16, 2) int32 1/8-pel MVs vs fwd ref
+    mv1: np.ndarray = None  # same vs bwd ref (when the pyramid provides one)
 
 
 def _merge_partitions(costs, modes, inters, rates, lam):
@@ -439,10 +441,33 @@ def _merge_partitions(costs, modes, inters, rates, lam):
     return size_map, mode_map, inter_map, rate_map
 
 
-def _frame_analysis(luma, ref, mv8, q, lam, bd: int, has_inter: bool):
+def _frame_analysis(luma, ref0, ref1, q, lam, bd: int, has_inter: bool,
+                    has_bwd: bool = False):
+    """Whole-frame analysis: device ME (pyramid + subpel, device/me.py) vs
+    each reference, then intra/inter cost fields and the partition merge.
+
+    Returns (size_map, mode_map, inter_map, bits_est, mv0, mv1) — the MV
+    maps are (H/16, W/16, 2) int32 in 1/8-pel units (zeros when unused)."""
     jnp = _jnp()
+    from rav1e_tpu.device.me import me_field
+
+    ny16, nx16 = luma.shape[0] // 16, luma.shape[1] // 16
+    if has_inter:
+        mv0 = me_field(luma, ref0, bd)
+        # full-pel part on the 8px cell grid drives the residual cost model
+        mvpx = mv0 >> 3
+        mv8 = jnp.repeat(jnp.repeat(mvpx, 2, axis=0), 2, axis=1)
+    else:
+        mv0 = jnp.zeros((ny16, nx16, 2), jnp.int32)
+        mv8 = None
+    mv1 = (
+        me_field(luma, ref1, bd)
+        if (has_inter and has_bwd)
+        else jnp.zeros((ny16, nx16, 2), jnp.int32)
+    )
+
     costs, modes, inters, rates = {}, {}, {}, {}
-    res = mc_residual(luma, ref, mv8) if has_inter else None
+    res = mc_residual(luma, ref0, mv8) if has_inter else None
     for sl in SIZE_LOG2S:
         s = 1 << sl
         ny, nx = luma.shape[0] // s, luma.shape[1] // s
@@ -467,59 +492,70 @@ def _frame_analysis(luma, ref, mv8, q, lam, bd: int, has_inter: bool):
         costs, modes, inters, rates, lam
     )
     bits_est = rate_map.sum()
-    return size_map, mode_map, inter_map, bits_est
+    return size_map, mode_map, inter_map, bits_est, mv0, mv1
 
 
 @functools.lru_cache(None)
-def frame_analysis_jit(bd: int, has_inter: bool):
-    """Jitted analysis with the maps packed into ONE int32 vector on device:
-    cell = size_log2 | mode<<3 | inter<<9, with round(bits_est*16) appended.
-    A single device->host transfer per frame (the per-call latency dominates
-    on a tunneled TPU, so map count matters more than bytes)."""
+def frame_analysis_jit(bd: int, has_inter: bool, has_bwd: bool):
+    """Jitted analysis with everything packed into ONE int32 vector on
+    device: per-8px-cell `size_log2 | mode<<3 | inter<<9`, then
+    round(bits_est*16), then the MV maps as `(dy & 0xFFFF) | dx<<16`
+    (1/8-pel int16 lanes).  A single device->host transfer per frame —
+    per-fetch latency dominates on a tunneled TPU, so transfer count
+    matters more than bytes."""
     import jax
 
     jnp = _jnp()
 
-    def fn(luma, ref, mv8, q, lam):
-        size_map, mode_map, inter_map, bits_est = _frame_analysis(
-            luma.astype(jnp.int32), ref.astype(jnp.int32),
-            mv8.astype(jnp.int32), q, lam, bd, has_inter,
+    def fn(luma, ref0, ref1, q, lam):
+        size_map, mode_map, inter_map, bits_est, mv0, mv1 = _frame_analysis(
+            luma.astype(jnp.int32), ref0.astype(jnp.int32),
+            ref1.astype(jnp.int32), q, lam, bd, has_inter, has_bwd,
         )
         packed = (
             size_map | (mode_map << 3) | (inter_map.astype(jnp.int32) << 9)
         ).reshape(-1)
         bits = jnp.round(bits_est * 16.0).astype(jnp.int32)
-        return jnp.concatenate([packed, bits[None]])
+        parts = [packed, bits[None]]
+        if has_inter:
+            pk0 = (mv0[..., 0] & 0xFFFF) | (mv0[..., 1] << 16)
+            parts.append(pk0.reshape(-1))
+            if has_bwd:
+                pk1 = (mv1[..., 0] & 0xFFFF) | (mv1[..., 1] << 16)
+                parts.append(pk1.reshape(-1))
+        return jnp.concatenate(parts)
 
     return jax.jit(fn)
 
 
 def analyze_frame(
     luma_np: np.ndarray,
-    ref_np,
-    mv_field,
+    ref0_np,
+    ref1_np,
     qindex: int,
     lam: float,
     bd: int,
 ) -> DeviceMaps:
     """Synchronous host entry: dispatch + fetch in one call."""
     return analyze_finish(
-        analyze_frame_async(luma_np, ref_np, mv_field, qindex, lam, bd)
+        analyze_frame_async(luma_np, ref0_np, ref1_np, qindex, lam, bd)
     )
 
 
 def analyze_frame_async(
     luma_np: np.ndarray,
-    ref_np,
-    mv_field,
+    ref0_np,
+    ref1_np,
     qindex: int,
     lam: float,
     bd: int,
 ):
-    """Host entry: pad to 64-multiples, run the jitted analysis, return maps.
+    """Host entry: pad to 64-multiples, run the jitted analysis async.
 
-    luma_np/ref_np: (H, W) visible-luma numpy arrays; mv_field: (nby, nbx, 2)
-    full-pixel MVs on a 16px grid (from hierarchical ME) or None.
+    luma_np / ref0_np / ref1_np: (H, W) visible-luma numpy arrays (refs are
+    the *source* planes of the forward / backward references, the
+    reference's own lookahead-ME approximation, internal.rs:731-760); device
+    ME runs inside the program, so no MV field is uploaded.
     """
     import jax.numpy as jnp
 
@@ -527,39 +563,56 @@ def analyze_frame_async(
     h64 = (h + 63) & ~63
     w64 = (w + 63) & ~63
     # upload in the plane's natural dtype (uint8/uint16) — the jitted program
-    # widens on device; int16 MVs.  Minimises host->device bytes.
+    # widens on device.  Minimises host->device bytes.
     luma = np.pad(luma_np, ((0, h64 - h), (0, w64 - w)), mode="edge")
-    has_inter = ref_np is not None and mv_field is not None
+    has_inter = ref0_np is not None
+    has_bwd = has_inter and ref1_np is not None
     if has_inter:
-        ref = np.pad(ref_np, ((0, h64 - h), (0, w64 - w)), mode="edge")
-        # 16px-grid field -> 8px cells
-        mvf = np.repeat(np.repeat(mv_field, 2, axis=0), 2, axis=1)
-        mv8 = np.zeros((h64 // 8, w64 // 8, 2), dtype=np.int16)
-        cy = min(mvf.shape[0], mv8.shape[0])
-        cx = min(mvf.shape[1], mv8.shape[1])
-        mv8[:cy, :cx] = mvf[:cy, :cx]
+        ref0 = np.pad(ref0_np, ((0, h64 - h), (0, w64 - w)), mode="edge")
     else:
-        ref = luma
-        mv8 = np.zeros((h64 // 8, w64 // 8, 2), dtype=np.int16)
+        ref0 = luma
+    ref1 = (
+        np.pad(ref1_np, ((0, h64 - h), (0, w64 - w)), mode="edge")
+        if has_bwd
+        else ref0
+    )
 
     q = float(tables.ac_q(qindex, 0, bd))
-    fn = frame_analysis_jit(bd, has_inter)
+    fn = frame_analysis_jit(bd, has_inter, has_bwd)
     out = fn(
-        jnp.asarray(luma), jnp.asarray(ref), jnp.asarray(mv8),
+        jnp.asarray(luma), jnp.asarray(ref0), jnp.asarray(ref1),
         jnp.float32(q), jnp.float32(lam),
     )
     # jax dispatch is asynchronous: `out` is a future until fetched.
-    return (out, h64 // 8, w64 // 8)
+    return (out, h64 // 8, w64 // 8, has_inter, has_bwd)
+
+
+def _unpack_mv(flat, ny16, nx16):
+    dy = (flat & 0xFFFF).astype(np.int16).astype(np.int32)
+    dx = (flat >> 16).astype(np.int16).astype(np.int32)
+    return np.stack([dy, dx], axis=-1).reshape(ny16, nx16, 2)
 
 
 def analyze_finish(handle) -> DeviceMaps:
     """Block on an analyze_frame_async handle and unpack the maps."""
-    out, ny, nx = handle
+    out, ny, nx, has_inter, has_bwd = handle
     arr = np.asarray(out)
-    packed = arr[:-1].reshape(ny, nx)
+    ncells = ny * nx
+    packed = arr[:ncells].reshape(ny, nx)
+    ny16, nx16 = ny // 2, nx // 2
+    nmv = ny16 * nx16
+    mv0 = mv1 = None
+    if has_inter:
+        mv0 = _unpack_mv(arr[ncells + 1 : ncells + 1 + nmv], ny16, nx16)
+        if has_bwd:
+            mv1 = _unpack_mv(
+                arr[ncells + 1 + nmv : ncells + 1 + 2 * nmv], ny16, nx16
+            )
     return DeviceMaps(
         size_log2=packed & 7,
         mode=(packed >> 3) & 0x1F,
         use_inter=((packed >> 9) & 1).astype(bool),
-        bits_est=float(arr[-1]) / 16.0,
+        bits_est=float(arr[ncells]) / 16.0,
+        mv0=mv0,
+        mv1=mv1,
     )

@@ -1028,10 +1028,21 @@ class TileEncoder:
         if fi.ref_frame_bwd is not None:
             candidates.append((ALTREF_FRAME, fi.ref_frame_bwd))
 
+        dm = fi.device_maps
         best = None  # (sad, ref_type, ref_obj, mv, stack, mode_ctx)
         per_ref = {}
         for ref_type, ref_obj in candidates:
-            r = self._me_search_one(x, y, bsize, ref_type, ref_obj, block, px, py)
+            mvmap = None
+            if dm is not None:
+                mvmap = dm.mv0 if ref_type == LAST_FRAME else dm.mv1
+            if mvmap is not None:
+                r = self._me_candidates_one(
+                    x, y, bsize, ref_type, ref_obj, block, px, py, mvmap
+                )
+            else:
+                r = self._me_search_one(
+                    x, y, bsize, ref_type, ref_obj, block, px, py
+                )
             if r is not None:
                 per_ref[ref_type] = r
                 if best is None or r[0] < best[0]:
@@ -1108,6 +1119,71 @@ class TileEncoder:
         if intra_sad + w_px < best_sad:
             return None
         return best[1], best[2], best[3], best[4], best[5]
+
+    def _me_candidates_one(self, x, y, bsize, ref_type, ref_obj, block,
+                           px, py, mvmap):
+        """Device-ME consumption: evaluate a small fixed candidate set —
+        the device MV field cells this block covers (device/me.py pyramid +
+        subpel output), the top-2 MV-stack entries, and the zero MV — by
+        subpel SAD; no host search runs on the device path.  Candidate
+        order and strict-< acceptance mirror native/tile_block.inc
+        me_candidates_one exactly (bit-identical decisions)."""
+        fi = self.fi
+        w_px, h_px = bsize.width, bsize.height
+
+        finder = self._mv_finder()
+        stack, mode_ctx = finder.find_mvrefs(x, y, ref_type, bsize, lambda r: 0)
+
+        apy = (self.mi_y0 + y) << MI_SIZE_LOG2
+        apx = (self.mi_x0 + x) << MI_SIZE_LOG2
+        nby, nbx = mvmap.shape[0], mvmap.shape[1]
+        cands = []
+
+        def add(mv):
+            if mv not in cands:
+                cands.append(mv)
+
+        dev = []
+        for cy in range(apy // 16, (apy + h_px - 1) // 16 + 1):
+            for cx in range(apx // 16, (apx + w_px - 1) // 16 + 1):
+                mv = mvmap[min(cy, nby - 1), min(cx, nbx - 1)]
+                t = (int(mv[0]), int(mv[1]))
+                if t not in dev:
+                    dev.append(t)
+        for t in dev[:6]:
+            add(t)
+        for c in stack[:2]:
+            add((int(c.this_mv[0]), int(c.this_mv[1])))
+        add((0, 0))
+
+        ref_plane = ref_obj.planes[0]
+        pad = ref_plane.cfg.pad
+        ref = ref_plane.data
+        ax = pad + apx
+        ay = pad + apy
+        max_off = pad - 8
+        src = self.src_views[0]
+
+        from rav1e_tpu.ops.mc import REGULAR, mv_to_offsets, put_8tap
+
+        best_mv = best_sad = None
+        for mv in cands:
+            dy, dx = mv[0] >> 3, mv[1] >> 3
+            if abs(dy) > max_off - 1 or abs(dx) > max_off - 1:
+                continue
+            row_int, col_int, row_frac, col_frac = mv_to_offsets(
+                mv[0], mv[1], 0, 0
+            )
+            pred = put_8tap(
+                ref, ax + col_int, ay + row_int, w_px, h_px,
+                col_frac, row_frac, REGULAR, REGULAR, fi.bit_depth,
+            )
+            sad = int(np.abs(block - pred).sum())
+            if best_sad is None or sad < best_sad:
+                best_mv, best_sad = mv, sad
+        if best_mv is None:
+            return None
+        return best_sad, best_mv, stack, mode_ctx
 
     def _me_search_one(self, x, y, bsize, ref_type, ref_obj, block, px, py):
         """Diamond + subpel search against one reference frame."""
@@ -2091,9 +2167,7 @@ class FramePipeline:
         filters.  Uses the RC's current qi estimate (stale by one frame) —
         the analysis q only steers heuristics, and the estimate is
         deterministic, so bitstreams stay reproducible."""
-        from rav1e_tpu.context.mv import ALTREF_FRAME, LAST_FRAME
         from rav1e_tpu.device import analyze_frame_async
-        from rav1e_tpu.encoder.lookahead import hierarchical_me
 
         nplan, nframe = next_hint
         enc = self.config.enc
@@ -2119,23 +2193,15 @@ class FramePipeline:
             or self.rec_buffer[nplan.ref_slot_fwd] is not None
         )
         is_inter = not is_key and ref_avail
-        me_fields = None
-        ref_y = mvf = None
+        ref_y = ref_y_bwd = None
         if is_inter:
-            nsrc = nframe.planes[0].as_array()[: enc.height, : enc.width]
             f0 = src_of(nplan.ref_slot_fwd)
             if f0 is None:
                 is_inter = False
             else:
-                me_fields = {LAST_FRAME: hierarchical_me(nsrc, f0, enc.bit_depth)}
-                if nplan.ref_slot_bwd is not None:
-                    f1 = src_of(nplan.ref_slot_bwd)
-                    if f1 is not None:
-                        me_fields[ALTREF_FRAME] = hierarchical_me(
-                            nsrc, f1, enc.bit_depth
-                        )
                 ref_y = f0
-                mvf = me_fields[LAST_FRAME]
+                if nplan.ref_slot_bwd is not None:
+                    ref_y_bwd = src_of(nplan.ref_slot_bwd)
         q_guess = self.rc.select_qi(
             FrameType.KEY if is_key else FrameType.INTER,
             enc.width, enc.height, nplan.level,
@@ -2144,7 +2210,7 @@ class FramePipeline:
         lam = 0.12 * q_step * q_step
         handle = analyze_frame_async(
             nframe.planes[0].as_array()[: enc.height, : enc.width],
-            ref_y, mvf, q_guess, lam, enc.bit_depth,
+            ref_y, ref_y_bwd, q_guess, lam, enc.bit_depth,
         )
         # fetch on a worker thread: the device->host wait is IO (GIL
         # released), so the round-trip overlaps this frame's host coding
@@ -2167,8 +2233,11 @@ class FramePipeline:
             "q": q_guess,
             "is_inter": is_inter,
             "slot_fwd": nplan.ref_slot_fwd if is_inter else None,
-            "slot_bwd": nplan.ref_slot_bwd if is_inter else None,
-            "me_fields": me_fields,
+            "slot_bwd": (
+                nplan.ref_slot_bwd
+                if (is_inter and ref_y_bwd is not None)
+                else None
+            ),
             "handle": handle,
             "thread": th,
             "box": box,
@@ -2292,17 +2361,12 @@ class FramePipeline:
             _p.order_hint = plan.order_hint & ((1 << _nb) - 1)
             fi.skip_mode_present = _skip_mode_refs(self.seq, _p) == (0, 6)
 
-        # hierarchical 3-pass motion fields per reference (me.rs:153-284):
-        # coarse-to-fine pyramid seeds, measured on SOURCE frames like the
-        # reference's lookahead ME stats (api/lookahead.rs) — which also lets
-        # the device analysis for the NEXT frame be dispatched while this
-        # frame is still coding (the predispatch below)
         pending = self._pending_analysis
         self._pending_analysis = None
         # validity: the dispatched program must have seen exactly the inputs
         # the sync path would use, so the bitstream is identical whether or
         # not the next frame was queued early.  The maps additionally require
-        # the SAME qi (checked at consumption); the ME fields do not.
+        # the SAME qi (checked at consumption).
         if pending is not None and not (
             pending["frameno"] == input_frameno
             and pending["is_inter"] == fi.is_inter_frame
@@ -2310,36 +2374,47 @@ class FramePipeline:
                 not fi.is_inter_frame
                 or (
                     pending["slot_fwd"] == plan.ref_slot_fwd
-                    and pending["slot_bwd"] == plan.ref_slot_bwd
+                    and pending["slot_bwd"]
+                    == (
+                        plan.ref_slot_bwd
+                        if fi.ref_frame_bwd is not None
+                        else None
+                    )
                 )
             )
         ):
             pending = None
 
-        if fi.is_inter_frame and min(enc.width, enc.height) >= 64:
+        use_device = (
+            enc.speed_settings.device_analysis
+            and min(enc.width, enc.height) >= 64
+        )
+
+        if fi.is_inter_frame and not use_device and min(enc.width, enc.height) >= 64:
+            # no device maps: host hierarchical 3-pass motion fields seed the
+            # per-block searches (me.rs:153-284), measured on SOURCE frames
+            # like the reference's lookahead ME stats (api/lookahead.rs)
             from rav1e_tpu.context.mv import ALTREF_FRAME, LAST_FRAME
             from rav1e_tpu.encoder.lookahead import hierarchical_me
             from rav1e_tpu.utils.trace import span
 
-            if pending is not None and pending["me_fields"] is not None:
-                fi.me_fields = pending["me_fields"]
-            else:
-                src_y = frame.planes[0].as_array()[: enc.height, : enc.width]
-                fields = {}
-                with span("hier_me"):
-                    f0 = self._ref_src_luma(plan.ref_slot_fwd)
-                    fields[LAST_FRAME] = hierarchical_me(src_y, f0, enc.bit_depth)
-                    if fi.ref_frame_bwd is not None and plan.ref_slot_bwd is not None:
-                        f1 = self._ref_src_luma(plan.ref_slot_bwd)
-                        fields[ALTREF_FRAME] = hierarchical_me(
-                            src_y, f1, enc.bit_depth
-                        )
-                fi.me_fields = fields
+            src_y = frame.planes[0].as_array()[: enc.height, : enc.width]
+            fields = {}
+            with span("hier_me"):
+                f0 = self._ref_src_luma(plan.ref_slot_fwd)
+                fields[LAST_FRAME] = hierarchical_me(src_y, f0, enc.bit_depth)
+                if fi.ref_frame_bwd is not None and plan.ref_slot_bwd is not None:
+                    f1 = self._ref_src_luma(plan.ref_slot_bwd)
+                    fields[ALTREF_FRAME] = hierarchical_me(
+                        src_y, f1, enc.bit_depth
+                    )
+            fi.me_fields = fields
 
-        # device analysis: one jitted TPU program decides partitions and
-        # intra modes (and intra-vs-inter) for the whole frame; the tile
-        # encoders below consume the maps instead of running trial searches
-        if enc.speed_settings.device_analysis and min(enc.width, enc.height) >= 64:
+        # device analysis: one jitted TPU program decides partitions, intra
+        # modes, intra-vs-inter, and the motion field (device/me.py pyramid
+        # + subpel SATD) for the whole frame; the tile encoders below
+        # consume the maps instead of running trial searches
+        if use_device:
             from rav1e_tpu.device import analyze_finish, analyze_frame_async
             from rav1e_tpu.utils.trace import span as _span
 
@@ -2356,18 +2431,17 @@ class FramePipeline:
                 fi.device_maps = maps
             else:
                 src_y = frame.planes[0].as_array()[: enc.height, : enc.width]
-                ref_y = None
-                mvf = None
-                if fi.is_inter_frame and fi.me_fields is not None:
-                    from rav1e_tpu.context.mv import LAST_FRAME
-
+                ref_y = ref_y_bwd = None
+                if fi.is_inter_frame:
                     ref_y = self._ref_src_luma(plan.ref_slot_fwd)
-                    mvf = fi.me_fields.get(LAST_FRAME)
+                    if fi.ref_frame_bwd is not None and plan.ref_slot_bwd is not None:
+                        ref_y_bwd = self._ref_src_luma(plan.ref_slot_bwd)
                 q_step = tables.ac_q(base_q_idx, 0, enc.bit_depth) / 8.0
                 lam = 0.12 * q_step * q_step
                 with _span("device_analysis"):
                     fi.device_maps = analyze_finish(analyze_frame_async(
-                        src_y, ref_y, mvf, base_q_idx, lam, enc.bit_depth
+                        src_y, ref_y, ref_y_bwd, base_q_idx, lam,
+                        enc.bit_depth,
                     ))
             # dispatch the NEXT planned frame's analysis now, so its device
             # round-trip overlaps this frame's host coding and loop filters

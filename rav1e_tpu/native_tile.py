@@ -66,6 +66,8 @@ class TileParamsC(ctypes.Structure):
         ("me_field0", c_ptr), ("me_f0_h", c_long), ("me_f0_w", c_long),
         ("me_field1", c_ptr), ("me_f1_h", c_long), ("me_f1_w", c_long),
         ("prev_mvs", c_ptr), ("prev_mvs_s", c_long),
+        ("dev_mv0", c_ptr), ("dev_mv1", c_ptr),
+        ("dev_mv_h", c_long), ("dev_mv_w", c_long),
         ("lrf_present", c_int), ("lrf", LrfPlaneC * 3),
         ("stats", c_ptr),
         ("reuse", c_int),
@@ -323,6 +325,17 @@ def encode_tile_native(te) -> Optional[tuple]:
         keep.append(pm)
         p.prev_mvs = pm.ctypes.data
         p.prev_mvs_s = pm.shape[1]
+
+    # device ME output (16px cell grid, 1/8-pel)
+    if dm.mv0 is not None:
+        dmv0 = np.ascontiguousarray(dm.mv0, dtype=np.int32)
+        keep.append(dmv0)
+        p.dev_mv0 = dmv0.ctypes.data
+        p.dev_mv_h, p.dev_mv_w = dmv0.shape[0], dmv0.shape[1]
+        if dm.mv1 is not None:
+            dmv1 = np.ascontiguousarray(dm.mv1, dtype=np.int32)
+            keep.append(dmv1)
+            p.dev_mv1 = dmv1.ctypes.data
 
     # LRF pass-2 state
     if te.rs is not None:

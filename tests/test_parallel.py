@@ -30,11 +30,14 @@ def test_analysis_prefers_obvious_modes():
 def test_inter_analysis_finds_motion():
     rng = np.random.default_rng(1)
     luma = rng.integers(0, 256, (128, 192)).astype(np.int32)
-    ref = np.roll(luma, 3, axis=1)  # pred needs dx=+3
-    mvf = np.zeros((8, 12, 2), np.int32)
-    mvf[..., 1] = 3
-    m = analyze_frame(luma, ref, mvf, 110, 30.0, 8)
-    assert m.use_inter.mean() > 0.9
+    ref = np.roll(luma, 3, axis=1)  # pred needs dx=+3 (device ME finds it)
+    m = analyze_frame(luma, ref, None, 110, 30.0, 8)
+    # away from the wrap seam (roll is circular; honest ME can't match the
+    # right edge) every cell should pick inter with the exact pan MV
+    assert m.use_inter[:, :-4].mean() > 0.9
+    assert m.mv0 is not None
+    inner = m.mv0[:, :-2]  # 16px cells left of the seam
+    assert (inner[..., 1] == 24).mean() > 0.8  # +3 px = +24 1/8-pel
     intra = analyze_frame(luma, None, None, 110, 30.0, 8)
     assert m.bits_est < 0.5 * intra.bits_est
 
@@ -58,9 +61,8 @@ def test_sharded_matches_per_band_analysis():
     total = 0.0
     for i in range(8):
         band = jnp.asarray(luma[i * 64 : (i + 1) * 64])
-        mv8 = jnp.zeros((8, w // 8, 2), jnp.int32)
-        s_ref, m_ref, _, b_ref = _frame_analysis(
-            band, band, mv8, q, jnp.float32(lam), bd, has_inter=False
+        s_ref, m_ref, _, b_ref, _, _ = _frame_analysis(
+            band, band, band, q, jnp.float32(lam), bd, has_inter=False
         )
         assert np.array_equal(np.asarray(s_ref), size_map[i * 8 : (i + 1) * 8])
         assert np.array_equal(np.asarray(m_ref), mode_map[i * 8 : (i + 1) * 8])
@@ -115,7 +117,8 @@ def test_sharded_maps_drive_identical_bitstream():
         _frame_analysis(
             jnp.asarray(luma[i * 64 : (i + 1) * 64].astype(np.int32)),
             jnp.asarray(luma[i * 64 : (i + 1) * 64].astype(np.int32)),
-            jnp.zeros((8, w // 8, 2), jnp.int32), q, jnp.float32(lam), bd, False,
+            jnp.asarray(luma[i * 64 : (i + 1) * 64].astype(np.int32)),
+            q, jnp.float32(lam), bd, False,
         )
         for i in range(2)
     ]
