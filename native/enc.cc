@@ -461,6 +461,99 @@ int enc_quantize(const int32_t* coeffs, int tx_w, int tx_h, int coded_w,
 
 // --- CDEF (ops/cdef.py; cdef.rs:25-600) -----------------------------------
 
+#ifdef __AVX2__
+#include <immintrin.h>
+
+extern "C++" {
+namespace {
+
+// 16 u8 pixels as one i16x16 vector: two 8-px rows (COLS=8) or four 4-px
+// rows (COLS=4), always from `p` with row stride `stride`.
+template <int COLS>
+static inline __m256i cdef_load16_u8(const uint8_t* p, long stride) {
+  if (COLS == 8) {
+    __m128i v = _mm_unpacklo_epi64(
+        _mm_loadl_epi64((const __m128i*)p),
+        _mm_loadl_epi64((const __m128i*)(p + stride)));
+    return _mm256_cvtepu8_epi16(v);
+  }
+  __m128i v = _mm_setr_epi32(
+      *(const int32_t*)p, *(const int32_t*)(p + stride),
+      *(const int32_t*)(p + 2 * stride), *(const int32_t*)(p + 3 * stride));
+  return _mm256_cvtepu8_epi16(v);
+}
+
+// Filter a full interior u8 block (COLS wide x `rows` tall) with 12
+// precomputed taps; exact integer parity with the scalar loops.  If `src`
+// is non-null, returns the SSE vs src; if `out` is non-null, stores the
+// filtered pixels.
+template <int COLS>
+static int64_t cdef_block_u8_avx2(const uint8_t* pre, long pstride,
+                                  const uint8_t* src, long sstride,
+                                  uint8_t* out, long ostride, int rows,
+                                  const long* off, const int* tap,
+                                  const int* thr, const int* shv) {
+  const int RPC = COLS == 8 ? 2 : 4;  // rows per 16-px chunk
+  __m256i vsse = _mm256_setzero_si256();
+  for (int r = 0; r < rows; r += RPC) {
+    const uint8_t* base = pre + (long)r * pstride;
+    __m256i x = cdef_load16_u8<COLS>(base, pstride);
+    __m256i mn = x, mx = x, total = _mm256_setzero_si256();
+    for (int t = 0; t < 12; t++) {
+      __m256i p = cdef_load16_u8<COLS>(base + off[t], pstride);
+      __m256i diff = _mm256_sub_epi16(p, x);
+      __m256i ad = _mm256_abs_epi16(diff);
+      __m256i m = _mm256_sub_epi16(
+          _mm256_set1_epi16((short)thr[t]),
+          _mm256_srl_epi16(ad, _mm_cvtsi32_si128(shv[t])));
+      m = _mm256_max_epi16(m, _mm256_setzero_si256());
+      m = _mm256_min_epi16(m, ad);
+      m = _mm256_sign_epi16(m, diff);
+      total = _mm256_add_epi16(
+          total, _mm256_mullo_epi16(m, _mm256_set1_epi16((short)tap[t])));
+      mx = _mm256_max_epi16(mx, p);
+      mn = _mm256_min_epi16(mn, p);
+    }
+    // v = x + ((8 + total - (total < 0)) >> 4), clamped to [mn, mx]
+    __m256i t2 = _mm256_add_epi16(
+        _mm256_add_epi16(total, _mm256_set1_epi16(8)),
+        _mm256_srai_epi16(total, 15));
+    __m256i v = _mm256_add_epi16(x, _mm256_srai_epi16(t2, 4));
+    v = _mm256_min_epi16(_mm256_max_epi16(v, mn), mx);
+    if (out != nullptr) {
+      __m256i packed = _mm256_packus_epi16(v, v);  // per-lane pack
+      __m128i lo = _mm256_castsi256_si128(packed);
+      __m128i hi = _mm256_extracti128_si256(packed, 1);
+      if (COLS == 8) {
+        _mm_storel_epi64((__m128i*)(out + (long)r * ostride), lo);
+        _mm_storel_epi64((__m128i*)(out + (long)(r + 1) * ostride), hi);
+      } else {
+        *(int32_t*)(out + (long)r * ostride) = _mm_cvtsi128_si32(lo);
+        *(int32_t*)(out + (long)(r + 1) * ostride) =
+            _mm_extract_epi32(lo, 1);
+        *(int32_t*)(out + (long)(r + 2) * ostride) = _mm_cvtsi128_si32(hi);
+        *(int32_t*)(out + (long)(r + 3) * ostride) =
+            _mm_extract_epi32(hi, 1);
+      }
+    }
+    if (src != nullptr) {
+      __m256i s = cdef_load16_u8<COLS>(src + (long)r * sstride, sstride);
+      __m256i d = _mm256_sub_epi16(v, s);
+      vsse = _mm256_add_epi32(vsse, _mm256_madd_epi16(d, d));
+    }
+  }
+  if (src == nullptr) return 0;
+  __m128i q = _mm_add_epi32(_mm256_castsi256_si128(vsse),
+                            _mm256_extracti128_si256(vsse, 1));
+  q = _mm_add_epi32(q, _mm_shuffle_epi32(q, 0xEE));
+  q = _mm_add_epi32(q, _mm_shuffle_epi32(q, 0x55));
+  return (int64_t)(uint32_t)_mm_cvtsi128_si32(q);
+}
+
+}  // namespace
+}  // extern "C++"
+#endif  // __AVX2__
+
 namespace {
 const int CDEF_VERY_LARGE = 0x8000;
 const int kCdefDir[8][2][2] = {
@@ -561,6 +654,28 @@ void enc_cdef_filter(const void* pre, long stride, int bytespp, void* out,
       int pri_shift = std::max(0, damping - pri_msb);
       int sec_msb = sec > 0 ? 31 - __builtin_clz(sec) : 0;
       int sec_shift = std::max(0, damping - sec_msb);
+#ifdef __AVX2__
+      if (bytespp == 1 && (xs == 8 || xs == 4)) {
+        long loff[12];
+        int ltap[12], lthr[12], lsh[12];
+        for (int t = 0; t < 12; t++) {
+          loff[t] = off[t];
+          bool is_pri = (tap[t] & ~0xFF) != 0;
+          ltap[t] = is_pri ? (tap[t] >> 8) : tap[t];
+          lthr[t] = is_pri ? p0 : sec;
+          lsh[t] = is_pri ? pri_shift : sec_shift;
+        }
+        const uint8_t* bp = (const uint8_t*)pre + oy * stride + ox;
+        uint8_t* op = (uint8_t*)out + oy * out_stride + ox;
+        if (xs == 8)
+          cdef_block_u8_avx2<8>(bp, stride, nullptr, 0, op, out_stride, ys,
+                                loff, ltap, lthr, lsh);
+        else
+          cdef_block_u8_avx2<4>(bp, stride, nullptr, 0, op, out_stride, ys,
+                                loff, ltap, lthr, lsh);
+        continue;
+      }
+#endif
       for (int i = 0; i < ys; i++) {
         for (int j = 0; j < xs; j++) {
           long base = (oy + i) * stride + ox + j;
@@ -818,6 +933,20 @@ extern "C" void enc_cdef_rdo(
             }
           int ih = (int)std::min<long>(ys, ph - oy);
           int iw = (int)std::min<long>(xs, pw - ox);
+#ifdef __AVX2__
+          if (bytespp == 1 && ih == ys && iw == xs && (xs == 8 || xs == 4)) {
+            const uint8_t* bp = (const uint8_t*)pre + oy * pstride + ox;
+            const uint8_t* sp = (const uint8_t*)src + oy * sstride + ox;
+            sse = xs == 8 ? cdef_block_u8_avx2<8>(bp, pstride, sp, sstride,
+                                                  nullptr, 0, ys, off, tap,
+                                                  thr, sh)
+                          : cdef_block_u8_avx2<4>(bp, pstride, sp, sstride,
+                                                  nullptr, 0, ys, off, tap,
+                                                  thr, sh);
+            out_sse[(long)ci * nsb + sb_of_block[b]] += sse;
+            continue;
+          }
+#endif
           for (int i = 0; i < ih; i++)
             for (int j = 0; j < iw; j++) {
               long base = (oy + i) * pstride + ox + j;
