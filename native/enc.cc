@@ -1201,12 +1201,16 @@ namespace {
 struct FwdMats {
   std::vector<int32_t> fv, fh;
   int h = 0, w = 0;
+  int64_t l1v = 0, l1h = 0;  // max row L1 norms (i32-path overflow guards)
   bool set = false;
 };
 FwdMats g_fwd[19][16];
 const int FWD_MAT_SHIFT = 12;
 
 inline int64_t rshift12(int64_t v) {
+  return (v + (1 << (FWD_MAT_SHIFT - 1))) >> FWD_MAT_SHIFT;
+}
+inline int32_t rshift12_32(int32_t v) {
   return (v + (1 << (FWD_MAT_SHIFT - 1))) >> FWD_MAT_SHIFT;
 }
 }  // namespace
@@ -1219,6 +1223,17 @@ extern "C" void enc_register_fwd(int tx_size_id, int tx_type_id,
   m.fh.assign(fh, fh + (size_t)w * w);
   m.h = h;
   m.w = w;
+  auto l1max = [](const std::vector<int32_t>& a, int n) {
+    int64_t best = 0;
+    for (int i = 0; i < n; i++) {
+      int64_t s = 0;
+      for (int k = 0; k < n; k++) s += std::abs((int64_t)a[(size_t)i * n + k]);
+      best = std::max(best, s);
+    }
+    return best;
+  };
+  m.l1v = l1max(m.fv, h);
+  m.l1h = l1max(m.fh, w);
   m.set = true;
 }
 
@@ -1235,39 +1250,78 @@ extern "C" int enc_fwd_quant(
   if (!m.set) return -1;
   int w = m.w, h = m.h;
 
-  // residual
-  int64_t R[64 * 64];
+  // residual (+ all-zero early exit: perfectly-predicted inter blocks are
+  // common and skip the transform entirely)
+  int32_t R[64 * 64];
+  uint32_t any = 0;
   for (int r = 0; r < h; r++)
-    for (int c = 0; c < w; c++)
-      R[r * w + c] = px_at(src, sstride, bytespp, py + r, px + c) -
-                     px_at(rec, rstride, bytespp, py + r, px + c);
-
-  // stage 1: FV (h x h) @ R (h x w), round-shift 12
-  static thread_local std::vector<int64_t> t1;
-  t1.assign((size_t)h * w, 0);
-  for (int i = 0; i < h; i++) {
-    const int32_t* row = m.fv.data() + (size_t)i * h;
-    for (int k = 0; k < h; k++) {
-      int64_t f = row[k];
-      if (!f) continue;
-      const int64_t* rk = R + (size_t)k * w;
-      int64_t* ti = t1.data() + (size_t)i * w;
-      for (int j = 0; j < w; j++) ti[j] += f * rk[j];
+    for (int c = 0; c < w; c++) {
+      int32_t d = (int32_t)(px_at(src, sstride, bytespp, py + r, px + c) -
+                            px_at(rec, rstride, bytespp, py + r, px + c));
+      R[r * w + c] = d;
+      any |= (uint32_t)(d < 0 ? -d : d);
     }
-  }
-  for (size_t i = 0; i < t1.size(); i++) t1[i] = rshift12(t1[i]);
+  if (any == 0) return 0;
 
-  // stage 2: T (h x w) @ FH^T (w x w) -> C (h x w), round-shift 12
+  // i32 fast path when the row-L1 norms bound every accumulator below 2^31
+  // (always true for 8-bit, and for 10/12-bit at sizes <= 32)
+  const int64_t max_r = bytespp == 1 ? 255 : 4095;
+  const int64_t t1max = (m.l1v * max_r >> FWD_MAT_SHIFT) + 1;
+  const bool fits32 = m.l1v * max_r < (1ll << 31) - 65536 &&
+                      m.l1h * t1max < (1ll << 31) - 65536;
+
   static thread_local std::vector<int64_t> C2;
   C2.assign((size_t)h * w, 0);
-  for (int i = 0; i < h; i++) {
-    const int64_t* ti = t1.data() + (size_t)i * w;
-    int64_t* ci = C2.data() + (size_t)i * w;
-    for (int j = 0; j < w; j++) {
-      const int32_t* fr = m.fh.data() + (size_t)j * w;
-      int64_t acc = 0;
-      for (int k = 0; k < w; k++) acc += ti[k] * fr[k];
-      ci[j] = rshift12(acc);
+  if (fits32) {
+    static thread_local std::vector<int32_t> t1s;
+    t1s.assign((size_t)h * w, 0);
+    for (int i = 0; i < h; i++) {
+      const int32_t* row = m.fv.data() + (size_t)i * h;
+      int32_t* ti = t1s.data() + (size_t)i * w;
+      for (int k = 0; k < h; k++) {
+        int32_t f = row[k];
+        if (!f) continue;
+        const int32_t* rk = R + (size_t)k * w;
+        for (int j = 0; j < w; j++) ti[j] += f * rk[j];
+      }
+    }
+    for (size_t i = 0; i < t1s.size(); i++) t1s[i] = rshift12_32(t1s[i]);
+    for (int i = 0; i < h; i++) {
+      const int32_t* ti = t1s.data() + (size_t)i * w;
+      int64_t* ci = C2.data() + (size_t)i * w;
+      for (int j = 0; j < w; j++) {
+        const int32_t* fr = m.fh.data() + (size_t)j * w;
+        int32_t acc = 0;
+        for (int k = 0; k < w; k++) acc += ti[k] * fr[k];
+        ci[j] = rshift12_32(acc);
+      }
+    }
+  } else {
+    // stage 1: FV (h x h) @ R (h x w), round-shift 12
+    static thread_local std::vector<int64_t> t1;
+    t1.assign((size_t)h * w, 0);
+    for (int i = 0; i < h; i++) {
+      const int32_t* row = m.fv.data() + (size_t)i * h;
+      for (int k = 0; k < h; k++) {
+        int64_t f = row[k];
+        if (!f) continue;
+        const int32_t* rk = R + (size_t)k * w;
+        int64_t* ti = t1.data() + (size_t)i * w;
+        for (int j = 0; j < w; j++) ti[j] += f * rk[j];
+      }
+    }
+    for (size_t i = 0; i < t1.size(); i++) t1[i] = rshift12(t1[i]);
+
+    // stage 2: T (h x w) @ FH^T (w x w) -> C (h x w), round-shift 12
+    for (int i = 0; i < h; i++) {
+      const int64_t* ti = t1.data() + (size_t)i * w;
+      int64_t* ci = C2.data() + (size_t)i * w;
+      for (int j = 0; j < w; j++) {
+        const int32_t* fr = m.fh.data() + (size_t)j * w;
+        int64_t acc = 0;
+        for (int k = 0; k < w; k++) acc += ti[k] * fr[k];
+        ci[j] = rshift12(acc);
+      }
     }
   }
 
