@@ -52,7 +52,9 @@ def main():
     # mixed key+inter clip at the DEFAULT preset (6) with reordering on —
     # the same operating point as the rav1e speed-6 baseline the
     # vs_baseline ratio is quoted against
-    w, h, nframes = 640, 384, 8
+    # 16 frames amortize the tunneled-TPU fetch-latency jitter (the per-run
+    # spread at 8 frames was ~25%)
+    w, h, nframes = 640, 384, 16
     def mk_cfg():
         return Config(
             enc=EncoderConfig(

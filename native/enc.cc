@@ -1361,6 +1361,56 @@ extern "C" int enc_fwd_quant(
   return eob;
 }
 
+// Per-8x8 segmentation statistics (encoder/segmentation.py; reference
+// activity.rs:23 ActivityMask + segmentation.rs spatiotemporal score):
+// integer sum / sum-of-squares of the source and (optionally) the SAD vs
+// the co-located reference pixels, one pass over the plane.
+extern "C" void enc_seg_stats(const void* src, long sstride, const void* ref,
+                              long rstride, int bytespp, long h, long w,
+                              int64_t* out_s, int64_t* out_q,
+                              int64_t* out_sad) {
+  long h8 = h / 8, w8 = w / 8;
+  for (long by = 0; by < h8; by++)
+    for (long bx = 0; bx < w8; bx++) {
+      int64_t s = 0, q = 0, sad = 0;
+      for (int i = 0; i < 8; i++) {
+        long y = by * 8 + i, x0 = bx * 8;
+        if (bytespp == 1) {
+          const uint8_t* sr = (const uint8_t*)src + y * sstride + x0;
+          for (int j = 0; j < 8; j++) {
+            int v = sr[j];
+            s += v;
+            q += v * v;
+          }
+          if (ref != nullptr) {
+            const uint8_t* rr = (const uint8_t*)ref + y * rstride + x0;
+            for (int j = 0; j < 8; j++) {
+              int d = (int)sr[j] - (int)rr[j];
+              sad += d < 0 ? -d : d;
+            }
+          }
+        } else {
+          const uint16_t* sr = (const uint16_t*)src + y * sstride + x0;
+          for (int j = 0; j < 8; j++) {
+            int64_t v = sr[j];
+            s += v;
+            q += v * v;
+          }
+          if (ref != nullptr) {
+            const uint16_t* rr = (const uint16_t*)ref + y * rstride + x0;
+            for (int j = 0; j < 8; j++) {
+              int d = (int)sr[j] - (int)rr[j];
+              sad += d < 0 ? -d : d;
+            }
+          }
+        }
+      }
+      out_s[by * w8 + bx] = s;
+      out_q[by * w8 + bx] = q;
+      if (out_sad != nullptr) out_sad[by * w8 + bx] = sad;
+    }
+}
+
 // Per-8x8 inter cost for temporal RDO (encoder/lookahead.py
 // inter_costs_8x8; reference lookahead.rs:182 estimate_inter_costs).
 extern "C" void enc_inter_costs_8x8(

@@ -58,6 +58,46 @@ def _kmeans1d(values: np.ndarray, k: int, iters: int = 12) -> np.ndarray:
     return np.sort(cents)
 
 
+def _seg_cell_stats(luma_src: np.ndarray, ref_luma):
+    """Integer per-8x8 stats: (sum, sum-of-squares, SAD-vs-ref or None).
+
+    Native single pass (enc_seg_stats) with a bit-identical numpy mirror —
+    both produce exact int64 sums, so the derived floats cannot differ."""
+    h8, w8 = luma_src.shape[0] // 8, luma_src.shape[1] // 8
+    from rav1e_tpu import native
+
+    lib = native.get_lib()
+    has_ref = ref_luma is not None and ref_luma.shape == luma_src.shape
+    if (
+        lib is not None
+        and luma_src.itemsize in (1, 2)
+        and luma_src.strides[1] == luma_src.itemsize
+        and (not has_ref or ref_luma.strides[1] == ref_luma.itemsize)
+        and (not has_ref or ref_luma.itemsize == luma_src.itemsize)
+    ):
+        s = np.empty((h8, w8), np.int64)
+        q = np.empty((h8, w8), np.int64)
+        sad = np.empty((h8, w8), np.int64) if has_ref else None
+        lib.enc_seg_stats(
+            luma_src.ctypes.data, luma_src.strides[0] // luma_src.itemsize,
+            ref_luma.ctypes.data if has_ref else None,
+            (ref_luma.strides[0] // ref_luma.itemsize) if has_ref else 0,
+            luma_src.itemsize, h8 * 8, w8 * 8,
+            s.ctypes.data, q.ctypes.data,
+            sad.ctypes.data if has_ref else None,
+        )
+        return s, q, sad
+    x = luma_src[: h8 * 8, : w8 * 8].astype(np.int64)
+    cells = x.reshape(h8, 8, w8, 8)
+    s = cells.sum(axis=(1, 3))
+    q = (cells * cells).sum(axis=(1, 3))
+    sad = None
+    if has_ref:
+        d = np.abs(x - ref_luma[: h8 * 8, : w8 * 8].astype(np.int64))
+        sad = d.reshape(h8, 8, w8, 8).sum(axis=(1, 3))
+    return s, q, sad
+
+
 def segmentation_optimize(
     luma_src: np.ndarray, base_q_idx: int, bit_depth: int, mi_cols: int,
     mi_rows: int, nseg: int = 3, ref_luma: np.ndarray = None,
@@ -67,20 +107,17 @@ def segmentation_optimize(
     inter frames) temporal predictability — the spatiotemporal-score analog
     of segmentation.rs:23-160: well-predicted static regions earn lower q
     because their quality propagates through the reference chain."""
-    from rav1e_tpu.ops.activity import activity_mask, log2_activity_scale
-
     st = SegmentationState()
-    act = activity_mask(luma_src, bit_depth)
-    if act.size < nseg:
+    h8, w8 = luma_src.shape[0] // 8, luma_src.shape[1] // 8
+    if h8 * w8 < nseg:
         return st
-    logs = log2_activity_scale(act)
-    if ref_luma is not None and ref_luma.shape == luma_src.shape:
-        h8, w8 = act.shape
-        d = np.abs(
-            luma_src[: h8 * 8, : w8 * 8].astype(np.float64)
-            - ref_luma[: h8 * 8, : w8 * 8]
-        )
-        terr = d.reshape(h8, 8, w8, 8).mean(axis=(1, 3)) / (1 << (bit_depth - 8))
+    ssum, qsum, sad = _seg_cell_stats(luma_src, ref_luma)
+    scale = float(1 << (bit_depth - 8))
+    # per-cell variance of x = raw/scale: (64*q - s^2) / 4096 / scale^2
+    act = (64.0 * qsum - ssum.astype(np.float64) ** 2) / (4096.0 * scale * scale)
+    logs = 0.5 * np.log2(np.maximum(act, 1.0))
+    if sad is not None:
+        terr = sad / (64.0 * scale)
         logs = logs + 0.5 * np.log2(np.maximum(terr, 0.25) / 4.0)
     if imp_scales is not None:
         # temporal-RDO importance: heavily-referenced cells behave like

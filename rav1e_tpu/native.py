@@ -214,6 +214,10 @@ def _bind_symbols(lib) -> None:
         c.c_void_p, c.c_long, c.c_long, c.c_void_p, c.c_long, c.c_long,
         c.c_void_p, c.c_long, c.c_long,
     ]
+    lib.enc_seg_stats.argtypes = [
+        c.c_void_p, c.c_long, c.c_void_p, c.c_long, c.c_int, c.c_long,
+        c.c_long, c.c_void_p, c.c_void_p, c.c_void_p,
+    ]
     lib.enc_cdef_rdo.argtypes = [
         c.c_int, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int,
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int, c.c_void_p,
