@@ -383,8 +383,8 @@ struct TileParams {
   const int32_t* seg_qidx;     // per segment base_q_idx (8)
   // quant tables per segment x plane: dc/ac quant + offsets are derived in
   // Python per (qidx, tx_size is_intra); pass dc_q/ac_q per segment instead
-  const int32_t* seg_dcq;  // (8,)
-  const int32_t* seg_acq;  // (8,)
+  const int32_t* seg_dcq;  // (8, 3): per segment x plane (chroma q offset)
+  const int32_t* seg_acq;  // (8, 3)
   // device maps (8px cells, frame grid)
   const int32_t* dev_size_log2;  long dev_s;
   const int32_t* dev_mode;

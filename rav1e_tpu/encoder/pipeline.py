@@ -13,7 +13,7 @@ pieces (prediction candidates, transforms) run as batched array ops.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import List, Optional
 
 import numpy as np
@@ -195,6 +195,10 @@ class FrameInvariantsLite:
     me_fields: Optional[dict] = None  # ref_type -> (nby, nbx, 2) px MV field
     skip_mode_present: bool = False  # frame codes skip_mode flags (spec 5.9.22)
     device_maps: Optional[object] = None  # rav1e_tpu.device.DeviceMaps decisions
+    # per-plane quantizer deltas (reference rate.rs:510 chroma_offset ->
+    # QuantizerParameters dc_qi/ac_qi; coded as delta_q_u/v_dc/ac)
+    dc_delta_q: List[int] = field(default_factory=lambda: [0, 0, 0])
+    ac_delta_q: List[int] = field(default_factory=lambda: [0, 0, 0])
 
     @property
     def is_inter_frame(self) -> bool:
@@ -1479,10 +1483,11 @@ class TileEncoder:
 
                 if not dequant_recon_native(
                     qcoeffs, self._block_qidx(x, y), tsz, TxType.DCT_DCT, fi.bit_depth,
-                    rec, px, py,
+                    rec, px, py, fi.dc_delta_q[p], fi.ac_delta_q[p],
                 ):
                     pred = rec[py : py + tsz.height, px : px + tsz.width].astype(np.int32)
-                    rcoeffs = dequantize(self._block_qidx(x, y), qcoeffs, tsz, fi.bit_depth)
+                    rcoeffs = dequantize(self._block_qidx(x, y), qcoeffs, tsz, fi.bit_depth,
+                                         fi.dc_delta_q[p], fi.ac_delta_q[p])
                     recon = T.inverse_transform_add(
                         rcoeffs[None], pred[None], tsz, TxType.DCT_DCT, fi.bit_depth
                     )[0]
@@ -1635,10 +1640,11 @@ class TileEncoder:
 
                 if not dequant_recon_native(
                     qcoeffs, self._block_qidx(x, y), tsz, TxType.DCT_DCT, fi.bit_depth,
-                    rec, px, py,
+                    rec, px, py, fi.dc_delta_q[p], fi.ac_delta_q[p],
                 ):
                     pred = rec[py : py + tsz.height, px : px + tsz.width].astype(np.int32)
-                    rcoeffs = dequantize(self._block_qidx(x, y), qcoeffs, tsz, fi.bit_depth)
+                    rcoeffs = dequantize(self._block_qidx(x, y), qcoeffs, tsz, fi.bit_depth,
+                                         fi.dc_delta_q[p], fi.ac_delta_q[p])
                     recon = T.inverse_transform_add(
                         rcoeffs[None], pred[None], tsz, TxType.DCT_DCT, fi.bit_depth
                     )[0]
@@ -1681,7 +1687,8 @@ class TileEncoder:
         best = None
         for tsz in (max_tx, sub_tx):
             qc = QuantizationContext()
-            qc.update(q_idx, tsz, False, fi.bit_depth, 0, 0)
+            qc.update(q_idx, tsz, False, fi.bit_depth,
+                      fi.dc_delta_q[0], fi.ac_delta_q[0])
             bw = max(bsize.width_mi // max(tsz.width >> MI_SIZE_LOG2, 1), 1)
             bh = max(bsize.height_mi // max(tsz.height >> MI_SIZE_LOG2, 1), 1)
             sse = 0
@@ -1701,7 +1708,8 @@ class TileEncoder:
                     qcoeffs, eob = qc.quantize_block(coeffs, tsz, TxType.DCT_DCT)
                     rate += 6.0 + 2.0 * float(np.abs(np.asarray(qcoeffs)).sum())
                     if eob > 0:
-                        rcoeffs = dequantize(q_idx, qcoeffs, tsz, fi.bit_depth)
+                        rcoeffs = dequantize(q_idx, qcoeffs, tsz, fi.bit_depth,
+                                             fi.dc_delta_q[0], fi.ac_delta_q[0])
                         recon = T.inverse_transform_add(
                             rcoeffs[None], pred[None], tsz, TxType.DCT_DCT, fi.bit_depth
                         )[0]
@@ -1720,13 +1728,13 @@ class TileEncoder:
         fi = self.fi
         jobs = []
         q_idx = self._block_qidx(x, y)
-        self.qc.update(q_idx, tx_size, False, fi.bit_depth, 0, 0)
+        self.qc.update(q_idx, tx_size, False, fi.bit_depth,
+                       fi.dc_delta_q[0], fi.ac_delta_q[0])
         bw = max(bsize.width_mi // max(tx_size.width >> MI_SIZE_LOG2, 1), 1)
         bh = max(bsize.height_mi // max(tx_size.height >> MI_SIZE_LOG2, 1), 1)
         plane_specs = [(0, tx_size, bw, bh)]
         if do_chroma and fi.seq.chroma_sampling != ChromaSampling.Cs400:
             uv_tx_size = largest_chroma_tx_size(bsize, self.xdec, self.ydec)
-            self.qc_uv.update(q_idx, uv_tx_size, False, fi.bit_depth, 0, 0)
             bw_uv = max(
                 max((bw * (tx_size.width >> MI_SIZE_LOG2)) >> self.xdec, 1)
                 // max(uv_tx_size.width >> MI_SIZE_LOG2, 1), 1,
@@ -1739,6 +1747,9 @@ class TileEncoder:
         for p, tsz, nbx, nby in plane_specs:
             xd = 0 if p == 0 else self.xdec
             yd = 0 if p == 0 else self.ydec
+            if p != 0:
+                self.qc_uv.update(q_idx, tsz, False, fi.bit_depth,
+                                  fi.dc_delta_q[p], fi.ac_delta_q[p])
             qc = self.qc if p == 0 else self.qc_uv
             rec = self.rec_views[p]
             src = self.src_views[p]
@@ -1885,7 +1896,8 @@ class TileEncoder:
         bw = max(bsize.width_mi // max(tx_size.width >> MI_SIZE_LOG2, 1), 1)
         bh = max(bsize.height_mi // max(tx_size.height >> MI_SIZE_LOG2, 1), 1)
         q_idx = self._block_qidx(x, y)
-        self.qc.update(q_idx, tx_size, True, fi.bit_depth, 0, 0)
+        self.qc.update(q_idx, tx_size, True, fi.bit_depth,
+                       fi.dc_delta_q[0], fi.ac_delta_q[0])
 
         tx_type = TxType.DCT_DCT
 
@@ -1927,7 +1939,8 @@ class TileEncoder:
                 self.xdec, self.ydec, tx_size, fcw, fch,
             )
         for p in (1, 2):
-            self.qc_uv.update(q_idx, uv_tx_size, True, fi.bit_depth, 0, 0)
+            self.qc_uv.update(q_idx, uv_tx_size, True, fi.bit_depth,
+                              fi.dc_delta_q[p], fi.ac_delta_q[p])
             alpha = 0 if cfl is None else cfl[p - 1]
             for by in range(bh_uv):
                 for bx in range(bw_uv):
@@ -2041,7 +2054,8 @@ class TileEncoder:
                 c = T.forward_transform(residual[None], tx_size, tt, fi.bit_depth)[0]
                 q, e = qc.quantize_block(c, tx_size, tt)
                 if e > 0:
-                    rc = dequantize(self._block_qidx(part_x, part_y), q, tx_size, fi.bit_depth)
+                    rc = dequantize(self._block_qidx(part_x, part_y), q, tx_size, fi.bit_depth,
+                                    fi.dc_delta_q[0], fi.ac_delta_q[0])
                     rec_c = T.inverse_transform_add(
                         rc[None], pred[None], tx_size, tt, fi.bit_depth
                     )[0]
@@ -2077,9 +2091,11 @@ class TileEncoder:
             from rav1e_tpu.native import dequant_recon_native
 
             if not dequant_recon_native(
-                qcoeffs, self._block_qidx(part_x, part_y), tx_size, tx_type, fi.bit_depth, rec, px, py
+                qcoeffs, self._block_qidx(part_x, part_y), tx_size, tx_type,
+                fi.bit_depth, rec, px, py, fi.dc_delta_q[p], fi.ac_delta_q[p],
             ):
-                rcoeffs = dequantize(self._block_qidx(part_x, part_y), qcoeffs, tx_size, fi.bit_depth)
+                rcoeffs = dequantize(self._block_qidx(part_x, part_y), qcoeffs, tx_size,
+                                     fi.bit_depth, fi.dc_delta_q[p], fi.ac_delta_q[p])
                 recon = T.inverse_transform_add(
                     rcoeffs[None], pred[None], tx_size, tx_type, fi.bit_depth
                 )[0]
@@ -2341,6 +2357,11 @@ class FramePipeline:
             seg=seg,
             prev_mvs=self.prev_mvs if frame_type.has_inter() else None,
             init_cdfs=init_cdfs if frame_type.has_inter() else None,
+        )
+        from rav1e_tpu.quantize import chroma_q_deltas
+
+        fi.dc_delta_q, fi.ac_delta_q = chroma_q_deltas(
+            base_q_idx, enc.bit_depth, self.seq.chroma_sampling
         )
         fi.dist_scales = dist_scales
 
@@ -2692,6 +2713,8 @@ class FramePipeline:
             frame_type=frame_type,
             intra_only=not is_inter,
             base_q_idx=fi.base_q_idx,
+            dc_delta_q=list(fi.dc_delta_q),
+            ac_delta_q=list(fi.ac_delta_q),
             tx_mode_select=fi.tx_mode_select,
             use_reduced_tx_set=fi.use_reduced_tx_set,
             sb_width=sb_w,

@@ -255,11 +255,15 @@ def encode_tile_native(te) -> Optional[tuple]:
         p.seg_enabled = 0
         p.seg_last_active = 0
         qidx = np.full(8, fi.base_q_idx, dtype=np.int32)
+    # per (segment, plane): qidx(seg) + the frame's per-plane delta
+    # (rate.rs:510 chroma_offset path)
     dcq = np.array(
-        [tables.dc_q(int(q), 0, fi.bit_depth) for q in qidx], dtype=np.int32
+        [[tables.dc_q(int(q), fi.dc_delta_q[pl], fi.bit_depth)
+          for pl in range(3)] for q in qidx], dtype=np.int32
     )
     acq = np.array(
-        [tables.ac_q(int(q), 0, fi.bit_depth) for q in qidx], dtype=np.int32
+        [[tables.ac_q(int(q), fi.ac_delta_q[pl], fi.bit_depth)
+          for pl in range(3)] for q in qidx], dtype=np.int32
     )
     qidx32 = np.ascontiguousarray(qidx)
     keep.extend([qidx32, dcq, acq])

@@ -141,6 +141,50 @@ class QuantizationContext:
         return out, eob
 
 
+def chroma_q_deltas(base_q_idx: int, bit_depth: int, cs):
+    """Per-plane (dc_delta_q[3], ac_delta_q[3]) from the daala-style log
+    chroma offset (reference rate.rs:510 chroma_offset +
+    QuantizerParameters::new_from_log_q rate.rs:526-580): chroma quantizers
+    sit log2(7/4) / log2(5/4) above luma, pulled back as q grows by a
+    gradient tuned per subsampling (0.266 / 0.180 / 0.098)."""
+    import math
+
+    from rav1e_tpu.config import ChromaSampling
+
+    if cs == ChromaSampling.Cs400:
+        return [0, 0, 0], [0, 0, 0]
+    qy = tables.ac_q(base_q_idx, 0, bit_depth)
+    x = max(math.log2(qy / (8 << (bit_depth - 8))), 0.0)
+    if cs == ChromaSampling.Cs420:
+        y = x * (1 / 4 + 1 / 64)
+    elif cs == ChromaSampling.Cs422:
+        y = x * (1 / 8 + 1 / 16 - 1 / 128)
+    else:
+        y = x * (1 / 16 + 1 / 32 + 1 / 256)
+    off_u = math.log2(7 / 4) - y
+    off_v = math.log2(5 / 4) - y
+    qu = qy * (2.0 ** off_u)
+    qv = qy * (2.0 ** off_v)
+    lo = max(base_q_idx - 63, 1)
+    hi = min(base_q_idx + 63, 255)
+
+    def qi(quant, select):
+        v = select(int(round(quant)), bit_depth)
+        return min(max(v, lo), hi)
+
+    dc = [
+        qi(qy, tables.select_dc_qi) - base_q_idx,
+        qi(qu, tables.select_dc_qi) - base_q_idx,
+        qi(qv, tables.select_dc_qi) - base_q_idx,
+    ]
+    ac = [
+        0,
+        qi(qu, tables.select_ac_qi) - base_q_idx,
+        qi(qv, tables.select_ac_qi) - base_q_idx,
+    ]
+    return dc, ac
+
+
 def dequantize(
     qindex: int,
     qcoeffs: np.ndarray,
