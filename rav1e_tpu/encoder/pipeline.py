@@ -2323,6 +2323,34 @@ class FramePipeline:
 
             dist_scales = importances_to_scales(plan.importances, plan.la_intra)
 
+        from rav1e_tpu.config import Tune
+
+        if enc.tune == Tune.Psychovisual:
+            # activity masking (reference activity.rs ActivityMask +
+            # ssim_boost feeding distortion_scale_for, rdo.rs:506): flat
+            # areas are perceptually sensitive -> distortion there weighs
+            # more; busy areas mask error -> less.  Scales multiply the
+            # temporal-RDO scales on the same 8x8 grid.
+            from rav1e_tpu.encoder.segmentation import _seg_cell_stats
+
+            src_y8 = frame.planes[0].as_array()[: enc.height, : enc.width]
+            s8, q8, _ = _seg_cell_stats(src_y8, None)
+            sc = float(1 << (enc.bit_depth - 8))
+            act = (64.0 * q8 - s8.astype(np.float64) ** 2) / (
+                4096.0 * sc * sc
+            )
+            logs = 0.5 * np.log2(np.maximum(act, 1.0))
+            psy = np.clip(
+                2.0 ** (0.4 * (float(np.median(logs)) - logs)), 0.5, 2.0
+            )
+            if dist_scales is None:
+                dist_scales = psy
+            else:
+                ch = min(dist_scales.shape[0], psy.shape[0])
+                cw = min(dist_scales.shape[1], psy.shape[1])
+                dist_scales = dist_scales.copy()
+                dist_scales[:ch, :cw] *= psy[:ch, :cw]
+
         seg = None
         from rav1e_tpu.config.speed import SegmentationLevel
 

@@ -96,3 +96,56 @@ def test_segmentation_improves_rd():
     # busy region absorbs the rate cut
     assert smooth_psnr(on[0], base) >= smooth_psnr(off[0], base) - 0.3
     assert size_on < size_off * 1.02
+
+
+def test_tune_psychovisual_round_trips_and_differs():
+    """Tune::Psychovisual plumbing (activity -> distortion scales,
+    reference activity.rs + rdo.rs distortion_scale_for): the stream stays
+    decodable and the tune changes the encode on mixed-activity content."""
+    import numpy as np
+
+    from rav1e_tpu import Config, EncoderConfig, EncoderStatus, Tune
+    from rav1e_tpu.decoder import decode_packet
+
+    def enc(tune):
+        cfg = Config(
+            enc=EncoderConfig(
+                width=128, height=96, quantizer=130, tune=tune,
+                low_latency=False, min_key_frame_interval=0,
+                max_key_frame_interval=99,
+            )
+        )
+        ctx = cfg.new_context()
+        rng = np.random.default_rng(21)
+        base = np.full((96, 128), 80, np.int64)
+        base[:, 64:] = rng.integers(0, 256, (96, 64))  # flat | busy halves
+        data = b""
+        for t in range(3):
+            f = ctx.new_frame()
+            for i, p in enumerate(f.planes):
+                ch, cw = p.cfg.height, p.cfg.width
+                arr = np.roll(base, t, axis=1)[:ch, :cw] + rng.integers(
+                    -2, 3, (ch, cw)
+                )
+                p.copy_from(np.clip(arr, 0, 255).astype(np.uint8))
+            ctx.send_frame(f)
+        ctx.flush()
+        state = None
+        while True:
+            try:
+                pkt = ctx.receive_packet()
+            except EncoderStatus.LimitReached:
+                break
+            dec, state = decode_packet(pkt.data, state)
+            if pkt.rec is not None:
+                for pi, dp in enumerate(dec.planes):
+                    a = dp.as_array()
+                    b = pkt.rec.planes[pi].as_array()
+                    assert np.array_equal(a, b[: a.shape[0], : a.shape[1]])
+            data += pkt.data
+        return data
+
+    d_psnr = enc(Tune.Psnr)
+    d_psy = enc(Tune.Psychovisual)
+    assert len(d_psy) > 0
+    assert d_psnr != d_psy  # the tune must actually steer decisions
