@@ -20,6 +20,12 @@ import numpy as np
 from rav1e_tpu.api.util import EncoderStatus, FrameType, Packet
 from rav1e_tpu.frame import Frame, FrameParameters
 
+# How many upcoming coded frames to hand the pipeline for async device
+# analysis.  On a tunneled TPU the per-dispatch round-trip (~30-50 ms)
+# exceeds one frame's host coding time, so depth 1 leaves the encoder
+# blocked on the fetch; 3 frames of lead amortize it to zero.
+ANALYSIS_PREFETCH_DEPTH = 3
+
 
 class Context:
     """Encoding context created by :meth:`rav1e_tpu.Config.new_context`."""
@@ -343,25 +349,39 @@ class ContextInner:
                 g.la_intra = d.intra
 
     def _peek_next_hint(self, is_flushing: bool):
-        """The next *coded* plan entry + its queued frame, for the
-        pipeline's async device-analysis predispatch.  The plan extends
-        lazily; try extending when only SEF entries remain — with
+        """The next *coded* plan entry + its queued frame (depth-1 view of
+        :meth:`_peek_next_hints`)."""
+        hints = self._peek_next_hints(is_flushing, 1)
+        return hints[0] if hints else None
+
+    def _peek_next_hints(self, is_flushing: bool, k: int):
+        """Up to ``k`` upcoming *coded* plan entries + their queued frames,
+        in encode order, for the pipeline's async device-analysis
+        predispatch.  Stops at the first entry whose frame is not queued
+        yet (deeper entries would encode after it anyway).  The plan
+        extends lazily; try extending when too few entries exist — with
         insufficient lookahead the extension raises (NeedMoreData), which
-        just means no hint yet (send-pattern determinism is unaffected:
+        just means fewer hints (send-pattern determinism is unaffected:
         extension is a pure function of the frames available)."""
         for attempt in range(2):
+            hints = []
+            complete = True
             for e2 in self.plan:
                 if e2.kind == "sef":
                     continue
-                if e2.input_frameno in self.frame_q:
-                    return (e2, self.frame_q[e2.input_frameno])
-                return None
-            if attempt == 0:
-                try:
-                    self._extend_plan(is_flushing)
-                except Exception:
-                    return None
-        return None
+                if e2.input_frameno not in self.frame_q:
+                    complete = False
+                    break
+                hints.append((e2, self.frame_q[e2.input_frameno]))
+                if len(hints) >= k:
+                    break
+            if len(hints) >= k or attempt == 1 or not complete:
+                return hints
+            try:
+                self._extend_plan(is_flushing)
+            except Exception:
+                return hints
+        return hints
 
     def receive_packet(self, pipeline, is_flushing: bool) -> Packet:
         while not self.plan:
@@ -375,7 +395,9 @@ class ContextInner:
             # a show-existing packet codes nothing: use the gap to
             # pre-dispatch the next real frame's device analysis
             if hasattr(pipeline, "predispatch_idle"):
-                pipeline.predispatch_idle(self._peek_next_hint(is_flushing))
+                pipeline.predispatch_idle(
+                    self._peek_next_hints(is_flushing, ANALYSIS_PREFETCH_DEPTH)
+                )
             return packet
 
         in_no = entry.input_frameno
@@ -385,7 +407,7 @@ class ContextInner:
         frame = self.frame_q[in_no]
         params = self.frame_params[in_no]
         frame_type = FrameType.KEY if entry.kind == "key" else FrameType.INTER
-        next_hint = self._peek_next_hint(is_flushing)
+        next_hints = self._peek_next_hints(is_flushing, ANALYSIS_PREFETCH_DEPTH)
         packet = pipeline.encode_frame(
             frame,
             input_frameno=in_no,
@@ -393,7 +415,7 @@ class ContextInner:
             params=params,
             is_first=(self.packet_count == 0),
             plan=entry,
-            next_hint=next_hint,
+            next_hints=next_hints,
         )
         # garbage-collect consumed input (reference: internal.rs:1564)
         del self.frame_q[in_no]

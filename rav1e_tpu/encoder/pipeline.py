@@ -2130,8 +2130,13 @@ class FramePipeline:
         # per-slot SOURCE luma (estimation refs for ME fields + device
         # analysis, like the reference's lookahead ME stats on sources)
         self.src_buffer: list = [None] * 8
-        # async device-analysis dispatched for the next planned frame
-        self._pending_analysis = None
+        # async device-analyses dispatched for upcoming planned frames:
+        # input_frameno -> pending entry (handle + fetch thread).  Depth >1
+        # keeps the tunneled-TPU round-trip fully hidden behind host coding.
+        self._pending_analyses: dict = {}
+        # input_frameno of the source occupying each reference slot (for
+        # validating prefetched analyses against the slots' actual content)
+        self.slot_src_frameno: list = [None] * 8
         self._fallback_slot = 0
         self.prev_mvs = None  # last coded frame's MV field (ME stats analog)
         self.cdf_buffer: list = [None] * 8  # per-slot end-of-frame CDF states
@@ -2161,103 +2166,116 @@ class FramePipeline:
         enc = self.config.enc
         return r.planes[0].as_array()[: enc.height, : enc.width]
 
-    def predispatch_idle(self, next_hint) -> None:
+    def predispatch_idle(self, next_hints) -> None:
         """Predispatch from a non-coding point (e.g. while emitting a
         show-existing packet): reference slots are already final."""
         enc = self.config.enc
-        if self._pending_analysis is not None or next_hint is None:
+        if not next_hints:
             return
         if not (enc.speed_settings.device_analysis
                 and min(enc.width, enc.height) >= 64):
             return
         try:
-            self._predispatch_analysis(next_hint, None, None, None)
+            self._predispatch_analyses(next_hints, None, None, None)
         except Exception:
-            self._pending_analysis = None
+            self._pending_analyses.clear()
 
-    def _predispatch_analysis(self, next_hint, cur_frame, cur_ft, cur_plan):
-        """Dispatch the next planned frame's device analysis asynchronously.
+    def _predispatch_analyses(self, next_hints, cur_frame, cur_ft, cur_plan):
+        """Dispatch upcoming planned frames' device analyses asynchronously.
 
-        Runs right after this frame's maps are fetched, so the next frame's
-        TPU round-trip overlaps this frame's host tile coding and loop
-        filters.  Uses the RC's current qi estimate (stale by one frame) —
-        the analysis q only steers heuristics, and the estimate is
-        deterministic, so bitstreams stay reproducible."""
-        from rav1e_tpu.device import analyze_frame_async
+        Runs right after this frame's maps are fetched, so the next frames'
+        TPU round-trips overlap this frame's host tile coding and loop
+        filters.  Reference-slot contents for frames deeper than one step
+        are *simulated* by walking the plan's refresh sequence over the
+        queued source frames; each dispatched entry records the source
+        framenos it saw, and consumption re-validates them against the
+        slots' actual content, so a divergent simulation degrades to the
+        sync path instead of a wrong bitstream.  Uses the RC's current qi
+        estimate (stale by up to `depth` frames) — the analysis q only
+        steers heuristics, and the estimate is deterministic, so bitstreams
+        stay reproducible."""
+        import threading
 
-        nplan, nframe = next_hint
+        from rav1e_tpu.device import analyze_finish, analyze_frame_async
+
         enc = self.config.enc
-        if cur_frame is None:
-            cur_refresh = 0
-            cur_src = None
-        else:
+        # slot -> (source input_frameno, source luma); seeded from the live
+        # buffers, then overlaid by the current frame's refresh and every
+        # simulated planned refresh in turn
+        sim: dict = {}
+        if cur_frame is not None:
             cur_refresh = (
                 0xFF
                 if cur_ft in (FrameType.KEY, FrameType.SWITCH)
                 else (1 << cur_plan.slot)
             )
             cur_src = cur_frame.planes[0].as_array()[: enc.height, : enc.width]
+            for i in range(8):
+                if (cur_refresh >> i) & 1:
+                    sim[i] = (cur_plan.input_frameno, cur_src)
 
-        def src_of(slot):
-            if (cur_refresh >> slot) & 1:
-                return cur_src
-            return self._ref_src_luma(slot)
+        def slot_state(slot):
+            if slot in sim:
+                return sim[slot]
+            return (self.slot_src_frameno[slot], self._ref_src_luma(slot))
 
-        is_key = nplan.kind == "key"
-        ref_avail = not is_key and (
-            ((cur_refresh >> nplan.ref_slot_fwd) & 1)
-            or self.rec_buffer[nplan.ref_slot_fwd] is not None
-        )
-        is_inter = not is_key and ref_avail
-        ref_y = ref_y_bwd = None
-        if is_inter:
-            f0 = src_of(nplan.ref_slot_fwd)
-            if f0 is None:
+        for nplan, nframe in next_hints:
+            if len(self._pending_analyses) >= len(next_hints):
+                break
+            fno = nplan.input_frameno
+            n_src = nframe.planes[0].as_array()[: enc.height, : enc.width]
+            if fno not in self._pending_analyses:
+                is_key = nplan.kind == "key"
+                ref_y = ref_y_bwd = None
+                ref_fno_fwd = ref_fno_bwd = None
                 is_inter = False
-            else:
-                ref_y = f0
-                if nplan.ref_slot_bwd is not None:
-                    ref_y_bwd = src_of(nplan.ref_slot_bwd)
-        q_guess = self.rc.select_qi(
-            FrameType.KEY if is_key else FrameType.INTER,
-            enc.width, enc.height, nplan.level,
-        )
-        q_step = tables.ac_q(q_guess, 0, enc.bit_depth) / 8.0
-        lam = 0.12 * q_step * q_step
-        handle = analyze_frame_async(
-            nframe.planes[0].as_array()[: enc.height, : enc.width],
-            ref_y, ref_y_bwd, q_guess, lam, enc.bit_depth,
-        )
-        # fetch on a worker thread: the device->host wait is IO (GIL
-        # released), so the round-trip overlaps this frame's host coding
-        import threading
+                if not is_key:
+                    ref_fno_fwd, ref_y = slot_state(nplan.ref_slot_fwd)
+                    is_inter = ref_y is not None and ref_fno_fwd is not None
+                    if is_inter and nplan.ref_slot_bwd is not None:
+                        ref_fno_bwd, ref_y_bwd = slot_state(nplan.ref_slot_bwd)
+                        if ref_y_bwd is None:
+                            ref_fno_bwd = None
+                    if not is_inter:
+                        ref_y = ref_y_bwd = None
+                        ref_fno_fwd = ref_fno_bwd = None
+                q_guess = self.rc.select_qi(
+                    FrameType.KEY if is_key else FrameType.INTER,
+                    enc.width, enc.height, nplan.level,
+                )
+                q_step = tables.ac_q(q_guess, 0, enc.bit_depth) / 8.0
+                lam = 0.12 * q_step * q_step
+                handle = analyze_frame_async(
+                    n_src, ref_y, ref_y_bwd, q_guess, lam, enc.bit_depth,
+                )
+                # fetch on a worker thread: the device->host wait is IO
+                # (GIL released), overlapping this frame's host coding
+                box = {}
 
-        from rav1e_tpu.device import analyze_finish
+                def _fetch(handle=handle, box=box):
+                    try:
+                        box["maps"] = analyze_finish(handle)
+                    except Exception as e:  # consumed as a sync fallback
+                        box["err"] = e
 
-        box = {}
-
-        def _fetch():
-            try:
-                box["maps"] = analyze_finish(handle)
-            except Exception as e:  # consumed as a sync fallback
-                box["err"] = e
-
-        th = threading.Thread(target=_fetch, daemon=True)
-        th.start()
-        self._pending_analysis = {
-            "frameno": nplan.input_frameno,
-            "q": q_guess,
-            "is_inter": is_inter,
-            "slot_fwd": nplan.ref_slot_fwd if is_inter else None,
-            "slot_bwd": (
-                nplan.ref_slot_bwd
-                if (is_inter and ref_y_bwd is not None)
-                else None
-            ),
-            "handle": handle,
-            "thread": th,
-            "box": box,
-        }
+                th = threading.Thread(target=_fetch, daemon=True)
+                th.start()
+                self._pending_analyses[fno] = {
+                    "q": q_guess,
+                    "is_inter": is_inter,
+                    "ref_fno_fwd": ref_fno_fwd,
+                    "ref_fno_bwd": ref_fno_bwd,
+                    "thread": th,
+                    "box": box,
+                }
+            # simulate this planned frame's slot refresh for deeper hints
+            refresh = (
+                0xFF if (nplan.kind == "key" or nplan.switch)
+                else (1 << nplan.slot)
+            )
+            for i in range(8):
+                if (refresh >> i) & 1:
+                    sim[i] = (fno, n_src)
 
     def encode_frame(
         self,
@@ -2267,7 +2285,7 @@ class FramePipeline:
         params=None,
         is_first: bool = False,
         plan=None,
-        next_hint=None,
+        next_hints=None,
     ) -> Packet:
         enc = self.config.enc
         assert frame_type == FrameType.KEY or not enc.still_picture
@@ -2410,23 +2428,28 @@ class FramePipeline:
             _p.order_hint = plan.order_hint & ((1 << _nb) - 1)
             fi.skip_mode_present = _skip_mode_refs(self.seq, _p) == (0, 6)
 
-        pending = self._pending_analysis
-        self._pending_analysis = None
+        pending = self._pending_analyses.pop(input_frameno, None)
         # validity: the dispatched program must have seen exactly the inputs
         # the sync path would use, so the bitstream is identical whether or
-        # not the next frame was queued early.  The maps additionally require
-        # the SAME qi (checked at consumption).
+        # not the frame was queued early.  The recorded reference-source
+        # framenos must match the slots' actual content (the predispatch
+        # simulation can diverge after an unplanned refresh), and the maps
+        # additionally require the SAME qi (checked at consumption).
         if pending is not None and not (
-            pending["frameno"] == input_frameno
-            and pending["is_inter"] == fi.is_inter_frame
+            pending["is_inter"] == fi.is_inter_frame
             and (
                 not fi.is_inter_frame
                 or (
-                    pending["slot_fwd"] == plan.ref_slot_fwd
-                    and pending["slot_bwd"]
+                    pending["ref_fno_fwd"]
+                    == self.slot_src_frameno[plan.ref_slot_fwd]
+                    and pending["ref_fno_fwd"] is not None
+                    and pending["ref_fno_bwd"]
                     == (
-                        plan.ref_slot_bwd
-                        if fi.ref_frame_bwd is not None
+                        self.slot_src_frameno[plan.ref_slot_bwd]
+                        if (
+                            fi.ref_frame_bwd is not None
+                            and plan.ref_slot_bwd is not None
+                        )
                         else None
                     )
                 )
@@ -2468,11 +2491,7 @@ class FramePipeline:
             from rav1e_tpu.utils.trace import span as _span
 
             maps = None
-            if (
-                pending is not None
-                and pending["handle"] is not None
-                and pending["q"] == base_q_idx
-            ):
+            if pending is not None and pending["q"] == base_q_idx:
                 with _span("device_analysis"):
                     pending["thread"].join()
                     maps = pending["box"].get("maps")
@@ -2492,15 +2511,16 @@ class FramePipeline:
                         src_y, ref_y, ref_y_bwd, base_q_idx, lam,
                         enc.bit_depth,
                     ))
-            # dispatch the NEXT planned frame's analysis now, so its device
-            # round-trip overlaps this frame's host coding and loop filters
-            if next_hint is not None:
+            # dispatch the NEXT planned frames' analyses now, so their
+            # device round-trips overlap this frame's host coding and loop
+            # filters
+            if next_hints:
                 try:
-                    self._predispatch_analysis(
-                        next_hint, frame, frame_type, plan
+                    self._predispatch_analyses(
+                        next_hints, frame, frame_type, plan
                     )
                 except Exception:
-                    self._pending_analysis = None
+                    self._pending_analyses.clear()
 
         # select the full-pel search family for this frame's speed tier
         # (native ME reads it as a per-process constant; the python fallback
@@ -2813,7 +2833,7 @@ class FramePipeline:
                 # the retry encodes into the same ref slot as the first try.
                 return self.encode_frame(
                     frame, input_frameno, frame_type, params, is_first, plan,
-                    next_hint=next_hint,
+                    next_hints=next_hints,
                 )
             finally:
                 self._rc_retry = False
@@ -2834,6 +2854,7 @@ class FramePipeline:
             if (refresh >> i) & 1:
                 self.rec_buffer[i] = rec
                 self.src_buffer[i] = src_luma
+                self.slot_src_frameno[i] = input_frameno
         self.frames_encoded += 1
         self.rc.update_state(
             len(packet_data) * 8, frame_type, fi.base_q_idx, enc.width, enc.height,
