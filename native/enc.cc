@@ -1452,6 +1452,58 @@ extern "C" void enc_inter_costs_8x8(
     }
 }
 
+// Per-8x8 intra cost proxy for temporal RDO (encoder/lookahead.py
+// estimate_intra_costs; reference lookahead.rs:30): residual SAD of the
+// best of a DC / row-mean / column-mean predictor.  All intermediate
+// doubles (means are sums over 64 resp. 8 values divided by a power of
+// two; |x-mean| terms carry <= 6 fractional bits) are exactly
+// representable, so this matches the numpy fallback bit-identically in
+// any summation order.
+template <typename T>
+static void la_intra_costs_t(const T* src, long stride, long h, long w,
+                             int bd, double* out) {
+  const int B = 8;
+  long nby = h / B, nbx = w / B;
+  double norm = (double)(1 << (bd - 8));
+  for (long by = 0; by < nby; by++)
+    for (long bx = 0; bx < nbx; bx++) {
+      const T* p = src + by * B * stride + bx * B;
+      double rows[B], cols[B] = {0}, total = 0;
+      for (int r = 0; r < B; r++) {
+        double rs = 0;
+        for (int c = 0; c < B; c++) {
+          double v = (double)p[r * stride + c];
+          rs += v;
+          cols[c] += v;
+        }
+        rows[r] = rs;
+        total += rs;
+      }
+      double dc = total / 64.0;
+      double sad_dc = 0, sad_row = 0, sad_col = 0;
+      for (int r = 0; r < B; r++) {
+        double rm = rows[r] / 8.0;
+        for (int c = 0; c < B; c++) {
+          double v = (double)p[r * stride + c];
+          sad_dc += std::abs(v - dc);
+          sad_row += std::abs(v - rm);
+          sad_col += std::abs(v - cols[c] / 8.0);
+        }
+      }
+      double best = std::min(sad_dc, std::min(sad_row, sad_col));
+      double o = best / norm;
+      out[by * nbx + bx] = o > 1.0 ? o : 1.0;
+    }
+}
+
+extern "C" void enc_la_intra_costs(const void* src, long stride, int bytespp,
+                                   long h, long w, int bd, double* out) {
+  if (bytespp == 1)
+    la_intra_costs_t((const uint8_t*)src, stride, h, w, bd, out);
+  else
+    la_intra_costs_t((const uint16_t*)src, stride, h, w, bd, out);
+}
+
 // Importance back-propagation scatter (encoder/lookahead.py
 // propagate_importance; reference internal.rs:1030-1160).  `amount` is
 // precomputed on the host; accumulation order matches the python loops

@@ -30,6 +30,20 @@ def estimate_intra_costs(luma: np.ndarray, bit_depth: int) -> np.ndarray:
     nby, nbx = h // IMP_BLOCK, w // IMP_BLOCK
     if nby == 0 or nbx == 0:
         return np.ones((max(nby, 1), max(nbx, 1)), dtype=np.float64)
+    from rav1e_tpu import native as _native
+
+    lib = _native.get_lib()
+    if (
+        lib is not None
+        and luma.dtype.itemsize in (1, 2)
+        and luma.strides[1] == luma.itemsize
+    ):
+        out = np.empty((nby, nbx), dtype=np.float64)
+        lib.enc_la_intra_costs(
+            luma.ctypes.data, luma.strides[0] // luma.itemsize,
+            luma.itemsize, h, w, bit_depth, out.ctypes.data,
+        )
+        return out
     a = luma[: nby * IMP_BLOCK, : nbx * IMP_BLOCK].astype(np.float64)
     cells = a.reshape(nby, IMP_BLOCK, nbx, IMP_BLOCK)
     dc = cells.mean(axis=(1, 3), keepdims=True)

@@ -210,6 +210,10 @@ def _bind_symbols(lib) -> None:
         c.c_void_p, c.c_long, c.c_void_p, c.c_long, c.c_int, c.c_long,
         c.c_long, c.c_void_p, c.c_long, c.c_long, c.c_int, c.c_void_p,
     ]
+    lib.enc_la_intra_costs.argtypes = [
+        c.c_void_p, c.c_long, c.c_int, c.c_long, c.c_long, c.c_int,
+        c.c_void_p,
+    ]
     lib.enc_propagate_importance.argtypes = [
         c.c_void_p, c.c_long, c.c_long, c.c_void_p, c.c_long, c.c_long,
         c.c_void_p, c.c_long, c.c_long,
