@@ -986,6 +986,8 @@ def _compound_methods():
             PredictionMode.NEAR_NEAR0MV: 1,
             PredictionMode.NEAR_NEAR1MV: 1,
             PredictionMode.NEAR_NEAR2MV: 1,
+            PredictionMode.NEAREST_NEWMV: 2,
+            PredictionMode.NEW_NEARESTMV: 3,
             PredictionMode.GLOBAL_GLOBALMV: 6,
             PredictionMode.NEW_NEWMV: 7,
         }[mode]

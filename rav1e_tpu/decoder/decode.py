@@ -539,6 +539,15 @@ class TileDecoder:
         elif mode == PredictionMode.NEAREST_NEARESTMV:
             mv0 = tuple(stack[0].this_mv) if stack else (0, 0)
             mv1 = tuple(stack[0].comp_mv) if stack else (0, 0)
+        elif mode == PredictionMode.NEAREST_NEWMV:
+            # no DRL (spec 5.11.24); one MVD for the second side
+            mv0 = tuple(stack[0].this_mv) if stack else (0, 0)
+            ref1 = tuple(stack[0].comp_mv) if stack else (0, 0)
+            mv1 = self.cr.read_mv(self.r, ref1, precision=1)
+        elif mode == PredictionMode.NEW_NEARESTMV:
+            mv1 = tuple(stack[0].comp_mv) if stack else (0, 0)
+            ref0 = tuple(stack[0].this_mv) if stack else (0, 0)
+            mv0 = self.cr.read_mv(self.r, ref0, precision=1)
         elif mode == PredictionMode.NEAR_NEAR0MV:
             ref_mv_idx = 1
             for idx in (1, 2):

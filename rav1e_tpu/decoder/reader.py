@@ -606,6 +606,8 @@ def _compound_read_methods():
         table = {
             0: PredictionMode.NEAREST_NEARESTMV,
             1: PredictionMode.NEAR_NEAR0MV,
+            2: PredictionMode.NEAREST_NEWMV,
+            3: PredictionMode.NEW_NEARESTMV,
             6: PredictionMode.GLOBAL_GLOBALMV,
             7: PredictionMode.NEW_NEWMV,
         }

@@ -1100,6 +1100,17 @@ class TileEncoder:
                 s = comp_sad_for(m0, m1)
                 if s < pair_eff:
                     pair_eff, pair_raw, pair_mvs = s, s, (m0, m1)
+            if stack_p:
+                # mixed pairs: one side pinned to the NEAREST pair, the
+                # other from ME — codes one MVD (NEAREST_NEWMV /
+                # NEW_NEARESTMV after the remap; rdo.rs:1304-1310)
+                n0 = (int(stack_p[0].this_mv[0]), int(stack_p[0].this_mv[1]))
+                n1 = (int(stack_p[0].comp_mv[0]), int(stack_p[0].comp_mv[1]))
+                for m0, m1 in ((n0, mv1), (mv0, n1)):
+                    s = comp_sad_for(m0, m1)
+                    eff = s + (w_px + h_px) // 4
+                    if eff < pair_eff:
+                        pair_eff, pair_raw, pair_mvs = eff, s, (m0, m1)
             if pair_raw < best_sad:
                 best = (
                     pair_raw, (LAST_FRAME, ALTREF_FRAME),
@@ -1516,10 +1527,23 @@ class TileEncoder:
                     near_idx = k
                     break
             else:
-                if not stack and mv0 == (0, 0) and mv1 == (0, 0):
-                    mode = PredictionMode.GLOBAL_GLOBALMV
+                # one-side matches against the NEAREST pair code a single
+                # MVD (reference encoder.rs:3053-3067 compound remap)
+                m0 = bool(stack) and tuple(stack[0].this_mv) == mv0
+                m1 = bool(stack) and tuple(stack[0].comp_mv) == mv1
+                if m0 and not m1:
+                    mode = PredictionMode.NEAREST_NEWMV
+                elif m1 and not m0:
+                    mode = PredictionMode.NEW_NEARESTMV
                 else:
                     mode = PredictionMode.NEW_NEWMV
+        if (
+            mode != PredictionMode.NEAREST_NEARESTMV
+            and mv0 == (0, 0)
+            and mv1 == (0, 0)
+        ):
+            # both-zero pairs code as GLOBAL_GLOBAL (encoder.rs:3069-3075)
+            mode = PredictionMode.GLOBAL_GLOBALMV
 
         max_tx = self._luma_tx_size(bsize)
         do_chroma = has_chroma(x, y, bsize, self.xdec, self.ydec, fi.seq.chroma_sampling)
@@ -1599,6 +1623,16 @@ class TileEncoder:
             ref1 = tuple(stack[0].comp_mv) if num_found > 0 else (0, 0)
             self.cw.write_mv(self.w, mv0, ref0, precision=1)
             self.cw.write_mv(self.w, mv1, ref1, precision=1)
+        # NEAREST_NEW / NEW_NEAREST: no DRL (spec 5.11.24 reads drl only
+        # for NEWMV/NEW_NEWMV or has_nearmv), one MVD vs stack[0]
+        if not use_sm and mode == PredictionMode.NEAREST_NEWMV:
+            self.cw.write_mv(
+                self.w, mv1, tuple(stack[0].comp_mv), precision=1
+            )
+        if not use_sm and mode == PredictionMode.NEW_NEARESTMV:
+            self.cw.write_mv(
+                self.w, mv0, tuple(stack[0].this_mv), precision=1
+            )
 
         # record block state (both refs)
         self.blocks.set_rect("mode", x, y, bsize, int(mode))

@@ -390,3 +390,79 @@ def test_skip_mode_blocks():
                 dec.planes[pl].as_array(), pkt.rec.planes[pl].as_array(),
                 err_msg=f"packet {i} plane {pl}",
             )
+
+
+def test_compound_mixed_modes_roundtrip():
+    """NEAREST_NEWMV / NEW_NEARESTMV: steer the compound decision so exactly
+    one side matches the NEAREST pair (the reference's one-side remap,
+    encoder.rs:3053-3067); both modes must be coded and decode bit-exactly."""
+    from unittest import mock
+
+    import rav1e_tpu.native_tile as native_tile
+    from rav1e_tpu.context.writer import ContextWriter
+    from rav1e_tpu.decoder import decode_packet
+    from rav1e_tpu.encoder.pipeline import TileEncoder
+    from rav1e_tpu.partition import PredictionMode
+
+    comp = []
+    orig_wcm = ContextWriter.write_compound_mode
+
+    def spy(self, w, mode, ctx):
+        comp.append(mode)
+        return orig_wcm(self, w, mode, ctx)
+
+    orig_sel = TileEncoder.select_inter
+    flip = [0]
+
+    def steer(self, x, y, bsize):
+        r = orig_sel(self, x, y, bsize)
+        if r is None or not isinstance(r[0], tuple):
+            return r
+        ref_type, ref_objs, mvs, stack, mode_ctx = r
+        if stack:
+            n0 = tuple(stack[0].this_mv)
+            n1 = tuple(stack[0].comp_mv)
+            if flip[0] % 2 == 0:
+                mvs = (n0, (n1[0] + 8, n1[1]))  # NEAREST_NEWMV
+            else:
+                mvs = ((n0[0], n0[1] + 8), n1)  # NEW_NEARESTMV
+            flip[0] += 1
+        return ref_type, ref_objs, mvs, stack, mode_ctx
+
+    cfg = Config(
+        enc=EncoderConfig(
+            width=128, height=96, quantizer=110, low_latency=False,
+            min_key_frame_interval=0, max_key_frame_interval=9999,
+        )
+    ).with_speed_preset(10)
+    ctx = cfg.new_context()
+    rng = np.random.default_rng(10)
+    base = np.clip(np.cumsum(rng.integers(-4, 5, (96 * 2, 128 * 3)), axis=1) + 128, 0, 255)
+    pkts = []
+    with mock.patch.object(ContextWriter, "write_compound_mode", spy), \
+         mock.patch.object(TileEncoder, "select_inter", steer), \
+         mock.patch.object(native_tile, "encode_tile_native", lambda te: None):
+        for i in range(9):
+            f = ctx.new_frame()
+            for p in f.planes:
+                ch, cw = p.cfg.height, p.cfg.width
+                xs = (i * 4) >> p.cfg.xdec
+                arr = np.clip(base[:ch, xs : xs + cw] + rng.integers(-2, 3, (ch, cw)), 0, 255)
+                p.copy_from(arr.astype(np.uint8))
+            ctx.send_frame(f)
+        ctx.flush()
+        while True:
+            try:
+                pkts.append(ctx.receive_packet())
+            except EncoderStatus.LimitReached:
+                break
+    assert PredictionMode.NEAREST_NEWMV in comp, set(comp)
+    assert PredictionMode.NEW_NEARESTMV in comp, set(comp)
+    state = None
+    for i, pkt in enumerate(pkts):
+        dec, state = decode_packet(pkt.data, state)
+        for pl in range(3):
+            np.testing.assert_array_equal(
+                dec.planes[pl].as_array(), pkt.rec.planes[pl].as_array(),
+                err_msg=f"packet {i} plane {pl}",
+            )
