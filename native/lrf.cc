@@ -64,8 +64,11 @@ void build_geom(StripeGeom& g, const void* cdef, long cstride,
   for (int i = 0; i < nrows; i++) {
     int64_t rowsum = 0, rowsq = 0;
     for (int j = 0; j < ncols; j++) {
+      // the integral-image source treats the stripe as even-height (the
+      // reference's VertPaddedIter gets stripe_h + (stripe_h & 1),
+      // lrf.rs:558-561): for odd sh the row at sy+sh still reads CDEF
       long v = src_val(cdef, cstride, debl, dstride, bytespp, px, sy, -4, -4,
-                       sh, crop_w, crop_h, i, j);
+                       sh_even, crop_w, crop_h, i, j);
       rowsum += v;
       rowsq += (int64_t)v * v;
       int64_t up = i > 0 ? g.P[(size_t)(i - 1) * ncols + j] : 0;
@@ -160,7 +163,14 @@ void compute_f(const StripeGeom& g, int bd, long s_r2, long s_r1,
       }
     }
   } else {
-    for (size_t i = 0; i < f2.size(); i++) f2[i] = g.lines[i] << SGRPROJ_RST_BITS;
+    // r2 disabled: the reference computes f_r2 only for the even row of
+    // each pair and shares it with the odd row (lrf.rs:746-750)
+    for (int row = 0; row < sh; row++) {
+      int even = row & ~1;
+      for (int x = 0; x < uw; x++)
+        f2[(size_t)row * uw + x] = g.lines[(size_t)even * uw + x]
+                                   << SGRPROJ_RST_BITS;
+    }
   }
 
   if (s_r1 > 0) {

@@ -51,10 +51,11 @@ def _kmeans1d(values: np.ndarray, k: int, iters: int = 12) -> np.ndarray:
     cents = np.linspace(vmin, vmax, k)
     for _ in range(iters):
         assign = np.argmin(np.abs(values[:, None] - cents[None, :]), axis=1)
-        for j in range(k):
-            sel = values[assign == j]
-            if sel.size:
-                cents[j] = sel.mean()
+        sums = np.bincount(assign, weights=values, minlength=k)
+        counts = np.bincount(assign, minlength=k)
+        nz = counts > 0
+        # empty clusters keep their previous centroid
+        cents[nz] = sums[nz] / counts[nz]
     return np.sort(cents)
 
 

@@ -239,8 +239,11 @@ def sgr_stripe_geom(cdef_arr, debl_arr, px, sy, uw, sh, crop_w, crop_h):
     :func:`sgr_compute_f_from_geom`)."""
     sh_even = sh + (sh & 1)
     nrows = 4 + sh_even + 2
+    # the integral-image source treats the stripe as even-height (the
+    # reference's VertPaddedIter receives stripe_h + (stripe_h & 1),
+    # lrf.rs:558-561), so for odd sh the row at sy+sh still reads CDEF
     S = _stripe_source(cdef_arr, debl_arr, px, sy, uw + 7, nrows, -4, -4,
-                       sh, crop_w, crop_h)
+                       sh_even, crop_w, crop_h)
     P = S.cumsum(axis=0).cumsum(axis=1)
     Psq = (S * S).cumsum(axis=0).cumsum(axis=1)
     lines = _stripe_source(cdef_arr, debl_arr, px, sy, uw, sh, 0, 0, sh,
@@ -302,7 +305,10 @@ def sgr_compute_f_from_geom(g, bd, s_r2, s_r1):
             odd_rows = lines[1:sh:2]
             f2[1:sh:2] = (a2c[j1] * odd_rows + b2c[j1] + (1 << shifto >> 1)) >> shifto
     else:
-        f2 = lines << SGRPROJ_RST_BITS
+        # r2 disabled: the reference computes f_r2 only for the even row of
+        # each pair and shares it with the odd row ("share results for both
+        # rows", lrf.rs:746-750) — odd rows use the row above's pixels
+        f2 = np.repeat(lines[0:sh:2] << SGRPROJ_RST_BITS, 2, axis=0)[:sh]
 
     if s_r1 > 0:
         ssq1, sum1 = _geom_boxsums(g, "1")
