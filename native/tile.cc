@@ -425,6 +425,12 @@ struct TileParams {
   uint8_t* coeff_log;
   long coeff_log_cap;
   long* coeff_log_len;  // record: out bytes used; replay: in bytes
+  // far backward anchor (single-prediction BWDREF; pipeline
+  // fi.ref_frame_bwd2): appended at the struct tail to keep the ctypes
+  // mirror layout append-only
+  int have_ref2;
+  PlaneDesc ref2[3];
+  const int32_t* dev_mv2;
 };
 
 // ---------------------------------------------------------------------------

@@ -36,6 +36,10 @@ class PlannedFrame:
     slot: int = 0                 # slot this frame refreshes / SEF shows
     ref_slot_fwd: int = 0
     ref_slot_bwd: Optional[int] = None
+    # far backward anchor (a second future reference beyond ref_slot_bwd),
+    # searched as single-prediction BWDREF (reference rdo.rs:1138-1155
+    # multi-ref loop); None when no distinct far anchor exists
+    ref_slot_bwd2: Optional[int] = None
     ref_frames: List[int] = field(default_factory=lambda: [0] * 7)
     # temporal-RDO grids (internal.rs:912-1259): per-8x8 propagated
     # importance and the frame's own intra-cost grid, filled by the
@@ -76,16 +80,27 @@ class InterConfig:
             if level == 0:
                 fwd = (slot + 4 - 1) % 4
                 bwd = None
+                bwd2 = None
             else:
                 fwd = self.slot_of(o - (gil >> level))
                 bwd = self.slot_of(o + (gil >> level))
+                # far anchor two pyramid hops out (only the first level-2
+                # frame of a group has a future ref beyond its near anchor)
+                bwd2 = None
+                if level >= 2:
+                    far = self.slot_of(o + (gil >> level) + (gil >> (level - 1)))
+                    if far != bwd:
+                        bwd2 = far
             refs = [fwd] * 7
             if bwd is not None:
                 refs[6] = bwd  # ALTREF_FRAME index (encoder.rs:1079)
+            if bwd2 is not None:
+                refs[4] = bwd2  # BWDREF_FRAME carries the far anchor
             refs[2] = slot  # LAST3: previous frame in same level (encoder.rs:1091)
             return PlannedFrame(
                 "inter", f, order_hint=o, level=level, show_frame=show,
-                slot=slot, ref_slot_fwd=fwd, ref_slot_bwd=bwd, ref_frames=refs,
+                slot=slot, ref_slot_fwd=fwd, ref_slot_bwd=bwd,
+                ref_slot_bwd2=bwd2, ref_frames=refs,
             )
 
         return [

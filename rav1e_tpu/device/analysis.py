@@ -403,6 +403,7 @@ class DeviceMaps:
     bits_est: float  # frame rate-estimate total (RC aggregation input)
     mv0: np.ndarray = None  # (H/16, W/16, 2) int32 1/8-pel MVs vs fwd ref
     mv1: np.ndarray = None  # same vs bwd ref (when the pyramid provides one)
+    mv2: np.ndarray = None  # same vs the far backward anchor (BWDREF)
 
 
 def _merge_partitions(costs, modes, inters, rates, lam):
@@ -441,13 +442,14 @@ def _merge_partitions(costs, modes, inters, rates, lam):
     return size_map, mode_map, inter_map, rate_map
 
 
-def _frame_analysis(luma, ref0, ref1, q, lam, bd: int, has_inter: bool,
-                    has_bwd: bool = False):
+def _frame_analysis(luma, ref0, ref1, ref2, q, lam, bd: int, has_inter: bool,
+                    has_bwd: bool = False, has_bwd2: bool = False):
     """Whole-frame analysis: device ME (pyramid + subpel, device/me.py) vs
     each reference, then intra/inter cost fields and the partition merge.
 
-    Returns (size_map, mode_map, inter_map, bits_est, mv0, mv1) — the MV
-    maps are (H/16, W/16, 2) int32 in 1/8-pel units (zeros when unused)."""
+    Returns (size_map, mode_map, inter_map, bits_est, mv0, mv1, mv2) — the
+    MV maps are (H/16, W/16, 2) int32 in 1/8-pel units (zeros when
+    unused)."""
     jnp = _jnp()
     from rav1e_tpu.device.me import me_field
 
@@ -463,6 +465,11 @@ def _frame_analysis(luma, ref0, ref1, q, lam, bd: int, has_inter: bool,
     mv1 = (
         me_field(luma, ref1, bd)
         if (has_inter and has_bwd)
+        else jnp.zeros((ny16, nx16, 2), jnp.int32)
+    )
+    mv2 = (
+        me_field(luma, ref2, bd)
+        if (has_inter and has_bwd2)
         else jnp.zeros((ny16, nx16, 2), jnp.int32)
     )
 
@@ -492,11 +499,12 @@ def _frame_analysis(luma, ref0, ref1, q, lam, bd: int, has_inter: bool,
         costs, modes, inters, rates, lam
     )
     bits_est = rate_map.sum()
-    return size_map, mode_map, inter_map, bits_est, mv0, mv1
+    return size_map, mode_map, inter_map, bits_est, mv0, mv1, mv2
 
 
 @functools.lru_cache(None)
-def frame_analysis_jit(bd: int, has_inter: bool, has_bwd: bool):
+def frame_analysis_jit(bd: int, has_inter: bool, has_bwd: bool,
+                       has_bwd2: bool = False):
     """Jitted analysis with everything packed into ONE int32 vector on
     device: per-8px-cell `size_log2 | mode<<3 | inter<<9`, then
     round(bits_est*16), then the MV maps as `(dy & 0xFFFF) | dx<<16`
@@ -507,10 +515,12 @@ def frame_analysis_jit(bd: int, has_inter: bool, has_bwd: bool):
 
     jnp = _jnp()
 
-    def fn(luma, ref0, ref1, q, lam):
-        size_map, mode_map, inter_map, bits_est, mv0, mv1 = _frame_analysis(
+    def fn(luma, ref0, ref1, ref2, q, lam):
+        (size_map, mode_map, inter_map, bits_est, mv0, mv1,
+         mv2) = _frame_analysis(
             luma.astype(jnp.int32), ref0.astype(jnp.int32),
-            ref1.astype(jnp.int32), q, lam, bd, has_inter, has_bwd,
+            ref1.astype(jnp.int32), ref2.astype(jnp.int32), q, lam, bd,
+            has_inter, has_bwd, has_bwd2,
         )
         packed = (
             size_map | (mode_map << 3) | (inter_map.astype(jnp.int32) << 9)
@@ -523,6 +533,9 @@ def frame_analysis_jit(bd: int, has_inter: bool, has_bwd: bool):
             if has_bwd:
                 pk1 = (mv1[..., 0] & 0xFFFF) | (mv1[..., 1] << 16)
                 parts.append(pk1.reshape(-1))
+            if has_bwd2:
+                pk2 = (mv2[..., 0] & 0xFFFF) | (mv2[..., 1] << 16)
+                parts.append(pk2.reshape(-1))
         return jnp.concatenate(parts)
 
     return jax.jit(fn)
@@ -535,10 +548,12 @@ def analyze_frame(
     qindex: int,
     lam: float,
     bd: int,
+    ref2_np=None,
 ) -> DeviceMaps:
     """Synchronous host entry: dispatch + fetch in one call."""
     return analyze_finish(
-        analyze_frame_async(luma_np, ref0_np, ref1_np, qindex, lam, bd)
+        analyze_frame_async(luma_np, ref0_np, ref1_np, qindex, lam, bd,
+                            ref2_np)
     )
 
 
@@ -549,13 +564,15 @@ def analyze_frame_async(
     qindex: int,
     lam: float,
     bd: int,
+    ref2_np=None,
 ):
     """Host entry: pad to 64-multiples, run the jitted analysis async.
 
-    luma_np / ref0_np / ref1_np: (H, W) visible-luma numpy arrays (refs are
-    the *source* planes of the forward / backward references, the
-    reference's own lookahead-ME approximation, internal.rs:731-760); device
-    ME runs inside the program, so no MV field is uploaded.
+    luma_np / ref0_np / ref1_np / ref2_np: (H, W) visible-luma numpy arrays
+    (refs are the *source* planes of the forward / near-backward /
+    far-backward references, the reference's own lookahead-ME
+    approximation, internal.rs:731-760); device ME runs inside the
+    program, so no MV field is uploaded.
     """
     import jax.numpy as jnp
 
@@ -567,6 +584,7 @@ def analyze_frame_async(
     luma = np.pad(luma_np, ((0, h64 - h), (0, w64 - w)), mode="edge")
     has_inter = ref0_np is not None
     has_bwd = has_inter and ref1_np is not None
+    has_bwd2 = has_bwd and ref2_np is not None
     if has_inter:
         ref0 = np.pad(ref0_np, ((0, h64 - h), (0, w64 - w)), mode="edge")
     else:
@@ -576,15 +594,20 @@ def analyze_frame_async(
         if has_bwd
         else ref0
     )
+    ref2 = (
+        np.pad(ref2_np, ((0, h64 - h), (0, w64 - w)), mode="edge")
+        if has_bwd2
+        else ref0
+    )
 
     q = float(tables.ac_q(qindex, 0, bd))
-    fn = frame_analysis_jit(bd, has_inter, has_bwd)
+    fn = frame_analysis_jit(bd, has_inter, has_bwd, has_bwd2)
     out = fn(
         jnp.asarray(luma), jnp.asarray(ref0), jnp.asarray(ref1),
-        jnp.float32(q), jnp.float32(lam),
+        jnp.asarray(ref2), jnp.float32(q), jnp.float32(lam),
     )
     # jax dispatch is asynchronous: `out` is a future until fetched.
-    return (out, h64 // 8, w64 // 8, has_inter, has_bwd)
+    return (out, h64 // 8, w64 // 8, has_inter, has_bwd, has_bwd2)
 
 
 def _unpack_mv(flat, ny16, nx16):
@@ -595,18 +618,22 @@ def _unpack_mv(flat, ny16, nx16):
 
 def analyze_finish(handle) -> DeviceMaps:
     """Block on an analyze_frame_async handle and unpack the maps."""
-    out, ny, nx, has_inter, has_bwd = handle
+    out, ny, nx, has_inter, has_bwd, has_bwd2 = handle
     arr = np.asarray(out)
     ncells = ny * nx
     packed = arr[:ncells].reshape(ny, nx)
     ny16, nx16 = ny // 2, nx // 2
     nmv = ny16 * nx16
-    mv0 = mv1 = None
+    mv0 = mv1 = mv2 = None
     if has_inter:
         mv0 = _unpack_mv(arr[ncells + 1 : ncells + 1 + nmv], ny16, nx16)
         if has_bwd:
             mv1 = _unpack_mv(
                 arr[ncells + 1 + nmv : ncells + 1 + 2 * nmv], ny16, nx16
+            )
+        if has_bwd2:
+            mv2 = _unpack_mv(
+                arr[ncells + 1 + 2 * nmv : ncells + 1 + 3 * nmv], ny16, nx16
             )
     return DeviceMaps(
         size_log2=packed & 7,
@@ -615,4 +642,5 @@ def analyze_finish(handle) -> DeviceMaps:
         bits_est=float(arr[ncells]) / 16.0,
         mv0=mv0,
         mv1=mv1,
+        mv2=mv2,
     )

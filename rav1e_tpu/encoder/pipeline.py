@@ -188,6 +188,10 @@ class FrameInvariantsLite:
     mi_rows: int
     ref_frame: Optional[Frame] = None  # forward (LAST) reference reconstruction
     ref_frame_bwd: Optional[Frame] = None  # backward (ALTREF) reference
+    # far backward anchor, searched single-prediction under the BWDREF name
+    # (reference rdo.rs:1138-1155 multi-ref loop); compound stays
+    # (LAST, ALTREF)
+    ref_frame_bwd2: Optional[Frame] = None
     seg: Optional[object] = None  # SegmentationState
     prev_mvs: Optional[np.ndarray] = None  # (mi_rows, mi_cols, 2) last frame MV field
     init_cdfs: Optional[object] = None  # CDFContext inherited via primary_ref_frame
@@ -621,9 +625,12 @@ class TileEncoder:
         if proxy is not None:
             cands.append(proxy)
         finder = self._mv_finder()
+        from rav1e_tpu.context.mv import BWDREF_FRAME
+
         for ref_type, ref_obj in (
             (LAST_FRAME, fi.ref_frame),
             (ALTREF_FRAME, fi.ref_frame_bwd),
+            (BWDREF_FRAME, fi.ref_frame_bwd2),
         ):
             if ref_obj is None:
                 continue
@@ -691,9 +698,14 @@ class TileEncoder:
         if isinstance(ref_type, tuple):
             ref_obj = (fi.ref_frame, fi.ref_frame_bwd)
         else:
-            from rav1e_tpu.context.mv import ALTREF_FRAME
+            from rav1e_tpu.context.mv import ALTREF_FRAME, BWDREF_FRAME
 
-            ref_obj = fi.ref_frame_bwd if ref_type == ALTREF_FRAME else fi.ref_frame
+            if ref_type == ALTREF_FRAME:
+                ref_obj = fi.ref_frame_bwd
+            elif ref_type == BWDREF_FRAME:
+                ref_obj = fi.ref_frame_bwd2
+            else:
+                ref_obj = fi.ref_frame
         stack, mode_ctx = self._mv_finder().find_mvrefs(
             x, y, ref_type, bsize, lambda r: 0
         )
@@ -1010,7 +1022,7 @@ class TileEncoder:
         (ref_type, ref_frame_obj, mv, stack, mode_ctx) or None when the
         intra proxy wins (reference me.rs + rdo.rs inter loop, redesigned as
         per-ref candidate evaluation)."""
-        from rav1e_tpu.context.mv import ALTREF_FRAME, LAST_FRAME
+        from rav1e_tpu.context.mv import ALTREF_FRAME, BWDREF_FRAME, LAST_FRAME
 
         fi = self.fi
         if bsize < BlockSize.BLOCK_8X8:
@@ -1031,14 +1043,19 @@ class TileEncoder:
         candidates = [(LAST_FRAME, fi.ref_frame)]
         if fi.ref_frame_bwd is not None:
             candidates.append((ALTREF_FRAME, fi.ref_frame_bwd))
-
         dm = fi.device_maps
+        if fi.ref_frame_bwd2 is not None and (dm is None or dm.mv2 is not None):
+            # far anchor as a third single-prediction ref (rdo.rs:1138-1155)
+            candidates.append((BWDREF_FRAME, fi.ref_frame_bwd2))
         best = None  # (sad, ref_type, ref_obj, mv, stack, mode_ctx)
         per_ref = {}
         for ref_type, ref_obj in candidates:
             mvmap = None
             if dm is not None:
-                mvmap = dm.mv0 if ref_type == LAST_FRAME else dm.mv1
+                mvmap = (
+                    dm.mv0 if ref_type == LAST_FRAME
+                    else (dm.mv1 if ref_type == ALTREF_FRAME else dm.mv2)
+                )
             if mvmap is not None:
                 r = self._me_candidates_one(
                     x, y, bsize, ref_type, ref_obj, block, px, py, mvmap
@@ -2260,8 +2277,8 @@ class FramePipeline:
             n_src = nframe.planes[0].as_array()[: enc.height, : enc.width]
             if fno not in self._pending_analyses:
                 is_key = nplan.kind == "key"
-                ref_y = ref_y_bwd = None
-                ref_fno_fwd = ref_fno_bwd = None
+                ref_y = ref_y_bwd = ref_y_bwd2 = None
+                ref_fno_fwd = ref_fno_bwd = ref_fno_bwd2 = None
                 is_inter = False
                 if not is_key:
                     ref_fno_fwd, ref_y = slot_state(nplan.ref_slot_fwd)
@@ -2270,9 +2287,19 @@ class FramePipeline:
                         ref_fno_bwd, ref_y_bwd = slot_state(nplan.ref_slot_bwd)
                         if ref_y_bwd is None:
                             ref_fno_bwd = None
+                    if (
+                        is_inter
+                        and ref_y_bwd is not None
+                        and getattr(nplan, "ref_slot_bwd2", None) is not None
+                    ):
+                        ref_fno_bwd2, ref_y_bwd2 = slot_state(
+                            nplan.ref_slot_bwd2
+                        )
+                        if ref_y_bwd2 is None:
+                            ref_fno_bwd2 = None
                     if not is_inter:
-                        ref_y = ref_y_bwd = None
-                        ref_fno_fwd = ref_fno_bwd = None
+                        ref_y = ref_y_bwd = ref_y_bwd2 = None
+                        ref_fno_fwd = ref_fno_bwd = ref_fno_bwd2 = None
                 q_guess = self.rc.select_qi(
                     FrameType.KEY if is_key else FrameType.INTER,
                     enc.width, enc.height, nplan.level,
@@ -2281,6 +2308,7 @@ class FramePipeline:
                 lam = 0.12 * q_step * q_step
                 handle = analyze_frame_async(
                     n_src, ref_y, ref_y_bwd, q_guess, lam, enc.bit_depth,
+                    ref2_np=ref_y_bwd2,
                 )
                 # fetch on a worker thread: the device->host wait is IO
                 # (GIL released), overlapping this frame's host coding
@@ -2299,6 +2327,7 @@ class FramePipeline:
                     "is_inter": is_inter,
                     "ref_fno_fwd": ref_fno_fwd,
                     "ref_fno_bwd": ref_fno_bwd,
+                    "ref_fno_bwd2": ref_fno_bwd2,
                     "thread": th,
                     "box": box,
                 }
@@ -2344,13 +2373,18 @@ class FramePipeline:
         ):
             frame_type = FrameType.SWITCH
 
-        ref_fwd = ref_bwd = None
+        ref_fwd = ref_bwd = ref_bwd2 = None
         primary_ref = 7  # PRIMARY_REF_NONE
         init_cdfs = None
         if frame_type.has_inter():
             ref_fwd = self.rec_buffer[plan.ref_slot_fwd]
             if plan.ref_slot_bwd is not None:
                 ref_bwd = self.rec_buffer[plan.ref_slot_bwd]
+            if (
+                ref_bwd is not None
+                and getattr(plan, "ref_slot_bwd2", None) is not None
+            ):
+                ref_bwd2 = self.rec_buffer[plan.ref_slot_bwd2]
             if ref_fwd is None:
                 frame_type = FrameType.KEY
             elif (
@@ -2434,6 +2468,7 @@ class FramePipeline:
             mi_rows=mi_rows,
             ref_frame=ref_fwd if frame_type.has_inter() else None,
             ref_frame_bwd=ref_bwd if frame_type.has_inter() else None,
+            ref_frame_bwd2=ref_bwd2 if frame_type.has_inter() else None,
             seg=seg,
             prev_mvs=self.prev_mvs if frame_type.has_inter() else None,
             init_cdfs=init_cdfs if frame_type.has_inter() else None,
@@ -2486,6 +2521,16 @@ class FramePipeline:
                         )
                         else None
                     )
+                    and pending.get("ref_fno_bwd2")
+                    == (
+                        self.slot_src_frameno[plan.ref_slot_bwd2]
+                        if (
+                            fi.ref_frame_bwd2 is not None
+                            and getattr(plan, "ref_slot_bwd2", None)
+                            is not None
+                        )
+                        else None
+                    )
                 )
             )
         ):
@@ -2533,17 +2578,23 @@ class FramePipeline:
                 fi.device_maps = maps
             else:
                 src_y = frame.planes[0].as_array()[: enc.height, : enc.width]
-                ref_y = ref_y_bwd = None
+                ref_y = ref_y_bwd = ref_y_bwd2 = None
                 if fi.is_inter_frame:
                     ref_y = self._ref_src_luma(plan.ref_slot_fwd)
                     if fi.ref_frame_bwd is not None and plan.ref_slot_bwd is not None:
                         ref_y_bwd = self._ref_src_luma(plan.ref_slot_bwd)
+                    if (
+                        ref_y_bwd is not None
+                        and fi.ref_frame_bwd2 is not None
+                        and getattr(plan, "ref_slot_bwd2", None) is not None
+                    ):
+                        ref_y_bwd2 = self._ref_src_luma(plan.ref_slot_bwd2)
                 q_step = tables.ac_q(base_q_idx, 0, enc.bit_depth) / 8.0
                 lam = 0.12 * q_step * q_step
                 with _span("device_analysis"):
                     fi.device_maps = analyze_finish(analyze_frame_async(
                         src_y, ref_y, ref_y_bwd, base_q_idx, lam,
-                        enc.bit_depth,
+                        enc.bit_depth, ref2_np=ref_y_bwd2,
                     ))
             # dispatch the NEXT planned frames' analyses now, so their
             # device round-trips overlap this frame's host coding and loop

@@ -78,6 +78,8 @@ class TileParamsC(ctypes.Structure):
         ("coeff_log_mode", c_int),
         ("coeff_log", c_ptr), ("coeff_log_cap", c_long),
         ("coeff_log_len", c_ptr),
+        ("have_ref2", c_int), ("ref2", PlaneDescC * 3),
+        ("dev_mv2", c_ptr),
     ]
 
 
@@ -307,6 +309,13 @@ def encode_tile_native(te) -> Optional[tuple]:
         for i in range(3):
             pl = fi.ref_frame_bwd.planes[i] if i < len(fi.ref_frame_bwd.planes) else fi.ref_frame_bwd.planes[0]
             p.ref1[i] = _plane_desc(pl)
+    p.have_ref2 = int(fi.ref_frame_bwd2 is not None)
+    if fi.ref_frame_bwd2 is not None:
+        for i in range(3):
+            pl = (fi.ref_frame_bwd2.planes[i]
+                  if i < len(fi.ref_frame_bwd2.planes)
+                  else fi.ref_frame_bwd2.planes[0])
+            p.ref2[i] = _plane_desc(pl)
 
     # ME fields + temporal MVs
     if fi.me_fields is not None:
@@ -340,6 +349,10 @@ def encode_tile_native(te) -> Optional[tuple]:
             dmv1 = np.ascontiguousarray(dm.mv1, dtype=np.int32)
             keep.append(dmv1)
             p.dev_mv1 = dmv1.ctypes.data
+        if dm.mv2 is not None:
+            dmv2 = np.ascontiguousarray(dm.mv2, dtype=np.int32)
+            keep.append(dmv2)
+            p.dev_mv2 = dmv2.ctypes.data
 
     # LRF pass-2 state
     if te.rs is not None:

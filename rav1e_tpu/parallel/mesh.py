@@ -55,8 +55,8 @@ def sharded_frame_analysis(mesh, luma, qindex: int, lam: float, bd: int = 8):
 
     def band_step(band, q_, lam_):
         band = band[0]  # strip the sharded leading axis
-        size_map, mode_map, inter_map, bits, _, _ = _frame_analysis(
-            band, band, band, q_, lam_, bd, has_inter=False
+        size_map, mode_map, inter_map, bits, _, _, _ = _frame_analysis(
+            band, band, band, band, q_, lam_, bd, has_inter=False
         )
         total_bits = jax.lax.psum(bits, "tile")
         return size_map[None], mode_map[None], inter_map[None], total_bits

@@ -61,8 +61,8 @@ def test_sharded_matches_per_band_analysis():
     total = 0.0
     for i in range(8):
         band = jnp.asarray(luma[i * 64 : (i + 1) * 64])
-        s_ref, m_ref, _, b_ref, _, _ = _frame_analysis(
-            band, band, band, q, jnp.float32(lam), bd, has_inter=False
+        s_ref, m_ref, _, b_ref, _, _, _ = _frame_analysis(
+            band, band, band, band, q, jnp.float32(lam), bd, has_inter=False
         )
         assert np.array_equal(np.asarray(s_ref), size_map[i * 8 : (i + 1) * 8])
         assert np.array_equal(np.asarray(m_ref), mode_map[i * 8 : (i + 1) * 8])
@@ -115,6 +115,7 @@ def test_sharded_maps_drive_identical_bitstream():
     q = jnp.float32(float(tables.ac_q(qindex, 0, bd)))
     parts = [
         _frame_analysis(
+            jnp.asarray(luma[i * 64 : (i + 1) * 64].astype(np.int32)),
             jnp.asarray(luma[i * 64 : (i + 1) * 64].astype(np.int32)),
             jnp.asarray(luma[i * 64 : (i + 1) * 64].astype(np.int32)),
             jnp.asarray(luma[i * 64 : (i + 1) * 64].astype(np.int32)),
