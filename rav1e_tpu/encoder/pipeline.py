@@ -2291,6 +2291,7 @@ class FramePipeline:
                         is_inter
                         and ref_y_bwd is not None
                         and getattr(nplan, "ref_slot_bwd2", None) is not None
+                        and enc.speed_settings.multiref
                     ):
                         ref_fno_bwd2, ref_y_bwd2 = slot_state(
                             nplan.ref_slot_bwd2
@@ -2383,6 +2384,7 @@ class FramePipeline:
             if (
                 ref_bwd is not None
                 and getattr(plan, "ref_slot_bwd2", None) is not None
+                and enc.speed_settings.multiref
             ):
                 ref_bwd2 = self.rec_buffer[plan.ref_slot_bwd2]
             if ref_fwd is None:

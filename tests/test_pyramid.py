@@ -499,6 +499,9 @@ def test_bwdref_far_anchor_used_and_decodes():
         cfg.enc.speed_settings.scene_detection_mode = type(
             cfg.enc.speed_settings.scene_detection_mode
         )(0)
+        # speed 10 disables multiref (reference speedsettings.rs:163);
+        # force it on to exercise the third-reference path cheaply
+        cfg.enc.speed_settings.multiref = True
         ctx = cfg.new_context()
         rng = np.random.default_rng(2)
         base = np.clip(
