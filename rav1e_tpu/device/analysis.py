@@ -499,7 +499,7 @@ def _frame_analysis(luma, ref0, ref1, ref2, q, lam, bd: int, has_inter: bool,
         costs, modes, inters, rates, lam
     )
     bits_est = rate_map.sum()
-    return size_map, mode_map, inter_map, bits_est, mv0, mv1, mv2
+    return size_map, mode_map, inter_map, bits_est, mv0, mv1, mv2, rate_map
 
 
 @functools.lru_cache(None)
@@ -517,7 +517,7 @@ def frame_analysis_jit(bd: int, has_inter: bool, has_bwd: bool,
 
     def fn(luma, ref0, ref1, ref2, q, lam):
         (size_map, mode_map, inter_map, bits_est, mv0, mv1,
-         mv2) = _frame_analysis(
+         mv2, _rate) = _frame_analysis(
             luma.astype(jnp.int32), ref0.astype(jnp.int32),
             ref1.astype(jnp.int32), ref2.astype(jnp.int32), q, lam, bd,
             has_inter, has_bwd, has_bwd2,

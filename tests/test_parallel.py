@@ -61,7 +61,7 @@ def test_sharded_matches_per_band_analysis():
     total = 0.0
     for i in range(8):
         band = jnp.asarray(luma[i * 64 : (i + 1) * 64])
-        s_ref, m_ref, _, b_ref, _, _, _ = _frame_analysis(
+        s_ref, m_ref, _, b_ref, _, _, _, _ = _frame_analysis(
             band, band, band, band, q, jnp.float32(lam), bd, has_inter=False
         )
         assert np.array_equal(np.asarray(s_ref), size_map[i * 8 : (i + 1) * 8])
@@ -133,3 +133,65 @@ def test_sharded_maps_drive_identical_bitstream():
     data_sharded = encode_with_maps(maps_sharded)
     data_single = encode_with_maps(maps_single)
     assert data_sharded == data_single and len(data_sharded) > 0
+
+
+def test_sharded_inter_analysis_halo_exchange():
+    """Inter analysis sharded over the mesh with ppermute halo exchange:
+    each band's decisions must equal the single-device analysis of the
+    halo-extended band, and the psum'd rate must equal the interior sum."""
+    import jax
+    import jax.numpy as jnp
+
+    from rav1e_tpu import tables
+    from rav1e_tpu.device.analysis import _frame_analysis
+    from rav1e_tpu.parallel import make_mesh, sharded_inter_analysis
+    from rav1e_tpu.parallel.mesh import ME_HALO
+
+    n = 4
+    mesh = make_mesh(n)
+    band_h, w = 64, 192
+    h = n * band_h
+    rng = np.random.default_rng(5)
+    luma = rng.integers(0, 256, (h, w), dtype=np.int32)
+    ref = np.roll(luma, (2, -5), (0, 1)).astype(np.int32)
+
+    qindex, lam, bd = 110, 30.0, 8
+    s_map, m_map, i_map, mv0, bits = sharded_inter_analysis(
+        mesh, luma, ref, qindex, lam, bd
+    )
+    assert s_map.shape == (h // 8, w // 8)
+    assert mv0.shape == (h // 16, w // 16, 2)
+    assert np.isfinite(bits) and bits > 0
+
+    q = jnp.float32(float(tables.ac_q(qindex, 0, bd)))
+    Hh = ME_HALO
+    total = 0.0
+    for i in range(n):
+        lo, hi = i * band_h, (i + 1) * band_h
+        # replicate frame-edge rows exactly as the boundary chips do
+        top = luma[lo - Hh : lo] if i > 0 else np.repeat(luma[:1], Hh, 0)
+        bot = luma[hi : hi + Hh] if i < n - 1 else np.repeat(luma[-1:], Hh, 0)
+        ext_src = np.concatenate([top, luma[lo:hi], bot])
+        rtop = ref[lo - Hh : lo] if i > 0 else np.repeat(ref[:1], Hh, 0)
+        rbot = ref[hi : hi + Hh] if i < n - 1 else np.repeat(ref[-1:], Hh, 0)
+        ext_ref = np.concatenate([rtop, ref[lo:hi], rbot])
+        s_ref, m_ref, i_ref, _b, mv_ref, _m1, _m2, rate = _frame_analysis(
+            jnp.asarray(ext_src), jnp.asarray(ext_ref), jnp.asarray(ext_ref),
+            jnp.asarray(ext_ref), q, jnp.float32(lam), bd, has_inter=True,
+        )
+        hc, nc = Hh // 8, band_h // 8
+        hm, nm = Hh // 16, band_h // 16
+        np.testing.assert_array_equal(
+            np.asarray(s_ref)[hc : hc + nc], s_map[lo // 8 : hi // 8],
+            err_msg=f"band {i} size map",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_ref)[hc : hc + nc], m_map[lo // 8 : hi // 8],
+            err_msg=f"band {i} mode map",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mv_ref)[hm : hm + nm], mv0[lo // 16 : hi // 16],
+            err_msg=f"band {i} mv field",
+        )
+        total += float(np.asarray(rate)[hc : hc + nc].sum())
+    assert abs(total - bits) / max(total, 1.0) < 1e-5, (total, bits)

@@ -156,6 +156,12 @@ def main():
     rows = []
 
     def config_row(name, w, h, n, bd=8, **kw):
+        # warm-up: first jit compile per frame geometry takes 20-80s on the
+        # tunneled TPU and must not count against throughput (bench.py does
+        # the same); the warm context is discarded
+        warm = mkctx(w, h, bd=bd, **kw)
+        encode_run(warm, synth_frames(warm, min(n, 3), w, h, bd=bd),
+                   decode_check=False)
         ctx = mkctx(w, h, bd=bd, **kw)
         frames = synth_frames(ctx, n, w, h, bd=bd)
         pkts, dt, nbytes = encode_run(ctx, frames)
