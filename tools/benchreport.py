@@ -158,9 +158,10 @@ def main():
     def config_row(name, w, h, n, bd=8, **kw):
         # warm-up: first jit compile per frame geometry takes 20-80s on the
         # tunneled TPU and must not count against throughput (bench.py does
-        # the same); the warm context is discarded
+        # the same); 6 frames reach every analysis variant (key, inter,
+        # inter+bwd, inter+bwd2).  The warm context is discarded.
         warm = mkctx(w, h, bd=bd, **kw)
-        encode_run(warm, synth_frames(warm, min(n, 3), w, h, bd=bd),
+        encode_run(warm, synth_frames(warm, min(n, 6), w, h, bd=bd),
                    decode_check=False)
         ctx = mkctx(w, h, bd=bd, **kw)
         frames = synth_frames(ctx, n, w, h, bd=bd)
