@@ -619,6 +619,30 @@ int tile_deblock_search(int base_level, const void* rec, long rec_stride,
   return best_lv;
 }
 
+// Standalone directional intra prediction (ops/intra.py _pred_directional
+// fast path for the trial-RDO tier; the tile coder's own blocks go through
+// predict_block).  Edge buffers are the python IntraEdge arrays (int64);
+// shorter-than-w+h edges replicate their last sample exactly like
+// ops/intra.py _fill.
+void tile_pred_directional(const int64_t* above, long n_above,
+                           const int64_t* left, long n_left, long top_left,
+                           int w, int h, int bd, int p_angle, int enable_ief,
+                           int ief_smooth, int32_t* out) {
+  tile::Edge e;
+  e.top_left = (int32_t)top_left;
+  e.have_above = true;
+  e.have_left = true;
+  int na = w + h;
+  for (int i = 0; i < na; i++) {
+    long ia = i < n_above ? i : n_above - 1;
+    long il = i < n_left ? i : n_left - 1;
+    e.above[i] = (int32_t)above[ia];
+    e.left[i] = (int32_t)left[il];
+  }
+  tile::pred_directional(e, w, h, bd, p_angle, enable_ief != 0,
+                         ief_smooth != 0, out);
+}
+
 void tile_set_trace(int32_t* buf, long cap) {
   tile::g_trace = buf;
   tile::g_trace_cap = cap;

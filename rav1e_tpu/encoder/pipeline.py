@@ -2100,19 +2100,38 @@ class TileEncoder:
                 cands = [TxType.DCT_DCT]
                 if pref != TxType.DCT_DCT and pref in TX_SET_MEMBERS.get(tx_set, ()):
                     cands.append(pref)
+            from rav1e_tpu.native import dequant_recon_native, fwd_quant_native
+
             best = None
+            src_blk = src[py : py + h_px, px : px + w_px].astype(np.int64)
+            scratch = np.empty((h_px, w_px), dtype=rec.dtype)
             for tt in cands:
-                c = T.forward_transform(residual[None], tx_size, tt, fi.bit_depth)[0]
-                q, e = qc.quantize_block(c, tx_size, tt)
+                fq = fwd_quant_native(src, rec, px, py, tx_size, tt, qc,
+                                      fi.bit_depth)
+                if fq is not None:
+                    q, e = fq
+                else:
+                    c = T.forward_transform(residual[None], tx_size, tt, fi.bit_depth)[0]
+                    q, e = qc.quantize_block(c, tx_size, tt)
                 if e > 0:
-                    rc = dequantize(self._block_qidx(part_x, part_y), q, tx_size, fi.bit_depth,
-                                    fi.dc_delta_q[0], fi.ac_delta_q[0])
-                    rec_c = T.inverse_transform_add(
-                        rc[None], pred[None], tx_size, tt, fi.bit_depth
-                    )[0]
+                    # recon into a scratch block so `rec` keeps the
+                    # prediction for the remaining candidates
+                    scratch[:] = pred
+                    if dequant_recon_native(
+                        q, self._block_qidx(part_x, part_y), tx_size, tt,
+                        fi.bit_depth, scratch, 0, 0,
+                        fi.dc_delta_q[0], fi.ac_delta_q[0],
+                    ):
+                        rec_c = scratch
+                    else:
+                        rc = dequantize(self._block_qidx(part_x, part_y), q, tx_size, fi.bit_depth,
+                                        fi.dc_delta_q[0], fi.ac_delta_q[0])
+                        rec_c = T.inverse_transform_add(
+                            rc[None], pred[None], tx_size, tt, fi.bit_depth
+                        )[0]
                 else:
                     rec_c = pred
-                sse = int(((src[py : py + h_px, px : px + w_px].astype(np.int64) - rec_c) ** 2).sum())
+                sse = int(((src_blk - rec_c) ** 2).sum())
                 rate = 8.0 + 2.0 * float(np.abs(np.asarray(q)).sum())
                 cost = sse + self._rdo_lambda * rate
                 if best is None or cost < best[0]:

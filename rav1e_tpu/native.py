@@ -210,6 +210,10 @@ def _bind_symbols(lib) -> None:
         c.c_void_p, c.c_long, c.c_void_p, c.c_long, c.c_int, c.c_long,
         c.c_long, c.c_void_p, c.c_long, c.c_long, c.c_int, c.c_void_p,
     ]
+    lib.tile_pred_directional.argtypes = [
+        c.c_void_p, c.c_long, c.c_void_p, c.c_long, c.c_long, c.c_int,
+        c.c_int, c.c_int, c.c_int, c.c_int, c.c_int, c.c_void_p,
+    ]
     lib.enc_la_intra_costs.argtypes = [
         c.c_void_p, c.c_long, c.c_int, c.c_long, c.c_long, c.c_int,
         c.c_void_p,
@@ -367,17 +371,18 @@ def dequant_recon_native(
 _fwd_registered = set()
 
 
-def fwd_quant_native(src_view, rec_view, px, py, tx_size, tx_type, qc, bd):
-    """Fused residual + integer forward transform + quantize in C
-    (bit-exact with ops/transforms.forward_transform + quantize_block).
-    Returns (qcoeffs, eob) or None when unavailable."""
+_fwd_static: dict = {}
+
+
+def _fwd_static_args(tx_size, tx_type, lib):
+    """Per-(tx_size, tx_type) invariants for enc_fwd_quant, computed once:
+    (w, h, cw, ch, scan_array, ts_int, tt_int) or None for WHT."""
     import numpy as np
 
     from rav1e_tpu.quantize import _scan_kind, _scan_u16
     from rav1e_tpu.tx import TxType
 
-    lib = get_lib()
-    if lib is None or src_view.itemsize not in (1, 2) or tx_type == TxType.WHT_WHT:
+    if tx_type == TxType.WHT_WHT:
         return None
     key = (int(tx_size), int(tx_type))
     if key not in _fwd_registered:
@@ -387,19 +392,39 @@ def fwd_quant_native(src_view, rec_view, px, py, tx_size, tx_type, qc, bd):
         fv32 = np.ascontiguousarray(fv, dtype=np.int32)
         fh32 = np.ascontiguousarray(fh, dtype=np.int32)
         lib.enc_register_fwd(
-            int(tx_size), int(tx_type), fv32.ctypes.data, fv32.shape[0],
+            key[0], key[1], fv32.ctypes.data, fv32.shape[0],
             fh32.ctypes.data, fh32.shape[0],
         )
         _fwd_registered.add(key)
     w, h = tx_size.width, tx_size.height
     cw, ch = min(w, 32), min(h, 32)
     scan16 = _scan_u16(cw, ch, _scan_kind(tx_type))
+    return (w, h, cw, ch, scan16, scan16.ctypes.data, key[0], key[1])
+
+
+def fwd_quant_native(src_view, rec_view, px, py, tx_size, tx_type, qc, bd):
+    """Fused residual + integer forward transform + quantize in C
+    (bit-exact with ops/transforms.forward_transform + quantize_block).
+    Returns (qcoeffs, eob) or None when unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or src_view.itemsize not in (1, 2):
+        return None
+    key = (tx_size, tx_type)
+    st = _fwd_static.get(key, False)
+    if st is False:
+        st = _fwd_static_args(tx_size, tx_type, lib)
+        _fwd_static[key] = st
+    if st is None:  # WHT
+        return None
+    w, h, cw, ch, _scan_keep, scan_ptr, ts_i, tt_i = st
     q = np.zeros((h, w), dtype=np.int32)
     eob = lib.enc_fwd_quant(
         src_view.ctypes.data, src_view.strides[0] // src_view.itemsize,
         rec_view.ctypes.data, rec_view.strides[0] // rec_view.itemsize,
-        src_view.itemsize, px, py, int(tx_size), int(tx_type), cw, ch,
-        scan16.ctypes.data, qc.log_tx_scale, qc.dc_quant, qc.ac_quant,
+        src_view.itemsize, px, py, ts_i, tt_i, cw, ch,
+        scan_ptr, qc.log_tx_scale, qc.dc_quant, qc.ac_quant,
         qc.dc_offset, qc.ac_offset0, qc.ac_offset1, qc.ac_offset_eob,
         q.ctypes.data,
     )

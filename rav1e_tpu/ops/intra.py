@@ -339,6 +339,27 @@ def _pred_directional(
     sample_max = (1 << bd) - 1
     enable_ief = ief_params is not None
 
+    # native fast path (tile_pred_directional wraps the parity-tested C++
+    # port in native/tile_intra.inc; the trial-RDO tier calls this tens of
+    # thousands of times per frame)
+    from rav1e_tpu import native as _native
+
+    _lib = _native.get_lib()
+    if _lib is not None and w + h <= 128 and getattr(
+        _lib, "tile_pred_directional", None
+    ) is not None:
+        a64 = np.ascontiguousarray(edge.above, dtype=np.int64)
+        l64 = np.ascontiguousarray(edge.left, dtype=np.int64)
+        if len(a64) >= 1 and len(l64) >= 1:
+            out = np.empty((h, w), dtype=np.int32)
+            smooth = ief_params.use_smooth_filter() if enable_ief else False
+            _lib.tile_pred_directional(
+                a64.ctypes.data, len(a64), l64.ctypes.data, len(l64),
+                int(edge.top_left), w, h, bd, p_angle, int(enable_ief),
+                int(smooth), out.ctypes.data,
+            )
+            return out
+
     # Build spec-style buffers with index 0 == spec position -1 (top-left);
     # replicate the last sample when the caller supplied fewer than w+h
     # (legal when the angle doesn't reach the top-right/bottom-left).
