@@ -76,12 +76,12 @@ def main():
         except EncoderStatus.LimitReached:
             break
 
-    # two timed repetitions, best wins: the tunneled-TPU round-trip
+    # three timed repetitions, best wins: the tunneled-TPU round-trip
     # latency has multi-second jitter spikes (remote RPC), and the best
-    # of two 16-frame runs is a far better estimate of sustainable
+    # of three 16-frame runs is a far better estimate of sustainable
     # throughput than a single sample
     best_dt = None
-    for rep in range(2):
+    for rep in range(3):
         ctx = mk_cfg().new_context()
         frames = [synth_frame(ctx, rng, w, h, t) for t in range(nframes)]
 
