@@ -315,7 +315,8 @@ static int coeffs_lv_map_body(E* e,
 
   // levels buffer (coded_h+4) x (coded_w+4), zero padded
   int lstride = coded_w + 4;
-  std::vector<uint8_t> levels((size_t)(coded_h + 4) * lstride, 0);
+  static thread_local std::vector<uint8_t> levels;
+  levels.assign((size_t)(coded_h + 4) * lstride, 0);
   for (int r = 0; r < coded_h; r++)
     for (int cxx = 0; cxx < coded_w; cxx++) {
       int32_t v = qcoeffs[r * tx_w + cxx];
@@ -323,10 +324,15 @@ static int coeffs_lv_map_body(E* e,
           (uint8_t)std::min<int32_t>(v < 0 ? -v : v, 127);
     }
 
+  // coded_w is a power of two (4..32): divide/modulo as shift/mask
+  const int cw_log2 = coded_w == 4 ? 2 : coded_w == 8 ? 3
+                      : coded_w == 16 ? 4 : 5;
+  const int cw_mask = coded_w - 1;
+
   // base + br, reverse scan
   for (int c = eob - 1; c >= 0; c--) {
     int pos = scan[c];
-    int row = pos / coded_w, col = pos % coded_w;
+    int row = pos >> cw_log2, col = pos & cw_mask;
     int32_t v = qcoeffs[row * tx_w + col];
     int level = v < 0 ? -v : v;
     if (c == eob - 1) {
@@ -352,7 +358,7 @@ static int coeffs_lv_map_body(E* e,
   long cul = 0;
   for (int c = 0; c < eob; c++) {
     int pos = scan[c];
-    int row = pos / coded_w, col = pos % coded_w;
+    int row = pos >> cw_log2, col = pos & cw_mask;
     int32_t v = qcoeffs[row * tx_w + col];
     if (v == 0) continue;
     int level = v < 0 ? -v : v;

@@ -7,6 +7,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <ctime>
 #include <cmath>
 #include <climits>
 #include <cstring>
@@ -1200,6 +1201,7 @@ namespace {
 // matrices registered per (tx_size_id 0..18, tx_type_id 0..15)
 struct FwdMats {
   std::vector<int32_t> fv, fh;
+  std::vector<int32_t> fht;  // transpose of fh: stage 2 in axpy (row) form
   int h = 0, w = 0;
   int64_t l1v = 0, l1h = 0;  // max row L1 norms (i32-path overflow guards)
   bool set = false;
@@ -1221,6 +1223,9 @@ extern "C" void enc_register_fwd(int tx_size_id, int tx_type_id,
   FwdMats& m = g_fwd[tx_size_id][tx_type_id];
   m.fv.assign(fv, fv + (size_t)h * h);
   m.fh.assign(fh, fh + (size_t)w * w);
+  m.fht.resize((size_t)w * w);
+  for (int i = 0; i < w; i++)
+    for (int j = 0; j < w; j++) m.fht[(size_t)j * w + i] = fh[(size_t)i * w + j];
   m.h = h;
   m.w = w;
   auto l1max = [](const std::vector<int32_t>& a, int n) {
@@ -1236,6 +1241,24 @@ extern "C" void enc_register_fwd(int tx_size_id, int tx_type_id,
   m.l1h = l1max(m.fh, w);
   m.set = true;
 }
+
+// phase counters shared with tile.cc (slots 8..11: residual, stage1,
+// stage2, quantize)
+extern int64_t g_tile_perf[16];
+extern int64_t g_tile_count[16];
+namespace {
+struct EncPerfScope {
+  int idx;
+  long t0;
+  static inline long now() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec * 1000000000L + ts.tv_nsec;
+  }
+  explicit EncPerfScope(int i) : idx(i), t0(now()) { g_tile_count[i]++; }
+  ~EncPerfScope() { g_tile_perf[idx] += now() - t0; }
+};
+}  // namespace
 
 // Residual from (src - rec) at (px, py), forward Q12 transform, quantize.
 // qcoeffs must be pre-zeroed (tx_h * tx_w int32).  Returns eob or -1 when
@@ -1254,6 +1277,7 @@ extern "C" int enc_fwd_quant(
   // common and skip the transform entirely)
   int32_t R[64 * 64];
   uint32_t any = 0;
+  long _t = EncPerfScope::now();
   for (int r = 0; r < h; r++)
     for (int c = 0; c < w; c++) {
       int32_t d = (int32_t)(px_at(src, sstride, bytespp, py + r, px + c) -
@@ -1261,6 +1285,7 @@ extern "C" int enc_fwd_quant(
       R[r * w + c] = d;
       any |= (uint32_t)(d < 0 ? -d : d);
     }
+  { long n = EncPerfScope::now(); g_tile_perf[8] += n - _t; g_tile_count[8]++; _t = n; }
   if (any == 0) return 0;
 
   // i32 fast path when the row-L1 norms bound every accumulator below 2^31
@@ -1286,15 +1311,26 @@ extern "C" int enc_fwd_quant(
       }
     }
     for (size_t i = 0; i < t1s.size(); i++) t1s[i] = rshift12_32(t1s[i]);
+    // stage 2 in axpy (row-accumulate) form over the transposed matrix:
+    // C[i][j] = sum_k T[i][k] * FH[j][k] = sum_k T[i][k] * FHT[k][j].
+    // i32 wrapping adds are associative, so this is bit-equal to the
+    // dot-product form while vectorizing cleanly.
+    static thread_local std::vector<int32_t> c32;
+    c32.assign((size_t)h * w, 0);
     for (int i = 0; i < h; i++) {
       const int32_t* ti = t1s.data() + (size_t)i * w;
-      int64_t* ci = C2.data() + (size_t)i * w;
-      for (int j = 0; j < w; j++) {
-        const int32_t* fr = m.fh.data() + (size_t)j * w;
-        int32_t acc = 0;
-        for (int k = 0; k < w; k++) acc += ti[k] * fr[k];
-        ci[j] = rshift12_32(acc);
+      int32_t* ci = c32.data() + (size_t)i * w;
+      for (int k = 0; k < w; k++) {
+        int32_t f = ti[k];
+        if (!f) continue;
+        const int32_t* fr = m.fht.data() + (size_t)k * w;
+        for (int j = 0; j < w; j++) ci[j] += f * fr[j];
       }
+    }
+    for (int i = 0; i < h; i++) {
+      const int32_t* ci = c32.data() + (size_t)i * w;
+      int64_t* co = C2.data() + (size_t)i * w;
+      for (int j = 0; j < w; j++) co[j] = rshift12_32(ci[j]);
     }
   } else {
     // stage 1: FV (h x h) @ R (h x w), round-shift 12
@@ -1325,9 +1361,11 @@ extern "C" int enc_fwd_quant(
     }
   }
 
+  { long n = EncPerfScope::now(); g_tile_perf[9] += n - _t; g_tile_count[9]++; _t = n; }
   // quantize the coded region (mirror of enc_quantize)
   int area = coded_w * coded_h;
-  std::vector<int64_t> sub(area);
+  static thread_local std::vector<int64_t> sub;
+  sub.resize(area);
   for (int r = 0; r < coded_h; r++)
     for (int c = 0; c < coded_w; c++) sub[r * coded_w + c] = C2[(size_t)r * w + c];
 
@@ -1341,14 +1379,22 @@ extern "C" int enc_fwd_quant(
     int64_t a = sub[scan[c]];
     if ((a < 0 ? -a : a) >= deadzone) { eob = c + 1; break; }
   }
-  std::vector<int64_t> q(area, 0);
+  // division-free floor(a / ac_quant): multiply by a 32.32 reciprocal
+  // estimate, then fix up with at most one compare (exactness asserted by
+  // tests/test_native_parity.py against the python quantizer)
+  const uint64_t recip = ((~0ull) / (uint64_t)ac_quant);  // floor(2^64/q) approx
+  static thread_local std::vector<int64_t> q;
+  q.assign(area, 0);
   for (int c = 1; c < eob; c++) {
     int pos = scan[c];
     int64_t scaled = sub[pos] << log_tx_scale;
     int64_t a = scaled < 0 ? -scaled : scaled;
-    int64_t level0 = a / ac_quant;
-    int64_t offset = level0 > 0 ? ac_offset1 : ac_offset0;
-    int64_t qabs = level0 + ((a + offset) >= (level0 + 1) * ac_quant ? 1 : 0);
+    uint64_t level0 = (uint64_t)(((unsigned __int128)(uint64_t)a * recip) >> 64);
+    // recip underestimates 2^64/q by <1ulp: level0 is floor(a/q) or one less
+    if ((int64_t)(level0 + 1) * ac_quant <= a) level0++;
+    int64_t offset = (int64_t)level0 > 0 ? ac_offset1 : ac_offset0;
+    int64_t qabs =
+        (int64_t)level0 + ((a + offset) >= ((int64_t)level0 + 1) * ac_quant ? 1 : 0);
     q[pos] = (scaled > 0 ? 1 : (scaled < 0 ? -1 : 0)) * qabs;
   }
   q[0] = dc_q;
@@ -1358,6 +1404,7 @@ extern "C" int enc_fwd_quant(
   for (int r = 0; r < coded_h; r++)
     for (int c = 0; c < coded_w; c++)
       qcoeffs[(size_t)r * w + c] = (int32_t)q[r * coded_w + c];
+  { long n = EncPerfScope::now(); g_tile_perf[10] += n - _t; g_tile_count[10]++; }
   return eob;
 }
 

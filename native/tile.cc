@@ -79,7 +79,8 @@ long enc_me_search_satd(const void* ref, long rstride, long rh, long rw,
 // --- lightweight phase counters (ns) for the tile engine ------------------
 // slots: 0 me, 1 mc, 2 intra-pred, 3 fwd+quant, 4 itx-recon, 5 coeff-write,
 // 6 symbols/other.  Read+reset via tile_perf().
-static int64_t g_tile_perf[8] = {0};
+int64_t g_tile_perf[16] = {0};
+int64_t g_tile_count[16] = {0};
 static inline int64_t perf_now_ns() {
   struct timespec ts;
   clock_gettime(CLOCK_MONOTONIC, &ts);
@@ -88,13 +89,15 @@ static inline int64_t perf_now_ns() {
 struct PerfScope {
   int idx;
   int64_t t0;
-  explicit PerfScope(int i) : idx(i), t0(perf_now_ns()) {}
+  explicit PerfScope(int i) : idx(i), t0(perf_now_ns()) { g_tile_count[i]++; }
   ~PerfScope() { g_tile_perf[idx] += perf_now_ns() - t0; }
 };
 extern "C" void tile_perf(int64_t* out) {
-  for (int i = 0; i < 8; i++) {
+  for (int i = 0; i < 16; i++) {
     out[i] = g_tile_perf[i];
+    out[16 + i] = g_tile_count[i];
     g_tile_perf[i] = 0;
+    g_tile_count[i] = 0;
   }
 }
 

@@ -11,6 +11,46 @@ rdo.rs:1949 rdo_partition_decision) — score tensors + argmin on device
 instead of serial trial encodes.
 """
 
+import os as _os
+
+
+def _enable_persistent_cache() -> None:
+    """Persistent XLA compilation cache keyed by program+geometry.
+
+    The analysis programs take 20-80 s to compile per frame geometry
+    (BENCHREPORT first-frame latency); with the on-disk cache a second
+    process on the same geometry reaches steady state within 2 frames.
+    Opt out with RAV1E_TPU_NO_COMPILE_CACHE=1; relocate with
+    RAV1E_TPU_COMPILE_CACHE=<dir>.
+    """
+    if _os.environ.get("RAV1E_TPU_NO_COMPILE_CACHE"):
+        return
+    # CPU runs (tests, virtual meshes) skip the cache: XLA:CPU AOT entries
+    # embed exact machine-feature lists and reload with mismatch warnings
+    # (and SIGILL risk) across processes
+    if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+        return
+    try:
+        import jax
+
+        path = _os.environ.get(
+            "RAV1E_TPU_COMPILE_CACHE",
+            _os.path.join(
+                _os.path.expanduser("~"), ".cache", "rav1e_tpu", "xla"
+            ),
+        )
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache every program, however small/fast — the win here is skipping
+        # recompiles across processes, not disk economy
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_cache()
+
 from rav1e_tpu.device.analysis import (
     DeviceMaps,
     analyze_finish,
