@@ -1885,23 +1885,29 @@ class TileEncoder:
     def select_luma_mode(self, x: int, y: int, bsize: BlockSize) -> list:
         """Batched SATD-style mode pre-selection over candidate intra modes.
 
-        Uses source neighbors as prediction references (the reference's own
-        lookahead approximation precedent, api/lookahead.rs:30) so all
-        candidates evaluate without the recon wavefront; the winner is then
-        coded exactly.
+        The block being scored is the source, but the prediction edges come
+        from the RECONSTRUCTION: that is what the coded prediction will
+        actually extrapolate from.  At coarse quantizers recon edges carry
+        quantization noise that makes directional extrapolation much worse
+        than it looks from clean source edges — scoring on source edges
+        inverted the RD curve of the host tier (keyframes 2.7x larger at
+        -3 dB).  The serial host path always has the neighbours
+        reconstructed, so no wavefront concern applies (the device analysis
+        keeps the source-edge approximation, lookahead.rs:30 precedent).
         """
         w_px = min(bsize.width, 32)
         h_px = min(bsize.height, 32)
         px, py = x << MI_SIZE_LOG2, y << MI_SIZE_LOG2
         src = self.src_views[0]
+        rec = self.rec_views[0]
         rect_w, rect_h = self.plane_rect[0]
         if px >= rect_w or py >= rect_h:
             return [PredictionMode.DC_PRED]
         block = src[py : py + h_px, px : px + w_px].astype(np.int32)
         base = 128 << (self.fi.bit_depth - 8)
-        above = src[py - 1, px : px + 2 * w_px].astype(np.int32) if py > 0 else np.full(2 * w_px, base - 1, np.int32)
-        left = src[py : py + 2 * h_px, px - 1].astype(np.int32) if px > 0 else np.full(2 * h_px, base + 1, np.int32)
-        tl = int(src[py - 1, px - 1]) if px > 0 and py > 0 else base
+        above = rec[py - 1, px : px + 2 * w_px].astype(np.int32) if py > 0 else np.full(2 * w_px, base - 1, np.int32)
+        left = rec[py : py + 2 * h_px, px - 1].astype(np.int32) if px > 0 else np.full(2 * h_px, base + 1, np.int32)
+        tl = int(rec[py - 1, px - 1]) if px > 0 and py > 0 else base
         edge = IntraEdge(above=above, left=left, top_left=tl, have_above=py > 0, have_left=px > 0)
         from rav1e_tpu.config import PredictionModesSetting
 
@@ -2707,7 +2713,23 @@ class FramePipeline:
             cdef_y, cdef_uv = cdef_strengths_fast(
                 tables.ac_q(fi.base_q_idx, 0, fi.bit_depth) >> (fi.bit_depth - 8)
             )
-            if not enc.speed_settings.fast_deblock and cdef_y > 0:
+            if not enc.speed_settings.fast_deblock and cdef_y > 0 and use_device:
+                # device filter stage: strength RDO sweep + per-SB argmin +
+                # apply in ONE jitted XLA program (device/filters.py);
+                # bit-equal to the host path (tests/test_device_filters.py)
+                from rav1e_tpu.device.filters import cdef_device_frame
+
+                with span("cdef_rdo_device"):
+                    cdef_y_list, cdef_uv_list, cdef_map, _applied = (
+                        cdef_device_frame(
+                            rec, frame, frame_blocks, fi.bit_depth,
+                            enc.chroma_sampling, enc.width, enc.height,
+                            cdef_damping, cdef_y, cdef_uv,
+                        )
+                    )
+                cdef_state = None
+                cdef_bits = 2
+            elif not enc.speed_settings.fast_deblock and cdef_y > 0:
                 with span("cdef_rdo"):
                     cdef_y_list, cdef_uv_list, cdef_map, cdef_state = cdef_rdo_frame(
                         rec, frame, frame_blocks, fi.bit_depth,
