@@ -364,12 +364,13 @@ def deblock_plane(levels, rec, blocks, pli, crop_w, crop_h, bd, xdec, ydec):
     elif levels[pli + 1] == 0:
         return
 
-    cols = min(blocks.cols, (crop_w + 3) >> 2)
-    rows = min(blocks.rows, (crop_h + 3) >> 2)
-    cols = ((cols + (1 << xdec >> 1)) >> xdec) << xdec
-    rows = ((rows + (1 << ydec >> 1)) >> ydec) << ydec
-    cols_p = cols >> xdec
-    rows_p = rows >> ydec
+    # crop_w/crop_h are PLANE pixels: cover every plane 4x4 unit inside the
+    # crop (capped by the luma mi grid).  The previous form decimated the
+    # plane-unit count by xdec a second time, leaving the right/bottom half
+    # of chroma planes unfiltered in both encoder and decoder (regression:
+    # tests/test_device_dsp.py::test_deblock_chroma_full_coverage).
+    cols_p = min((crop_w + 3) >> 2, (blocks.cols + xdec) >> xdec)
+    rows_p = min((crop_h + 3) >> 2, (blocks.rows + ydec) >> ydec)
 
     for vertical in (True, False):
         level = levels[(0 if vertical else 1)] if pli == 0 else levels[pli + 1]
