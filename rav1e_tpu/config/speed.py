@@ -95,6 +95,11 @@ class SpeedSettings:
     # decisions instead of host trial encodes.  On at the presets that do
     # not run full trial RDO; the trial path remains the quality tier.
     device_analysis: bool = False
+    # Device-resident reconstruction chain (device/chain.py): the whole
+    # inter-frame recon path (selection/MC/tx/quant/recon/deblock/CDEF) as
+    # one async XLA dispatch, refs kept on device, host runs only the
+    # pixel-free native replay coder.  The throughput tier.
+    device_chain: bool = False
     fast_deblock: bool = False
     rdo_lookahead_frames: int = 40
     scene_detection_mode: SceneDetectionSpeed = SceneDetectionSpeed.Standard
@@ -139,6 +144,7 @@ class SpeedSettings:
             s.transform.reduced_tx_set = True
             s.motion.me_allow_full_search = False
             s.device_analysis = True
+            s.device_chain = True
         if speed >= 7:
             s.prediction.prediction_modes = PredictionModesSetting.Simple
             s.multiref = False

@@ -31,6 +31,13 @@ def _enable_persistent_cache() -> None:
     if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
         return
     try:
+        import jax as _jax
+
+        if "cpu" in str(_jax.config.jax_platforms or "").lower():
+            return  # pinned to CPU via jax.config (conftest / scripts)
+    except Exception:
+        pass
+    try:
         import jax
 
         path = _os.environ.get(

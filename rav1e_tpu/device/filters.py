@@ -330,22 +330,20 @@ def _ring_mask(win, have_t, have_l, have_r, have_b):
     return win
 
 
-@functools.lru_cache(None)
-def cdef_stage_jit(planes, grid, damping: int, bd: int, ncand: int):
-    """Jitted CDEF stage for a fixed geometry.
+def cdef_stage_core(planes, grid, damping: int, bd: int, ncand: int):
+    """CDEF stage body for a fixed geometry (jit-composable).
 
     planes: per-plane (ys, xs, vis_h, vis_w) tuples, luma first (cell dims
     ys/xs are 8 >> ydec / 8 >> xdec).  grid: (nby, nbx, sb_rows, sb_cols,
     crop_w, crop_h).
 
-    fn(rec_grids, src_grids, filt, y_str, uv_str) where rec_grids[p] is
-    (nby*ys + 4, nbx*xs + 4) i32 (the mi-extent plus the 2px ring read by
-    the filter), src_grids[p] is (nby*ys, nbx*xs) i32, filt (nby, nbx)
-    bool (non-skip cells), y_str/uv_str (ncand,) i32 packed strengths.
-    Returns (filtered planes..., idx_map, dirs, vars).
+    Returns core(rec_grids, src_grids, filt, y_str, uv_str) ->
+    (outs list of filtered mi-extent planes, idx_map (sb_rows, sb_cols)):
+    rec_grids[p] is (nby*ys + 4, nbx*xs + 4) i32 (the mi extent plus the
+    2px ring read by the filter), src_grids[p] is (nby*ys, nbx*xs) i32,
+    filt (nby, nbx) bool (non-skip cells), y_str/uv_str (ncand,) i32
+    packed strengths.
     """
-    import jax
-
     jnp = _jnp()
     nby, nbx, sb_rows, sb_cols, crop_w, crop_h = grid
 
@@ -477,9 +475,24 @@ def cdef_stage_jit(planes, grid, damping: int, bd: int, ncand: int):
             )
             final = jnp.where(filt[..., None, None], chosen, pre_cells)
             outs.append(final.transpose(0, 2, 1, 3).reshape(nby * ys, nbx * xs))
-        # ONE device->host transfer: planes + idx_map packed in the native
-        # pixel dtype (idx < 4 always fits; per-fetch latency dominates on a
-        # tunneled TPU, so transfer count matters more than bytes)
+        return outs, idx
+
+    return fn
+
+
+@functools.lru_cache(None)
+def cdef_stage_jit(planes, grid, damping: int, bd: int, ncand: int):
+    """Jitted standalone CDEF stage (host pipeline entry): packs the
+    filtered planes + idx_map into ONE flat transfer in the native pixel
+    dtype (idx < 4 always fits; per-fetch latency dominates on a tunneled
+    TPU, so transfer count matters more than bytes)."""
+    import jax
+
+    jnp = _jnp()
+    core = cdef_stage_core(planes, grid, damping, bd, ncand)
+
+    def fn(rec_grids, src_grids, filt, y_str, uv_str):
+        outs, idx = core(rec_grids, src_grids, filt, y_str, uv_str)
         out_dt = jnp.uint8 if bd == 8 else jnp.uint16
         flat = jnp.concatenate(
             [o.astype(out_dt).reshape(-1) for o in outs]

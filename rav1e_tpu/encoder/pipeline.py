@@ -2220,6 +2220,12 @@ class FramePipeline:
         from rav1e_tpu.rc import RCState
 
         self._rc_retry = False
+        # device-chain state: per-slot padded device recon planes (None ->
+        # lazy upload from rec_buffer), last dispatch's output refs pending
+        # slot commit, and a reusable dummy rec for the replay coder
+        self._chain_slots: list = [None] * 8
+        self._chain_pending_refs = None
+        self._chain_dummy_rec = None
         self.rc = RCState(
             bit_depth=enc.bit_depth,
             quantizer=enc.quantizer,
@@ -2366,274 +2372,194 @@ class FramePipeline:
                 if (refresh >> i) & 1:
                     sim[i] = (fno, n_src)
 
-    def encode_frame(
-        self,
-        frame: Frame,
-        input_frameno: int,
-        frame_type: FrameType,
-        params=None,
-        is_first: bool = False,
-        plan=None,
-        next_hints=None,
-    ) -> Packet:
+    def _chain_applicable(self) -> bool:
         enc = self.config.enc
-        assert frame_type == FrameType.KEY or not enc.still_picture
+        from rav1e_tpu import native as _native
 
-        if plan is None:
-            # direct callers without a scheduler: low-latency slot cycling
-            from rav1e_tpu.api.inter_cfg import PlannedFrame
-
-            slot = self._fallback_slot % 4
-            plan = PlannedFrame(
-                "key" if frame_type == FrameType.KEY else "inter",
-                input_frameno, order_hint=input_frameno, slot=slot,
-                ref_slot_fwd=(slot + 3) % 4,
-                ref_frames=[(slot + 3) % 4] * 7,
-            )
-            self._fallback_slot += 1
-
-        if (
-            getattr(plan, "switch", False)
-            and frame_type == FrameType.INTER
-            and self.rec_buffer[plan.ref_slot_fwd] is not None
-        ):
-            frame_type = FrameType.SWITCH
-
-        ref_fwd = ref_bwd = ref_bwd2 = None
-        primary_ref = 7  # PRIMARY_REF_NONE
-        init_cdfs = None
-        if frame_type.has_inter():
-            ref_fwd = self.rec_buffer[plan.ref_slot_fwd]
-            if plan.ref_slot_bwd is not None:
-                ref_bwd = self.rec_buffer[plan.ref_slot_bwd]
-            if (
-                ref_bwd is not None
-                and getattr(plan, "ref_slot_bwd2", None) is not None
-                and enc.speed_settings.multiref
-            ):
-                ref_bwd2 = self.rec_buffer[plan.ref_slot_bwd2]
-            if ref_fwd is None:
-                frame_type = FrameType.KEY
-            elif (
-                self.cdf_buffer[plan.ref_slot_fwd] is not None
-                and not enc.error_resilient
-                and frame_type != FrameType.SWITCH
-            ):
-                # inherit symbol probabilities from the forward reference
-                # (primary_ref_frame = LAST; encoder.rs:1040-1046)
-                primary_ref = 0
-                init_cdfs = self.cdf_buffer[plan.ref_slot_fwd]
-
-        # spec 5.9.8 compute_image_size: mi dims round to EVEN (8px
-        # multiples) so 4px edge blocks always pair for chroma coverage
-        mi_cols = 2 * ((enc.width + 7) >> 3)
-        mi_rows = 2 * ((enc.height + 7) >> 3)
-
-        base_q_idx = self.rc.select_qi(frame_type, enc.width, enc.height, plan.level)
-        dist_scales = None
-        if getattr(plan, "importances", None) is not None:
-            from rav1e_tpu.encoder.lookahead import importances_to_scales
-
-            dist_scales = importances_to_scales(plan.importances, plan.la_intra)
-
-        from rav1e_tpu.config import Tune
-
-        if enc.tune == Tune.Psychovisual:
-            # activity masking (reference activity.rs ActivityMask +
-            # ssim_boost feeding distortion_scale_for, rdo.rs:506): flat
-            # areas are perceptually sensitive -> distortion there weighs
-            # more; busy areas mask error -> less.  Scales multiply the
-            # temporal-RDO scales on the same 8x8 grid.
-            from rav1e_tpu.encoder.segmentation import _seg_cell_stats
-
-            src_y8 = frame.planes[0].as_array()[: enc.height, : enc.width]
-            s8, q8, _ = _seg_cell_stats(src_y8, None)
-            sc = float(1 << (enc.bit_depth - 8))
-            act = (64.0 * q8 - s8.astype(np.float64) ** 2) / (
-                4096.0 * sc * sc
-            )
-            logs = 0.5 * np.log2(np.maximum(act, 1.0))
-            psy = np.clip(
-                2.0 ** (0.4 * (float(np.median(logs)) - logs)), 0.5, 2.0
-            )
-            if dist_scales is None:
-                dist_scales = psy
-            else:
-                ch = min(dist_scales.shape[0], psy.shape[0])
-                cw = min(dist_scales.shape[1], psy.shape[1])
-                dist_scales = dist_scales.copy()
-                dist_scales[:ch, :cw] *= psy[:ch, :cw]
-
-        seg = None
-        from rav1e_tpu.config.speed import SegmentationLevel
-
-        if enc.speed_settings.segmentation != SegmentationLevel.Disabled:
-            from rav1e_tpu.encoder.segmentation import segmentation_optimize
-
-            ref_luma = None
-            if frame_type.has_inter():
-                ref0 = self.rec_buffer[plan.ref_slot_fwd]
-                if ref0 is not None:
-                    ref_luma = ref0.planes[0].as_array()
-            seg = segmentation_optimize(
-                frame.planes[0].as_array(), base_q_idx, enc.bit_depth,
-                mi_cols, mi_rows, ref_luma=ref_luma, imp_scales=dist_scales,
-            )
-            if not seg.enabled:
-                seg = None
-
-        fi = FrameInvariantsLite(
-            seq=self.seq,
-            width=enc.width,
-            height=enc.height,
-            frame_type=frame_type,
-            base_q_idx=base_q_idx,
-            bit_depth=enc.bit_depth,
-            tx_mode_select=True,
-            use_reduced_tx_set=enc.speed_settings.transform.reduced_tx_set,
-            mi_cols=mi_cols,
-            mi_rows=mi_rows,
-            ref_frame=ref_fwd if frame_type.has_inter() else None,
-            ref_frame_bwd=ref_bwd if frame_type.has_inter() else None,
-            ref_frame_bwd2=ref_bwd2 if frame_type.has_inter() else None,
-            seg=seg,
-            prev_mvs=self.prev_mvs if frame_type.has_inter() else None,
-            init_cdfs=init_cdfs if frame_type.has_inter() else None,
+        return (
+            getattr(enc.speed_settings, "device_chain", False)
+            and enc.speed_settings.device_analysis
+            and enc.bit_depth == 8
+            and enc.chroma_sampling == ChromaSampling.Cs420
+            and self.tiling.rows == 1
+            and self.tiling.cols == 1
+            and self.seq.enable_cdef
+            and min(enc.width, enc.height) >= 64
+            and _native.get_lib() is not None
         )
-        from rav1e_tpu.quantize import chroma_q_deltas
 
-        fi.dc_delta_q, fi.ac_delta_q = chroma_q_deltas(
-            base_q_idx, enc.bit_depth, self.seq.chroma_sampling
+    def _chain_slot_planes(self, slot):
+        """Device-padded reference planes for a slot: the chain's own output
+        when the slot was chain-coded, else a lazy upload of the host
+        reconstruction."""
+        ent = self._chain_slots[slot]
+        if ent is not None:
+            return ent
+        f = self.rec_buffer[slot]
+        if f is None:
+            return None
+        from rav1e_tpu.device import chain as _chain
+
+        enc = self.config.enc
+        planes = _chain.host_pad_planes(f, enc.width, enc.height)
+        self._chain_slots[slot] = tuple(planes)
+        return self._chain_slots[slot]
+
+    def _encode_frame_chain(self, fi, frame, frame_type, plan, input_frameno,
+                            base_q_idx):
+        """Device-chain encode body for inter frames: ONE async XLA dispatch
+        does selection/MC/transform/quantize/recon/deblock/CDEF with
+        device-resident references (device/chain.py); the host runs only the
+        pixel-free native replay coder over the downloaded coefficient log.
+        Returns the host-body result tuple, or None to fall back."""
+        enc = self.config.enc
+        sp = enc.speed_settings
+        if not self._chain_applicable() or not fi.is_inter_frame:
+            return None
+        maps = fi.device_maps
+        if maps is None or maps.mv0 is None:
+            return None
+
+        from rav1e_tpu.device import chain as _chain
+        from rav1e_tpu.ops.cdef import CDEF_SEC_STRENGTHS, cdef_strengths_fast
+        from rav1e_tpu.ops.deblock import deblock_levels_fast
+        from rav1e_tpu.utils.trace import span
+
+        mi_cols, mi_rows = fi.mi_cols, fi.mi_rows
+        pr = sp.partition.partition_range
+        tx_split = sp.transform.enable_inter_tx_split
+        has_bwd = fi.ref_frame_bwd is not None and plan.ref_slot_bwd is not None
+        has_bwd2 = (
+            has_bwd
+            and fi.ref_frame_bwd2 is not None
+            and getattr(plan, "ref_slot_bwd2", None) is not None
         )
-        fi.dist_scales = dist_scales
+        r0 = self._chain_slot_planes(plan.ref_slot_fwd)
+        if r0 is None:
+            return None
+        r1 = self._chain_slot_planes(plan.ref_slot_bwd) if has_bwd else r0
+        if r1 is None:
+            has_bwd = has_bwd2 = False
+            r1 = r0
+        r2 = self._chain_slot_planes(plan.ref_slot_bwd2) if has_bwd2 else r0
+        if r2 is None:
+            has_bwd2 = False
+            r2 = r0
 
-        # skip-mode (spec 5.9.22): enabled when the derived closest-ref pair
-        # is exactly (LAST, ALTREF) — the pair our compound blocks use
-        if fi.is_inter_frame and fi.ref_frame_bwd is not None:
-            from rav1e_tpu.encoder.obu import _skip_mode_refs
+        geom = _chain.geom_for(
+            enc.width, enc.height, mi_cols, mi_rows, enc.bit_depth,
+            tx_split, has_bwd, has_bwd2, pr.min_log2, pr.max_log2,
+        )
+        cplan = _chain.build_plan(
+            maps.size_log2, mi_cols, mi_rows, pr.min_log2, pr.max_log2,
+            tx_split,
+        )
+        fields = _chain.clamp_fields(maps, geom.gh // 16, geom.gw // 16)
+        if not has_bwd:
+            fields[1] = 0
+        if not has_bwd2:
+            fields[2] = 0
 
-            class _Probe:
-                pass
-
-            _p = _Probe()
-            _p.intra_only = False
-            _p.reference_mode_select = True
-            _p.ref_order_hints = list(self.slot_order_hints)
-            _p.ref_frames = list(plan.ref_frames)
-            _nb = self.seq.order_hint_bits_minus_1 + 1
-            _p.order_hint = plan.order_hint & ((1 << _nb) - 1)
-            fi.skip_mode_present = _skip_mode_refs(self.seq, _p) == (0, 6)
-
-        pending = self._pending_analyses.pop(input_frameno, None)
-        # validity: the dispatched program must have seen exactly the inputs
-        # the sync path would use, so the bitstream is identical whether or
-        # not the frame was queued early.  The recorded reference-source
-        # framenos must match the slots' actual content (the predispatch
-        # simulation can diverge after an unplanned refresh), and the maps
-        # additionally require the SAME qi (checked at consumption).
-        if pending is not None and not (
-            pending["is_inter"] == fi.is_inter_frame
-            and (
-                not fi.is_inter_frame
-                or (
-                    pending["ref_fno_fwd"]
-                    == self.slot_src_frameno[plan.ref_slot_fwd]
-                    and pending["ref_fno_fwd"] is not None
-                    and pending["ref_fno_bwd"]
-                    == (
-                        self.slot_src_frameno[plan.ref_slot_bwd]
-                        if (
-                            fi.ref_frame_bwd is not None
-                            and plan.ref_slot_bwd is not None
-                        )
-                        else None
-                    )
-                    and pending.get("ref_fno_bwd2")
-                    == (
-                        self.slot_src_frameno[plan.ref_slot_bwd2]
-                        if (
-                            fi.ref_frame_bwd2 is not None
-                            and getattr(plan, "ref_slot_bwd2", None)
-                            is not None
-                        )
-                        else None
-                    )
-                )
+        # per-plane quantizers on the 8px grid (segmentation + chroma deltas,
+        # same tables the native coder uses: native_tile.py seg_dcq/seg_acq)
+        nby8, nbx8 = geom.gh // 8, geom.gw // 8
+        if fi.seg is not None:
+            qidx = np.array(
+                [fi.seg.qidx(base_q_idx, s) for s in range(8)], dtype=np.int64
             )
-        ):
-            pending = None
+            seg8 = np.zeros((nby8, nbx8), dtype=np.int64)
+            sm = fi.seg.seg_map[::2, ::2]
+            seg8[: sm.shape[0], : sm.shape[1]] = sm
+        else:
+            qidx = np.full(8, base_q_idx, dtype=np.int64)
+            seg8 = np.zeros((nby8, nbx8), dtype=np.int64)
+        dcq_tab = np.array(
+            [[tables.dc_q(int(q), fi.dc_delta_q[pl], fi.bit_depth)
+              for pl in range(3)] for q in qidx], dtype=np.int32
+        )
+        acq_tab = np.array(
+            [[tables.ac_q(int(q), fi.ac_delta_q[pl], fi.bit_depth)
+              for pl in range(3)] for q in qidx], dtype=np.int32
+        )
+        dcq8 = dcq_tab[seg8].transpose(2, 0, 1).copy()
+        acq8 = acq_tab[seg8].transpose(2, 0, 1).copy()
 
+        deblock_levels = deblock_levels_fast(
+            base_q_idx, fi.bit_depth, False,
+            tables.ac_q(base_q_idx, 0, fi.bit_depth),
+        )
+        cdef_y, cdef_uv = cdef_strengths_fast(
+            tables.ac_q(base_q_idx, 0, fi.bit_depth) >> (fi.bit_depth - 8)
+        )
+        pri = cdef_y // CDEF_SEC_STRENGTHS
+        sec = cdef_y % CDEF_SEC_STRENGTHS
+        y_list = [0, cdef_y, max(pri // 2, 1) * CDEF_SEC_STRENGTHS + sec,
+                  min(pri * 2 + 1, 15) * CDEF_SEC_STRENGTHS + sec]
+        pri_uv = cdef_uv // CDEF_SEC_STRENGTHS
+        sec_uv = cdef_uv % CDEF_SEC_STRENGTHS
+        uv_list = [0, cdef_uv,
+                   max(pri_uv // 2, 0) * CDEF_SEC_STRENGTHS + sec_uv,
+                   min(pri_uv * 2 + 1, 15) * CDEF_SEC_STRENGTHS + sec_uv]
+
+        src_p = _chain.host_src_planes(frame, enc.width, enc.height)
+        with span("chain_dispatch", frame=input_frameno):
+            handle = _chain.dispatch_chain(
+                geom, cplan, src_p, (r0, r1, r2), fields, dcq8, acq8,
+                deblock_levels, y_list, uv_list,
+            )
+        with span("chain_fetch", frame=input_frameno):
+            res = _chain.fetch_chain(handle)
+        if res.overflow:
+            return None
+
+        # reuse grids + coefficient log for the native replay coder
+        is_inter_g, ref_g, mv_g = _chain.derive_decisions(
+            geom, cplan, res.sel, fields
+        )
+        reuse = FrameBlocks(mi_cols, mi_rows)
+        reuse.is_inter_flag[:, :] = is_inter_g.astype(bool)
+        reuse.ref_frames[:, :] = ref_g
+        reuse.mv[:, :] = mv_g.reshape(mi_rows, mi_cols, 2, 2)
+        log_buf, used = _chain.build_coeff_log(cplan, res.eobs, res.levels)
+
+        if self._chain_dummy_rec is None:
+            self._chain_dummy_rec = Frame.new(
+                enc.width, enc.height, enc.chroma_sampling, enc.bit_depth
+            )
+        frame_blocks = FrameBlocks(mi_cols, mi_rows)
+        te = TileEncoder(
+            fi, frame, self._chain_dummy_rec, 0, 0, mi_cols, mi_rows, sp,
+            frame_blocks, rs=None, cdef_bits=2, cdef_idx_map=res.cdef_idx,
+            reuse_blocks=reuse,
+        )
+        te.coeff_log_in = (log_buf, used)
+        with span("chain_replay_code", frame=input_frameno):
+            from rav1e_tpu import native_tile
+
+            r = native_tile.encode_tile_native(te)
+        if r is None:
+            return None  # replay walk diverged: full host fallback
+        payload, te.stats = r
+        tile_group = self._build_tile_group([payload])
+
+        rec = _chain.DeviceReconFrame(
+            res.refs, enc.width, enc.height, enc.chroma_sampling,
+            enc.bit_depth,
+        )
+        self._chain_pending_refs = res.refs
+        return (rec, frame_blocks, te.stats, te.fc, tile_group,
+                deblock_levels, 3, 2, cdef_y, cdef_uv, y_list, uv_list,
+                [0, 0, 0], [256, 256, 256])
+
+    def _encode_frame_host(self, fi, frame, frame_type, mi_cols, mi_rows,
+                           input_frameno):
+        """Host-tier encode body: tile coding + in-loop filters + the
+        two-pass CDEF/LRF replay (the pre-chain path, all presets)."""
+        enc = self.config.enc
         use_device = (
             enc.speed_settings.device_analysis
             and min(enc.width, enc.height) >= 64
         )
-
-        if fi.is_inter_frame and not use_device and min(enc.width, enc.height) >= 64:
-            # no device maps: host hierarchical 3-pass motion fields seed the
-            # per-block searches (me.rs:153-284), measured on SOURCE frames
-            # like the reference's lookahead ME stats (api/lookahead.rs)
-            from rav1e_tpu.context.mv import ALTREF_FRAME, LAST_FRAME
-            from rav1e_tpu.encoder.lookahead import hierarchical_me
-            from rav1e_tpu.utils.trace import span
-
-            src_y = frame.planes[0].as_array()[: enc.height, : enc.width]
-            fields = {}
-            with span("hier_me"):
-                f0 = self._ref_src_luma(plan.ref_slot_fwd)
-                fields[LAST_FRAME] = hierarchical_me(src_y, f0, enc.bit_depth)
-                if fi.ref_frame_bwd is not None and plan.ref_slot_bwd is not None:
-                    f1 = self._ref_src_luma(plan.ref_slot_bwd)
-                    fields[ALTREF_FRAME] = hierarchical_me(
-                        src_y, f1, enc.bit_depth
-                    )
-            fi.me_fields = fields
-
-        # device analysis: one jitted TPU program decides partitions, intra
-        # modes, intra-vs-inter, and the motion field (device/me.py pyramid
-        # + subpel SATD) for the whole frame; the tile encoders below
-        # consume the maps instead of running trial searches
-        if use_device:
-            from rav1e_tpu.device import analyze_finish, analyze_frame_async
-            from rav1e_tpu.utils.trace import span as _span
-
-            maps = None
-            if pending is not None and pending["q"] == base_q_idx:
-                with _span("device_analysis"):
-                    pending["thread"].join()
-                    maps = pending["box"].get("maps")
-            if maps is not None:
-                fi.device_maps = maps
-            else:
-                src_y = frame.planes[0].as_array()[: enc.height, : enc.width]
-                ref_y = ref_y_bwd = ref_y_bwd2 = None
-                if fi.is_inter_frame:
-                    ref_y = self._ref_src_luma(plan.ref_slot_fwd)
-                    if fi.ref_frame_bwd is not None and plan.ref_slot_bwd is not None:
-                        ref_y_bwd = self._ref_src_luma(plan.ref_slot_bwd)
-                    if (
-                        ref_y_bwd is not None
-                        and fi.ref_frame_bwd2 is not None
-                        and getattr(plan, "ref_slot_bwd2", None) is not None
-                    ):
-                        ref_y_bwd2 = self._ref_src_luma(plan.ref_slot_bwd2)
-                q_step = tables.ac_q(base_q_idx, 0, enc.bit_depth) / 8.0
-                lam = 0.12 * q_step * q_step
-                with _span("device_analysis"):
-                    fi.device_maps = analyze_finish(analyze_frame_async(
-                        src_y, ref_y, ref_y_bwd, base_q_idx, lam,
-                        enc.bit_depth, ref2_np=ref_y_bwd2,
-                    ))
-            # dispatch the NEXT planned frames' analyses now, so their
-            # device round-trips overlap this frame's host coding and loop
-            # filters
-            if next_hints:
-                try:
-                    self._predispatch_analyses(
-                        next_hints, frame, frame_type, plan
-                    )
-                except Exception:
-                    self._pending_analyses.clear()
-
         # select the full-pel search family for this frame's speed tier
         # (native ME reads it as a per-process constant; the python fallback
         # reads speed.motion directly)
@@ -2876,6 +2802,298 @@ class FramePipeline:
                     fi.bit_depth, enc.chroma_sampling,
                 )
 
+        return (rec, frame_blocks, enc_stats, frame_cdfs, tile_group,
+                deblock_levels, cdef_damping, cdef_bits, cdef_y, cdef_uv,
+                cdef_y_list, cdef_uv_list, lrf_types, lrf_unit_size)
+
+    def encode_frame(
+        self,
+        frame: Frame,
+        input_frameno: int,
+        frame_type: FrameType,
+        params=None,
+        is_first: bool = False,
+        plan=None,
+        next_hints=None,
+    ) -> Packet:
+        enc = self.config.enc
+        assert frame_type == FrameType.KEY or not enc.still_picture
+
+        if plan is None:
+            # direct callers without a scheduler: low-latency slot cycling
+            from rav1e_tpu.api.inter_cfg import PlannedFrame
+
+            slot = self._fallback_slot % 4
+            plan = PlannedFrame(
+                "key" if frame_type == FrameType.KEY else "inter",
+                input_frameno, order_hint=input_frameno, slot=slot,
+                ref_slot_fwd=(slot + 3) % 4,
+                ref_frames=[(slot + 3) % 4] * 7,
+            )
+            self._fallback_slot += 1
+
+        if (
+            getattr(plan, "switch", False)
+            and frame_type == FrameType.INTER
+            and self.rec_buffer[plan.ref_slot_fwd] is not None
+        ):
+            frame_type = FrameType.SWITCH
+
+        ref_fwd = ref_bwd = ref_bwd2 = None
+        primary_ref = 7  # PRIMARY_REF_NONE
+        init_cdfs = None
+        if frame_type.has_inter():
+            ref_fwd = self.rec_buffer[plan.ref_slot_fwd]
+            if plan.ref_slot_bwd is not None:
+                ref_bwd = self.rec_buffer[plan.ref_slot_bwd]
+            if (
+                ref_bwd is not None
+                and getattr(plan, "ref_slot_bwd2", None) is not None
+                and enc.speed_settings.multiref
+            ):
+                ref_bwd2 = self.rec_buffer[plan.ref_slot_bwd2]
+            if ref_fwd is None:
+                frame_type = FrameType.KEY
+            elif (
+                self.cdf_buffer[plan.ref_slot_fwd] is not None
+                and not enc.error_resilient
+                and frame_type != FrameType.SWITCH
+            ):
+                # inherit symbol probabilities from the forward reference
+                # (primary_ref_frame = LAST; encoder.rs:1040-1046)
+                primary_ref = 0
+                init_cdfs = self.cdf_buffer[plan.ref_slot_fwd]
+
+        # spec 5.9.8 compute_image_size: mi dims round to EVEN (8px
+        # multiples) so 4px edge blocks always pair for chroma coverage
+        mi_cols = 2 * ((enc.width + 7) >> 3)
+        mi_rows = 2 * ((enc.height + 7) >> 3)
+
+        base_q_idx = self.rc.select_qi(frame_type, enc.width, enc.height, plan.level)
+        dist_scales = None
+        if getattr(plan, "importances", None) is not None:
+            from rav1e_tpu.encoder.lookahead import importances_to_scales
+
+            dist_scales = importances_to_scales(plan.importances, plan.la_intra)
+
+        from rav1e_tpu.config import Tune
+
+        if enc.tune == Tune.Psychovisual:
+            # activity masking (reference activity.rs ActivityMask +
+            # ssim_boost feeding distortion_scale_for, rdo.rs:506): flat
+            # areas are perceptually sensitive -> distortion there weighs
+            # more; busy areas mask error -> less.  Scales multiply the
+            # temporal-RDO scales on the same 8x8 grid.
+            from rav1e_tpu.encoder.segmentation import _seg_cell_stats
+
+            src_y8 = frame.planes[0].as_array()[: enc.height, : enc.width]
+            s8, q8, _ = _seg_cell_stats(src_y8, None)
+            sc = float(1 << (enc.bit_depth - 8))
+            act = (64.0 * q8 - s8.astype(np.float64) ** 2) / (
+                4096.0 * sc * sc
+            )
+            logs = 0.5 * np.log2(np.maximum(act, 1.0))
+            psy = np.clip(
+                2.0 ** (0.4 * (float(np.median(logs)) - logs)), 0.5, 2.0
+            )
+            if dist_scales is None:
+                dist_scales = psy
+            else:
+                ch = min(dist_scales.shape[0], psy.shape[0])
+                cw = min(dist_scales.shape[1], psy.shape[1])
+                dist_scales = dist_scales.copy()
+                dist_scales[:ch, :cw] *= psy[:ch, :cw]
+
+        seg = None
+        from rav1e_tpu.config.speed import SegmentationLevel
+
+        if enc.speed_settings.segmentation != SegmentationLevel.Disabled:
+            from rav1e_tpu.encoder.segmentation import segmentation_optimize
+
+            ref_luma = None
+            if frame_type.has_inter():
+                if self._chain_applicable():
+                    # chain tier: the recon lives on device; the SOURCE ref
+                    # serves the (encoder-side-only) segmentation heuristic
+                    # without forcing a device->host plane fetch
+                    ref_luma = self._ref_src_luma(plan.ref_slot_fwd)
+                else:
+                    ref0 = self.rec_buffer[plan.ref_slot_fwd]
+                    if ref0 is not None:
+                        ref_luma = ref0.planes[0].as_array()
+            seg = segmentation_optimize(
+                frame.planes[0].as_array(), base_q_idx, enc.bit_depth,
+                mi_cols, mi_rows, ref_luma=ref_luma, imp_scales=dist_scales,
+            )
+            if not seg.enabled:
+                seg = None
+
+        fi = FrameInvariantsLite(
+            seq=self.seq,
+            width=enc.width,
+            height=enc.height,
+            frame_type=frame_type,
+            base_q_idx=base_q_idx,
+            bit_depth=enc.bit_depth,
+            tx_mode_select=True,
+            use_reduced_tx_set=enc.speed_settings.transform.reduced_tx_set,
+            mi_cols=mi_cols,
+            mi_rows=mi_rows,
+            ref_frame=ref_fwd if frame_type.has_inter() else None,
+            ref_frame_bwd=ref_bwd if frame_type.has_inter() else None,
+            ref_frame_bwd2=ref_bwd2 if frame_type.has_inter() else None,
+            seg=seg,
+            prev_mvs=self.prev_mvs if frame_type.has_inter() else None,
+            init_cdfs=init_cdfs if frame_type.has_inter() else None,
+        )
+        from rav1e_tpu.quantize import chroma_q_deltas
+
+        fi.dc_delta_q, fi.ac_delta_q = chroma_q_deltas(
+            base_q_idx, enc.bit_depth, self.seq.chroma_sampling
+        )
+        fi.dist_scales = dist_scales
+
+        # skip-mode (spec 5.9.22): enabled when the derived closest-ref pair
+        # is exactly (LAST, ALTREF) — the pair our compound blocks use
+        if fi.is_inter_frame and fi.ref_frame_bwd is not None:
+            from rav1e_tpu.encoder.obu import _skip_mode_refs
+
+            class _Probe:
+                pass
+
+            _p = _Probe()
+            _p.intra_only = False
+            _p.reference_mode_select = True
+            _p.ref_order_hints = list(self.slot_order_hints)
+            _p.ref_frames = list(plan.ref_frames)
+            _nb = self.seq.order_hint_bits_minus_1 + 1
+            _p.order_hint = plan.order_hint & ((1 << _nb) - 1)
+            fi.skip_mode_present = _skip_mode_refs(self.seq, _p) == (0, 6)
+
+        pending = self._pending_analyses.pop(input_frameno, None)
+        # validity: the dispatched program must have seen exactly the inputs
+        # the sync path would use, so the bitstream is identical whether or
+        # not the frame was queued early.  The recorded reference-source
+        # framenos must match the slots' actual content (the predispatch
+        # simulation can diverge after an unplanned refresh), and the maps
+        # additionally require the SAME qi (checked at consumption).
+        if pending is not None and not (
+            pending["is_inter"] == fi.is_inter_frame
+            and (
+                not fi.is_inter_frame
+                or (
+                    pending["ref_fno_fwd"]
+                    == self.slot_src_frameno[plan.ref_slot_fwd]
+                    and pending["ref_fno_fwd"] is not None
+                    and pending["ref_fno_bwd"]
+                    == (
+                        self.slot_src_frameno[plan.ref_slot_bwd]
+                        if (
+                            fi.ref_frame_bwd is not None
+                            and plan.ref_slot_bwd is not None
+                        )
+                        else None
+                    )
+                    and pending.get("ref_fno_bwd2")
+                    == (
+                        self.slot_src_frameno[plan.ref_slot_bwd2]
+                        if (
+                            fi.ref_frame_bwd2 is not None
+                            and getattr(plan, "ref_slot_bwd2", None)
+                            is not None
+                        )
+                        else None
+                    )
+                )
+            )
+        ):
+            pending = None
+
+        use_device = (
+            enc.speed_settings.device_analysis
+            and min(enc.width, enc.height) >= 64
+        )
+
+        if fi.is_inter_frame and not use_device and min(enc.width, enc.height) >= 64:
+            # no device maps: host hierarchical 3-pass motion fields seed the
+            # per-block searches (me.rs:153-284), measured on SOURCE frames
+            # like the reference's lookahead ME stats (api/lookahead.rs)
+            from rav1e_tpu.context.mv import ALTREF_FRAME, LAST_FRAME
+            from rav1e_tpu.encoder.lookahead import hierarchical_me
+            from rav1e_tpu.utils.trace import span
+
+            src_y = frame.planes[0].as_array()[: enc.height, : enc.width]
+            fields = {}
+            with span("hier_me"):
+                f0 = self._ref_src_luma(plan.ref_slot_fwd)
+                fields[LAST_FRAME] = hierarchical_me(src_y, f0, enc.bit_depth)
+                if fi.ref_frame_bwd is not None and plan.ref_slot_bwd is not None:
+                    f1 = self._ref_src_luma(plan.ref_slot_bwd)
+                    fields[ALTREF_FRAME] = hierarchical_me(
+                        src_y, f1, enc.bit_depth
+                    )
+            fi.me_fields = fields
+
+        # device analysis: one jitted TPU program decides partitions, intra
+        # modes, intra-vs-inter, and the motion field (device/me.py pyramid
+        # + subpel SATD) for the whole frame; the tile encoders below
+        # consume the maps instead of running trial searches
+        if use_device:
+            from rav1e_tpu.device import analyze_finish, analyze_frame_async
+            from rav1e_tpu.utils.trace import span as _span
+
+            maps = None
+            if pending is not None and pending["q"] == base_q_idx:
+                with _span("device_analysis"):
+                    pending["thread"].join()
+                    maps = pending["box"].get("maps")
+            if maps is not None:
+                fi.device_maps = maps
+            else:
+                src_y = frame.planes[0].as_array()[: enc.height, : enc.width]
+                ref_y = ref_y_bwd = ref_y_bwd2 = None
+                if fi.is_inter_frame:
+                    ref_y = self._ref_src_luma(plan.ref_slot_fwd)
+                    if fi.ref_frame_bwd is not None and plan.ref_slot_bwd is not None:
+                        ref_y_bwd = self._ref_src_luma(plan.ref_slot_bwd)
+                    if (
+                        ref_y_bwd is not None
+                        and fi.ref_frame_bwd2 is not None
+                        and getattr(plan, "ref_slot_bwd2", None) is not None
+                    ):
+                        ref_y_bwd2 = self._ref_src_luma(plan.ref_slot_bwd2)
+                q_step = tables.ac_q(base_q_idx, 0, enc.bit_depth) / 8.0
+                lam = 0.12 * q_step * q_step
+                with _span("device_analysis"):
+                    fi.device_maps = analyze_finish(analyze_frame_async(
+                        src_y, ref_y, ref_y_bwd, base_q_idx, lam,
+                        enc.bit_depth, ref2_np=ref_y_bwd2,
+                    ))
+            # dispatch the NEXT planned frames' analyses now, so their
+            # device round-trips overlap this frame's host coding and loop
+            # filters
+            if next_hints:
+                try:
+                    self._predispatch_analyses(
+                        next_hints, frame, frame_type, plan
+                    )
+                except Exception:
+                    self._pending_analyses.clear()
+
+        chain_out = None
+        self._chain_pending_refs = None
+        if use_device and fi.is_inter_frame:
+            chain_out = self._encode_frame_chain(
+                fi, frame, frame_type, plan, input_frameno, base_q_idx)
+        if chain_out is None:
+            chain_out = self._encode_frame_host(
+                fi, frame, frame_type, mi_cols, mi_rows, input_frameno)
+        (rec, frame_blocks, enc_stats, frame_cdfs, tile_group,
+         deblock_levels, cdef_damping, cdef_bits, cdef_y, cdef_uv,
+         cdef_y_list, cdef_uv_list, lrf_types, lrf_unit_size) = chain_out
+
+        sb_w = (mi_cols + MIB_SIZE - 1) // MIB_SIZE
+        sb_h = (mi_rows + MIB_SIZE - 1) // MIB_SIZE
         is_inter = fi.is_inter_frame
         n_hint = self.seq.order_hint_bits_minus_1 + 1
         refresh = (
@@ -2978,11 +3196,16 @@ class FramePipeline:
             if (refresh >> i) & 1:
                 self.slot_order_hints[i] = plan.order_hint & ((1 << n_hint_bits) - 1)
         src_luma = frame.planes[0].as_array()[: enc.height, : enc.width].copy()
+        chain_refs = self._chain_pending_refs
+        self._chain_pending_refs = None
         for i in range(8):
             if (refresh >> i) & 1:
                 self.rec_buffer[i] = rec
                 self.src_buffer[i] = src_luma
                 self.slot_src_frameno[i] = input_frameno
+                # device-chain slot: the chain's own device recon when this
+                # frame was chain-coded, else invalidate (lazy re-upload)
+                self._chain_slots[i] = chain_refs
         self.frames_encoded += 1
         self.rc.update_state(
             len(packet_data) * 8, frame_type, fi.base_q_idx, enc.width, enc.height,

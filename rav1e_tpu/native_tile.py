@@ -301,16 +301,24 @@ def encode_tile_native(te) -> Optional[tuple]:
         p.rec[i] = _plane_desc(rec_pl)
     p.have_ref0 = int(fi.ref_frame is not None)
     p.have_ref1 = int(fi.ref_frame_bwd is not None)
-    if fi.ref_frame is not None:
+    # chain replay (reuse + coeff log): select_inter returns from the reuse
+    # grids and MC/recon are skipped, so the reference planes are never
+    # dereferenced — leave the descriptors null rather than materializing
+    # device-resident reconstructions (tile_block.inc select_inter :678)
+    chain_replay = (
+        getattr(te, "reuse_blocks", None) is not None
+        and getattr(te, "coeff_log_in", None) is not None
+    )
+    if not chain_replay and fi.ref_frame is not None:
         for i in range(3):
             pl = fi.ref_frame.planes[i] if i < len(fi.ref_frame.planes) else fi.ref_frame.planes[0]
             p.ref0[i] = _plane_desc(pl)
-    if fi.ref_frame_bwd is not None:
+    if not chain_replay and fi.ref_frame_bwd is not None:
         for i in range(3):
             pl = fi.ref_frame_bwd.planes[i] if i < len(fi.ref_frame_bwd.planes) else fi.ref_frame_bwd.planes[0]
             p.ref1[i] = _plane_desc(pl)
     p.have_ref2 = int(fi.ref_frame_bwd2 is not None)
-    if fi.ref_frame_bwd2 is not None:
+    if not chain_replay and fi.ref_frame_bwd2 is not None:
         for i in range(3):
             pl = (fi.ref_frame_bwd2.planes[i]
                   if i < len(fi.ref_frame_bwd2.planes)
