@@ -27,13 +27,17 @@ def _enable_persistent_cache() -> None:
         return
     # CPU runs (tests, virtual meshes) skip the cache: XLA:CPU AOT entries
     # embed exact machine-feature lists and reload with mismatch warnings
-    # (and SIGILL risk) across processes
-    if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+    # (and SIGILL risk) across processes.  Only the PRIMARY platform counts:
+    # "axon,cpu" (TPU with cpu fallback) must still enable the cache.
+    def _primary(platforms: str) -> str:
+        return platforms.split(",")[0].strip().lower()
+
+    if _primary(_os.environ.get("JAX_PLATFORMS", "tpu")) == "cpu":
         return
     try:
         import jax as _jax
 
-        if "cpu" in str(_jax.config.jax_platforms or "").lower():
+        if _primary(str(_jax.config.jax_platforms or "tpu")) == "cpu":
             return  # pinned to CPU via jax.config (conftest / scripts)
     except Exception:
         pass
