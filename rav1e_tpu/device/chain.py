@@ -477,39 +477,36 @@ N_CAND = 5
 CAND_REF = (0, 1, 2, 0, 0)
 
 
-def chain_program(geom: ChainGeom):
-    """Build the (unjitted) chain program for a geometry."""
-    import jax
+def _active_by_size(geom: ChainGeom, ords):
+    """Per-size (ny, nx) active-cell masks from the luma bucket ordinals."""
+    g = geom
+    gh, gw = g.gh, g.gw
+    out = {}
+    for s in g.sizes:
+        t = tx_for_block(s, g.tx_split)
+        bi = g.buckets.index((0, int(t), gh // t.height, gw // t.width))
+        k2 = 2 if g.tx_split else 1
+        out[s] = ords[bi][::k2, ::k2] >= 0
+    return out
 
+
+def _sel_luma_program(geom: ChainGeom):
+    """Stage 1: candidate selection + luma MC.  Returns the composed luma
+    prediction plane and the per-size selection grids."""
     jnp = _jnp()
     g = geom
     gh, gw = g.gh, g.gw
-    ch_h, ch_w = gh // 2, gw // 2
     bd = g.bd
     big = jnp.int32(2 ** 30)
 
-    def fn(src, refs, fields, ords, dcq8, acq8, dbl_levels, cdef_y, cdef_uv):
-        """src: (y, u, v) SB-extent planes (native dtype).
-        refs: ((y0,u0,v0), (y1,u1,v1), (y2,u2,v2)) padded device planes.
-        fields: (3, ny16, nx16, 2) i32 clamped MV fields.
-        ords: per-bucket ordinal grids (i32, -1 inactive), geom.buckets order.
-        dcq8/acq8: (3, nby8, nbx8) i32 per-plane quants at 8px cells.
-        dbl_levels: (4,) i32;  cdef_y/cdef_uv: (4,) i32 strength presets.
-        Returns (ref_y, ref_u, ref_v) padded recon + flat int16 outputs."""
-        src_y = src[0].astype(jnp.int32)
-        src_u = src[1].astype(jnp.int32)
-        src_v = src[2].astype(jnp.int32)
-        ref_y = jnp.stack([r[0].astype(jnp.int32) for r in refs])
-        ref_u = jnp.stack([r[1].astype(jnp.int32) for r in refs])
-        ref_v = jnp.stack([r[2].astype(jnp.int32) for r in refs])
-
-        # ---- selection + luma MC per block size --------------------------
+    def fn(src_y_raw, refs_y, fields, ords):
+        src_y = src_y_raw.astype(jnp.int32)
+        # native-dtype stack: the window gathers widen to i32 themselves,
+        # and 8-bit planes skip the high-byte one-hot matmul (dsp.py)
+        ref_y = jnp.stack(refs_y)
+        active_by_size = _active_by_size(g, ords)
         sel_grids = []
         pred_y = jnp.zeros((gh, gw), jnp.int32)
-        mv0_by_size = {}
-        mv1_by_size = {}
-        comp_by_size = {}
-        active_by_size = {}
         for s in g.sizes:
             ny, nx = gh // s, gw // s
             n = ny * nx
@@ -554,53 +551,48 @@ def chain_program(geom: ChainGeom):
             pred_sel = jnp.take_along_axis(
                 pred_stack, sel[None, :, None, None], axis=0)[0]
 
-            # bucket ordinal grid for this size gives the active-block mask
-            t = tx_for_block(s, g.tx_split)
-            bi = g.buckets.index(
-                (0, int(t), gh // t.height, gw // t.width))
-            og = ords[bi]
-            k2 = 2 if g.tx_split else 1
-            active = (og[::k2, ::k2] >= 0)  # (ny, nx)
-            active_by_size[s] = active
+            active = active_by_size[s]
             mask_px = jnp.repeat(jnp.repeat(active, s, axis=0), s, axis=1)
             pred_y = jnp.where(mask_px, _uncells(pred_sel, gh, gw, s, s),
                                pred_y)
-
-            mv0 = jnp.stack([cand_mv[k] for k in range(N_CAND)])[
-                sel, jnp.arange(n)]
-            mv1 = jnp.where((sel == 4)[:, None], f[1], 0)
-            mv0_by_size[s] = mv0
-            mv1_by_size[s] = mv1
-            comp_by_size[s] = sel == 4
             sel_grids.append(jnp.where(active, sel.reshape(ny, nx), 0))
+        return pred_y, tuple(sel_grids)
 
-        # ---- chroma MC (4:2:0) ------------------------------------------
+    return fn
+
+
+def _chroma_program(geom: ChainGeom):
+    """Stage 2: chroma MC (4:2:0) from the per-size selection grids."""
+    jnp = _jnp()
+    g = geom
+    gh, gw = g.gh, g.gw
+    ch_h, ch_w = gh // 2, gw // 2
+    bd = g.bd
+
+    def fn(refs_u, refs_v, fields, sels, ords):
+        ref_u = jnp.stack(refs_u)
+        ref_v = jnp.stack(refs_v)
+        active_by_size = _active_by_size(g, ords)
         pred_u = jnp.zeros((ch_h, ch_w), jnp.int32)
         pred_v = jnp.zeros((ch_h, ch_w), jnp.int32)
-        for s in g.sizes:
+        for si, s in enumerate(g.sizes):
             sc = s >> 1
             ny, nx = gh // s, gw // s
             n = ny * nx
             pos_y = jnp.repeat(jnp.arange(ny, dtype=jnp.int32) * sc, nx)
             pos_x = jnp.tile(jnp.arange(nx, dtype=jnp.int32) * sc, ny)
-            mv0 = mv0_by_size[s]
-            mv1 = mv1_by_size[s]
-            comp = comp_by_size[s]
-            # single path: per-cell reference select via a leading-index
-            # gather on the stacked refs
             f = [_field_at(fields[k], s, ny, nx) for k in range(3)]
-            sel = sel_grids[g.sizes.index(s)].reshape(-1)
+            zero = jnp.zeros((n, 2), jnp.int32)
+            cand_mv = [f[0], f[1], f[2], zero, f[0]]
+            sel = sels[si].reshape(-1)
+            mv0 = jnp.stack(cand_mv)[sel, jnp.arange(n)]
+            comp = sel == 4
             ridx = jnp.asarray(np.asarray(CAND_REF, np.int32))[sel]
-            for ref_c, src_c, out_name in ((ref_u, src_u, "u"),
-                                           (ref_v, src_v, "v")):
+            for ref_c, out_name in ((ref_u, "u"), (ref_v, "v")):
                 mv_r, mv_c = mv0[:, 0], mv0[:, 1]
                 iy0 = PADD + pos_y + (mv_r >> 4) - 3
                 ix0 = PADD + pos_x + (mv_c >> 4) - 3
-                iy = iy0[:, None, None] + jnp.arange(sc + 7,
-                                                    dtype=jnp.int32)[None, :, None]
-                ix = ix0[:, None, None] + jnp.arange(sc + 7,
-                                                    dtype=jnp.int32)[None, None, :]
-                win = ref_c[ridx[:, None, None], iy, ix].astype(jnp.int32)
+                win = dsp.mc_gather_windows_ref(ref_c, ridx, iy0, ix0, sc, sc)
                 single = dsp.mc_put_from_windows(win, mv_r, mv_c, sc, sc,
                                                  bd, 1, 1)
                 if g.has_bwd:
@@ -620,14 +612,28 @@ def chain_program(geom: ChainGeom):
                     pred_u = jnp.where(mask_px, placed, pred_u)
                 else:
                     pred_v = jnp.where(mask_px, placed, pred_v)
+        return pred_u, pred_v
 
-        # ---- transform + quantize per bucket ----------------------------
+    return fn
+
+
+def _txq_program(geom: ChainGeom):
+    """Stage 3: forward transform + quantize + reconstruct per bucket,
+    walk-order level packing, and the block decision grids."""
+    jnp = _jnp()
+    g = geom
+    gh, gw = g.gh, g.gw
+    ch_h, ch_w = gh // 2, gw // 2
+    bd = g.bd
+
+    def fn(src, preds, ords, dcq8, acq8):
         from rav1e_tpu.quantize import _scan_u16
 
-        srcs = {0: src_y, 1: src_u, 2: src_v}
-        preds = {0: pred_y, 1: pred_u, 2: pred_v}
+        srcs = {0: src[0].astype(jnp.int32), 1: src[1].astype(jnp.int32),
+                2: src[2].astype(jnp.int32)}
+        predd = {0: preds[0], 1: preds[1], 2: preds[2]}
         exts = {0: (gh, gw), 1: (ch_h, ch_w), 2: (ch_h, ch_w)}
-        recons = {0: pred_y, 1: pred_u, 2: pred_v}
+        recons = {0: preds[0], 1: preds[1], 2: preds[2]}
 
         eob_ord = jnp.zeros((g.ntx_cap + 1,), jnp.int32)
         bucket_levels = []
@@ -637,7 +643,7 @@ def chain_program(geom: ChainGeom):
             th, tw = t.height, t.width
             ph, pw = exts[plane]
             cell_px = th * (2 if plane else 1)  # cell size in luma px
-            res = _cells(srcs[plane] - preds[plane], th, tw)
+            res = _cells(srcs[plane] - predd[plane], th, tw)
             coeffs = dsp.fwd_tx_batched(res, t, TxType.DCT_DCT)
             scan = _scan_u16(min(tw, 32), min(th, 32), "default")
             nyt, nxt = ph // th, pw // tw
@@ -657,7 +663,7 @@ def chain_program(geom: ChainGeom):
             bucket_levels.append((bi, plane, t, scan, levels, eob, active, o))
 
             qdense = dsp.scan_to_dense(levels, t, scan)
-            rec_cells = dsp.itx_add_batched(qdense, _cells(preds[plane], th, tw),
+            rec_cells = dsp.itx_add_batched(qdense, _cells(predd[plane], th, tw),
                                             t, TxType.DCT_DCT, bd, dcq, acq)
             mask_px = jnp.repeat(
                 jnp.repeat(active.reshape(nyt, nxt), th, axis=0), tw, axis=1)
@@ -701,6 +707,7 @@ def chain_program(geom: ChainGeom):
                 nz8 = nz8 + nzg.reshape(nyt // k, k, nxt // k, k).sum(
                     axis=(1, 3))
 
+        active_by_size = _active_by_size(g, ords)
         skip8 = jnp.zeros((nby8, nbx8), jnp.int32)
         tx8 = jnp.zeros((nby8, nbx8), jnp.int32)
         bsize8 = jnp.zeros((nby8, nbx8), jnp.int32)
@@ -721,6 +728,26 @@ def chain_program(geom: ChainGeom):
                             jnp.repeat(jnp.repeat(tx_val, c8, axis=0), c8,
                                        axis=1), tx8)
             bsize8 = jnp.where(upa > 0, SQ_BSIZE[s], bsize8)
+
+        return (levels_flat, eob_ord, overflow,
+                (recons[0], recons[1], recons[2]), skip8, tx8, bsize8)
+
+    return fn
+
+
+def _filters_program(geom: ChainGeom):
+    """Stage 4: deblock + CDEF on the reconstruction; emits the padded
+    reference planes for the next frames and the per-SB cdef indices."""
+    jnp = _jnp()
+    g = geom
+    gh, gw = g.gh, g.gw
+    ch_h, ch_w = gh // 2, gw // 2
+    bd = g.bd
+
+    def fn(recons, src, skip8, tx8, bsize8, dbl_levels, cdef_y, cdef_uv):
+        srcs = {0: src[0].astype(jnp.int32), 1: src[1].astype(jnp.int32),
+                2: src[2].astype(jnp.int32)}
+        exts = {0: (gh, gw), 1: (ch_h, ch_w), 2: (ch_h, ch_w)}
 
         # mi-granularity grids for the deblock decisions
         skip_mi = jnp.repeat(jnp.repeat(skip8.astype(bool), 2, axis=0), 2,
@@ -801,25 +828,46 @@ def chain_program(geom: ChainGeom):
             vw = (g.vis_w + (1 << xd) - 1) >> xd
             ref_out.append(
                 _pad_edge(planes_rec[pli], vh, vw, PADD).astype(out_dt))
+        return tuple(ref_out), cdef_idx
 
-        # ---- flat int16 host payload ------------------------------------
+    return fn
+
+
+def _pack_program(geom: ChainGeom):
+    """Stage 5: assemble the flat int16 host payload."""
+    jnp = _jnp()
+    g = geom
+
+    def fn(overflow, eob_ord, sels, cdef_idx, levels_flat):
         parts = [overflow[None].astype(jnp.int16),
                  eob_ord[: g.ntx_cap].astype(jnp.int16)]
-        for sg in sel_grids:
+        for sg in sels:
             parts.append(sg.reshape(-1).astype(jnp.int16))
         parts.append(cdef_idx.reshape(-1).astype(jnp.int16))
         parts.append(levels_flat[: g.lcap].astype(jnp.int16))
-        flat = jnp.concatenate(parts)
-        return tuple(ref_out), flat
+        return jnp.concatenate(parts)
 
     return fn
 
 
 @functools.lru_cache(None)
-def chain_program_jit(geom: ChainGeom):
+def chain_stages_jit(geom: ChainGeom):
+    """The five jitted stage programs of the chain.
+
+    One monolithic whole-chain program compiled in ~640 s and executed in
+    ~300 ms/frame (XLA fusion blowup); the same math as five programs with
+    device-resident intermediates compiles in seconds and runs at the sum
+    of the stage times (each sub-ms, measured) — the per-dispatch enqueue
+    is free on this backend."""
     import jax
 
-    return jax.jit(chain_program(geom))
+    return (
+        jax.jit(_sel_luma_program(geom)),
+        jax.jit(_chroma_program(geom)),
+        jax.jit(_txq_program(geom)),
+        jax.jit(_filters_program(geom)),
+        jax.jit(_pack_program(geom)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -901,7 +949,7 @@ def dispatch_chain(geom: ChainGeom, plan: ChainPlan, src_planes, ref_planes,
     Returns an opaque handle for fetch_chain."""
     import jax.numpy as jnp
 
-    fn = chain_program_jit(geom)
+    f_sel, f_chroma, f_txq, f_filters, f_pack = chain_stages_jit(geom)
     ords = tuple(
         jnp.asarray(
             plan.ords.get((p, t), np.full((gh, gw), -1, dtype=np.int32))
@@ -911,14 +959,25 @@ def dispatch_chain(geom: ChainGeom, plan: ChainPlan, src_planes, ref_planes,
     refs = tuple(
         tuple(jnp.asarray(pl) for pl in r) for r in ref_planes
     )
-    ref_out, flat = fn(
-        tuple(jnp.asarray(p) for p in src_planes), refs,
-        jnp.asarray(fields), ords,
+    src = tuple(jnp.asarray(p) for p in src_planes)
+    fields_j = jnp.asarray(fields)
+
+    pred_y, sels = f_sel(src[0], tuple(r[0] for r in refs), fields_j, ords)
+    pred_u, pred_v = f_chroma(
+        tuple(r[1] for r in refs), tuple(r[2] for r in refs),
+        fields_j, sels, ords,
+    )
+    levels_flat, eob_ord, overflow, recons, skip8, tx8, bsize8 = f_txq(
+        src, (pred_y, pred_u, pred_v), ords,
         jnp.asarray(dcq8), jnp.asarray(acq8),
+    )
+    ref_out, cdef_idx = f_filters(
+        recons, src, skip8, tx8, bsize8,
         jnp.asarray(np.asarray(dbl_levels, np.int32)),
         jnp.asarray(np.asarray(cdef_y, np.int32)),
         jnp.asarray(np.asarray(cdef_uv, np.int32)),
     )
+    flat = f_pack(overflow, eob_ord, sels, cdef_idx, levels_flat)
     return (geom, plan, ref_out, flat)
 
 

@@ -67,14 +67,113 @@ def _filter_table(length: int, mode: int = 0) -> np.ndarray:
     return SUBPEL_FILTERS[idx]
 
 
+def _on_tpu() -> bool:
+    import os
+
+    if os.environ.get("RAV1E_TPU_NO_ONEHOT_MC"):
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def gather_rows_onehot(ref_pad, iy0, nrows: int):
+    """Row gather as a one-hot MXU matmul: (N,) top-left rows ->
+    (N, nrows, W) i32 strips of ref_pad (H, W).
+
+    XLA lowers the advanced-indexing gather to a serialized per-row loop
+    on TPU (~150 ns/row — 8.8 ms for one frame of 8x8 blocks, measured);
+    the same selection as onehot(bf16) @ plane(bf16) -> f32 runs on the
+    MXU in ~0.3 ms.  Exact: pixels (<= 12-bit... 8-bit here) are exact in
+    bf16? only <= 8-bit — so the plane is fed as TWO bf16 planes (low
+    byte, high bits) for bd > 8; each product has a single nonzero term,
+    f32 accumulate is exact."""
+    jnp = _jnp()
+    H, W = ref_pad.shape
+    n = iy0.shape[0]
+    rows_idx = (iy0[:, None] + jnp.arange(nrows, dtype=jnp.int32)[None, :]
+                ).reshape(-1)  # (n*nrows,)
+    iota = jnp.arange(H, dtype=jnp.int32)
+    onehot = (rows_idx[:, None] == iota[None, :]).astype(jnp.bfloat16)
+    p = ref_pad.astype(jnp.int32)
+    lo = (p & 0xFF).astype(jnp.bfloat16)
+    out = jnp.dot(onehot, lo, preferred_element_type=jnp.float32)
+    hi_bits = None
+    # static dtype probe: uint8/int8 planes never need the high half
+    if ref_pad.dtype not in (jnp.uint8, jnp.int8):
+        hi = (p >> 8).astype(jnp.bfloat16)
+        hi_bits = jnp.dot(onehot, hi, preferred_element_type=jnp.float32)
+    res = out.astype(jnp.int32)
+    if hi_bits is not None:
+        res = res + (hi_bits.astype(jnp.int32) << 8)
+    return res.reshape(n, nrows, W)
+
+
+def _is_narrow(dtype) -> bool:
+    """True when values fit 8 bits (bf16-exact without a byte split)."""
+    jnp = _jnp()
+    return dtype in (jnp.uint8, jnp.int8)
+
+
 def mc_gather_windows(ref_pad, iy0, ix0, h: int, w: int):
-    """ref_pad: (..., H, W) padded plane(s); iy0/ix0: (N,) int32 top-left
+    """ref_pad: (H, W) padded plane; iy0/ix0: (N,) int32 top-left
     indices INTO THE PADDED ARRAY of the (h+7, w+7) support window.
     Returns (N, h + 7, w + 7) int32."""
     jnp = _jnp()
+    if _on_tpu():
+        rows = gather_rows_onehot(ref_pad, iy0, h + 7)  # (n, h+7, W)
+        return _cols_window(rows, ix0, w + 7, _is_narrow(ref_pad.dtype))
     iy = iy0[:, None, None] + jnp.arange(h + 7, dtype=jnp.int32)[None, :, None]
     ix = ix0[:, None, None] + jnp.arange(w + 7, dtype=jnp.int32)[None, None, :]
     return ref_pad[iy, ix].astype(jnp.int32)
+
+
+def mc_gather_windows_ref(ref_stack, ridx, iy0, ix0, h: int, w: int):
+    """Window gather with a per-block leading reference select:
+    ref_stack (R, H, W), ridx (N,) i32 -> (N, h+7, w+7) i32.  On TPU the
+    ref select folds into the row one-hot by flattening the stack to
+    (R*H, W) and offsetting the row indices by ridx*H."""
+    jnp = _jnp()
+    if _on_tpu():
+        R, H, W = ref_stack.shape
+        flat = ref_stack.reshape(R * H, W)
+        rows = gather_rows_onehot(flat, ridx * H + iy0, h + 7)
+        return _cols_window(rows, ix0, w + 7, _is_narrow(ref_stack.dtype))
+    iy = iy0[:, None, None] + jnp.arange(h + 7, dtype=jnp.int32)[None, :, None]
+    ix = ix0[:, None, None] + jnp.arange(w + 7, dtype=jnp.int32)[None, None, :]
+    return ref_stack[ridx[:, None, None], iy, ix].astype(jnp.int32)
+
+
+def _cols_window(rows, ix0, ncols: int, narrow: bool = True):
+    """(n, r, W) strips -> (n, r, ncols) windows at per-block column
+    offsets, as a batched one-hot matmul.
+
+    TPU lowers "f32" matmuls to single-pass bf16 on the MXU
+    (xla_allow_excess_precision), so a plain f32 einsum silently rounds
+    values above 8 bits — 12-bit pixels came back off by bf16 ulps.  The
+    one-hot select is therefore done per byte half (each bf16-exact) and
+    recombined in i32; `narrow` skips the high half for 8-bit content."""
+    jnp = _jnp()
+    n, r, W = rows.shape
+    jj = jnp.arange(W, dtype=jnp.int32)
+    cc = jnp.arange(ncols, dtype=jnp.int32)
+    # sel[n, j, c] = 1 iff j == ix0[n] + c
+    sel = (
+        jj[None, :, None] - cc[None, None, :] == ix0[:, None, None]
+    ).astype(jnp.bfloat16)
+    lo = (rows & 0xFF).astype(jnp.bfloat16)
+    out = jnp.einsum(
+        "nrw,nwc->nrc", lo, sel, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    if not narrow:
+        hi = (rows >> 8).astype(jnp.bfloat16)
+        out = out + (jnp.einsum(
+            "nrw,nwc->nrc", hi, sel, preferred_element_type=jnp.float32
+        ).astype(jnp.int32) << 8)
+    return out
 
 
 def _mc_two_stage(win, xf, yf, h: int, w: int, bd: int):
@@ -365,11 +464,19 @@ def deblock_groups14(g, level, bd: int, fsize):
     (N, 4, 14) groups — the full masked-union of ops/deblock.py's four
     group kernels, centered so window column 7 is q0."""
     jnp = _jnp()
+    c = [g[..., i] for i in range(14)]
+    res = deblock_taps14(c, level, bd, fsize[:, None])
+    return jnp.stack([g[..., 0]] + res + [g[..., 13]], axis=-1)
+
+
+def deblock_taps14(c, level, bd: int, fs):
+    """Layout-agnostic deblock filter core: ``c`` is the 14 tap arrays
+    (p6..q6, any common shape), ``fs`` the per-pixel filter-size field
+    broadcastable to them.  Returns the 12 modified taps (p5..q5)."""
+    jnp = _jnp()
     shift = bd - 8
     flat_t = 1 << shift
-    c = [g[..., i] for i in range(14)]
     p6, p5, p4, p3, p2, p1, p0, q0, q1, q2, q3, q4, q5, q6 = c
-    fs = fsize[:, None]
 
     use4 = _jx_nhev4(p1, p0, q0, q1, shift) <= level
 
@@ -447,7 +554,7 @@ def deblock_groups14(g, level, bd: int, fsize):
         for wf, w8f, nr in zip(w14, w8full, nar12)
     ]
 
-    res = [g[..., i + 1] for i in range(12)]
+    res = [c[i + 1] for i in range(12)]
     for i in range(12):
         v = jnp.where(
             (fs == 4) & m4, out4[i],
@@ -455,44 +562,55 @@ def deblock_groups14(g, level, bd: int, fsize):
                       jnp.where((fs == 8) & m8, out8[i],
                                 jnp.where((fs == 14) & m8, out14[i], res[i]))))
         res[i] = v
-    return jnp.stack([g[..., 0]] + res + [g[..., 13]], axis=-1)
+    return res
 
 
 def deblock_pass_device(rec, fsize_grid, level, bd: int, vertical: bool):
     """One deblock pass over a plane.
 
-    rec: (Hp, Wp) int32 plane padded by >= 8 on each side (pad static).
-    fsize_grid: (rows_p, cols_p) int32 filter sizes per 4x4 cell edge
-    (0 = skip), as computed by ops/deblock._plane_edge_decisions.
-    level: scalar int.  Returns the filtered padded plane.
+    rec: (Hp, Wp) int32 plane padded by >= 8 on each side (pad static,
+    Hp/Wp multiples of 4).  fsize_grid: (rows_p, cols_p) int32 filter
+    sizes per 4x4 cell edge (0 = skip), as computed by
+    ops/deblock._plane_edge_decisions.  level: scalar int.  Returns the
+    filtered padded plane.
 
-    AV1 guarantees all edges of one orientation are independent
-    (ops/deblock.py module doc), so the whole pass is a single masked
-    gather/filter/scatter.
+    TPU-native layout: edges of one orientation are independent (AV1's
+    filter-size caps guarantee disjoint modified pixels, ops/deblock.py
+    module doc), so each of the 14 window taps is a whole-plane stride-4
+    STATIC slice (no gather — XLA serializes gathers on TPU), the filter
+    runs as pure elementwise math on (rows, n_edges) tensors, and the
+    modified taps recombine via channel-interleave reshapes.
     """
     jnp = _jnp()
     pad = 8
     rows_p, cols_p = fsize_grid.shape
-    jj, ii = jnp.mgrid[0:rows_p, 0:cols_p]
-    jj = jj.reshape(-1)
-    ii = ii.reshape(-1)
-    fs = fsize_grid.reshape(-1)
-    # Support windows of adjacent edges overlap in their *unmodified* tap
-    # columns, so scatter deltas (zero where unmodified) — modified pixels
-    # are disjoint by AV1's filter-size caps, and overlapping zero-adds are
-    # harmless under any scatter order.
+    Hp, Wp = rec.shape
     if vertical:
-        by = pad + (jj << 2)[:, None, None] + jnp.arange(4)[None, :, None]
-        bx = (pad - 7 + (ii << 2))[:, None, None] + jnp.arange(14)[None, None, :]
-        g = rec[by, bx]
-        out = deblock_groups14(g, level, bd, fs)
-        delta = jnp.where((fs != 0)[:, None, None], out - g, 0)
-        return rec.at[by, bx].add(delta)
-    by = (pad - 7 + (jj << 2))[:, None, None] + jnp.arange(14)[None, None, :]
-    bx = pad + (ii << 2)[:, None, None] + jnp.arange(4)[None, :, None]
-    # broadcasting (N,1,14) x (N,4,1) -> (N,4,14): axis1 walks the 4 pixels
-    # along the edge, axis2 the 14 taps across it
-    g = rec[by, bx]
-    out = deblock_groups14(g, level, bd, fs)
-    delta = jnp.where((fs != 0)[:, None, None], out - g, 0)
-    return rec.at[by, bx].add(delta)
+        ph, n = 4 * rows_p, cols_p
+        # tap k lives at column pad + 4*i + (k - 7)
+        taps = [rec[pad : pad + ph, pad - 7 + k : pad - 7 + k + 4 * n : 4]
+                for k in range(14)]
+        fs = jnp.repeat(fsize_grid, 4, axis=0)
+        mods = deblock_taps14(taps, level, bd, fs)
+        # channel view along columns: col = 4*m + r
+        chans = [rec[:, r::4] for r in range(4)]
+        for k in range(1, 13):
+            d = k - 7
+            r = (pad + d) % 4
+            m0 = (pad + d) // 4
+            delta = jnp.where(fs != 0, mods[k - 1] - taps[k], 0)
+            chans[r] = chans[r].at[pad : pad + ph, m0 : m0 + n].add(delta)
+        return jnp.stack(chans, axis=-1).reshape(Hp, Wp)
+    pw, n = 4 * cols_p, rows_p
+    taps = [rec[pad - 7 + k : pad - 7 + k + 4 * n : 4, pad : pad + pw]
+            for k in range(14)]
+    fs = jnp.repeat(fsize_grid, 4, axis=1)
+    mods = deblock_taps14(taps, level, bd, fs)
+    chans = [rec[r::4, :] for r in range(4)]
+    for k in range(1, 13):
+        d = k - 7
+        r = (pad + d) % 4
+        m0 = (pad + d) // 4
+        delta = jnp.where(fs != 0, mods[k - 1] - taps[k], 0)
+        chans[r] = chans[r].at[m0 : m0 + n, pad : pad + pw].add(delta)
+    return jnp.stack(chans, axis=1).reshape(Hp, Wp)

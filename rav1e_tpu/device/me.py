@@ -57,8 +57,18 @@ def _blockify(plane, blk):
 
 
 def _gather_windows(ref_pad, ty, tx, W):
-    """(n,) top-left coords -> (n, W, W) windows (one gather)."""
+    """(n,) top-left coords -> (n, W, W) windows.
+
+    On TPU this routes through the one-hot MXU gather (dsp.py): XLA's
+    advanced-indexing gather serializes per row (~150 ns/row) while the
+    matmul form runs at MXU speed."""
+    from rav1e_tpu.device import dsp
+
     jnp = _jnp()
+    if dsp._on_tpu():
+        rows = dsp.gather_rows_onehot(ref_pad, ty.astype(jnp.int32), W)
+        return dsp._cols_window(rows, tx.astype(jnp.int32), W,
+                                dsp._is_narrow(ref_pad.dtype))
     wy = ty[:, None, None] + jnp.arange(W)[None, :, None]
     wx = tx[:, None, None] + jnp.arange(W)[None, None, :]
     return ref_pad[wy, wx]

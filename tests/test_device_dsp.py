@@ -306,3 +306,30 @@ def test_deblock_pass_parity(bd, pli, xdec, ydec):
             dev, jnp.asarray(sizes.astype(np.int32)), level, bd, vertical)
     np.testing.assert_array_equal(np.asarray(dev)[pad:pad + ph, pad:pad + pw],
                                   host[pad:pad + ph, pad:pad + pw])
+
+
+@pytest.mark.parametrize("dtype,maxv", [(np.uint8, 255), (np.int32, 4095)])
+def test_onehot_gather_parity(dtype, maxv, monkeypatch):
+    """The TPU one-hot MXU window gather must equal the advanced-indexing
+    gather exactly (bf16 per-byte-half matmuls; dsp.gather_rows_onehot /
+    _cols_window).  Forced on under the CPU backend to pin the math."""
+    monkeypatch.setattr(dsp, "_on_tpu", lambda: True)
+    rng = np.random.default_rng(7)
+    H, W = 96, 160
+    ref = rng.integers(0, maxv + 1, (H, W)).astype(dtype)
+    n = 40
+    iy0 = rng.integers(0, H - 16, n).astype(np.int32)
+    ix0 = rng.integers(0, W - 16, n).astype(np.int32)
+    got = np.asarray(dsp.mc_gather_windows(
+        jnp.asarray(ref), jnp.asarray(iy0), jnp.asarray(ix0), 8, 8))
+    exp = np.stack([ref[y:y + 15, x:x + 15] for y, x in zip(iy0, ix0)])
+    assert np.array_equal(got, exp.astype(np.int32))
+
+    refs = rng.integers(0, maxv + 1, (3, H, W)).astype(dtype)
+    ridx = rng.integers(0, 3, n).astype(np.int32)
+    got = np.asarray(dsp.mc_gather_windows_ref(
+        jnp.asarray(refs), jnp.asarray(ridx), jnp.asarray(iy0),
+        jnp.asarray(ix0), 8, 8))
+    exp = np.stack([refs[r, y:y + 15, x:x + 15]
+                    for r, y, x in zip(ridx, iy0, ix0)])
+    assert np.array_equal(got, exp.astype(np.int32))
