@@ -2639,8 +2639,11 @@ class FramePipeline:
 
         # keep the pre-CDEF (deblocked) planes for loop restoration
         # (lrf.rs:1485: LRF reads deblocked rows at stripe boundaries)
-        multi_tile = self.tiling.rows > 1 or self.tiling.cols > 1
-        use_lrf = self.seq.enable_restoration and not multi_tile
+        # LRUs are frame-global geometry; tiles only partition which SB
+        # codes each unit's symbols, and the ref predictors reset per tile
+        # (TileRestorationRefs in both tile coder and decoder) — so LRF
+        # works under multi-tile (tile_restoration_state.rs:49 semantics)
+        use_lrf = self.seq.enable_restoration
         deblocked_planes = None
         if use_lrf:
             deblocked_planes = [
@@ -3071,8 +3074,23 @@ class FramePipeline:
                 with _span("device_analysis"):
                     pending["thread"].join()
                     maps = pending["box"].get("maps")
+            if maps is None and self._rc_retry:
+                # RC trial re-encode at a corrected qi: reuse the first
+                # attempt's maps instead of a second blocking device
+                # dispatch when the correction is within the analysis's
+                # decision sensitivity (the maps are legal at any qi; at
+                # most mildly off-tuned).  One device dispatch per emitted
+                # frame (rate.rs needs_trial_encode semantics).
+                prev = getattr(self, "_retry_maps", None)
+                if (
+                    prev is not None
+                    and prev[0] == input_frameno
+                    and abs(prev[1] - base_q_idx) <= 12
+                ):
+                    maps = prev[2]
             if maps is not None:
                 fi.device_maps = maps
+                self._retry_maps = (input_frameno, base_q_idx, maps)
             else:
                 src_y = frame.planes[0].as_array()[: enc.height, : enc.width]
                 ref_y = ref_y_bwd = ref_y_bwd2 = None
@@ -3093,6 +3111,9 @@ class FramePipeline:
                         src_y, ref_y, ref_y_bwd, base_q_idx, lam,
                         enc.bit_depth, ref2_np=ref_y_bwd2,
                     ))
+                self._retry_maps = (
+                    input_frameno, base_q_idx, fi.device_maps
+                )
             # dispatch the NEXT planned frames' analyses now, so their
             # device round-trips overlap this frame's host coding and loop
             # filters

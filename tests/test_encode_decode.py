@@ -14,7 +14,8 @@ from rav1e_tpu import ChromaSampling, Config, EncoderConfig, EncoderStatus
 from rav1e_tpu.decoder import decode_packet
 
 
-def run_roundtrip(w, h, q=100, cs=ChromaSampling.Cs420, bd=8, speed=10, nframes=1, seed=0):
+def run_roundtrip(w, h, q=100, cs=ChromaSampling.Cs420, bd=8, speed=10, nframes=1, seed=0,
+                  tiles=0):
     cfg = Config(
         enc=EncoderConfig(
             width=w,
@@ -24,6 +25,8 @@ def run_roundtrip(w, h, q=100, cs=ChromaSampling.Cs420, bd=8, speed=10, nframes=
             bit_depth=bd,
             min_key_frame_interval=0,
             max_key_frame_interval=1,
+            tile_cols=tiles,
+            tile_rows=tiles,
         )
     ).with_speed_preset(speed)
     ctx = cfg.new_context()
@@ -91,6 +94,14 @@ def test_roundtrip_high_bit_depth(bd, cs):
 @pytest.mark.parametrize("speed", [6, 8, 10])
 def test_roundtrip_speeds(speed):
     run_roundtrip(96, 96, speed=speed)
+
+
+@pytest.mark.parametrize("speed,bd,dims", [(4, 8, (200, 136)), (2, 12, (256, 128))])
+def test_roundtrip_multitile_lrf(speed, bd, dims):
+    """LRF under multi-tile: LRUs are frame-global, symbols coded by the
+    owning SB within each tile, ref predictors reset per tile
+    (tile_restoration_state.rs:49; stretched-LRU odd dims included)."""
+    run_roundtrip(*dims, q=110, bd=bd, speed=speed, tiles=2)
 
 
 def test_roundtrip_still_picture():
