@@ -238,7 +238,16 @@ def _hadamard8_f32():
 
 def satd8(diff):
     """SATD over (..., s, s) int32 diffs using 8x8 Hadamard cells, matching
-    ops/dist.get_satd normalization (>> 3 for the 8-point transform)."""
+    ops/dist.get_satd normalization (>> 3 for the 8-point transform).
+
+    On TPU backends this routes through the Pallas MXU kernel
+    (device/pallas_kernels.satd8: one 128-lane Kronecker matmul per tile
+    with the |.|-sum-floor epilogue fused in VMEM); elsewhere the einsum
+    form below is used — both are bit-identical (tests/test_pallas.py)."""
+    from rav1e_tpu.device import pallas_kernels as _pk
+
+    if _pk.pallas_ok():
+        return _pk.satd8(diff)
     jnp = _jnp()
     *lead, sh, sw = diff.shape
     d = diff.astype(jnp.float32).reshape(*lead, sh // 8, 8, sw // 8, 8)
@@ -557,6 +566,43 @@ def analyze_frame(
     )
 
 
+@functools.lru_cache(None)
+def _analysis_mesh():
+    """The production device mesh: all visible chips on a 1-D ``tile``
+    axis.  Unlike the reference's opt-in rayon pools (encoder.rs:3249),
+    multi-chip is automatic: whenever more than one device exists the
+    per-frame analysis inputs are row-sharded over the mesh and GSPMD
+    partitions the SAME jitted program (collectives — halo all-gathers
+    for the window ops, the rate-estimate reduction — are inserted by
+    XLA), so the decisions and therefore the bitstream are bit-identical
+    to the single-device run.  ``RAV1E_TPU_NO_SHARD=1`` opts out."""
+    import os
+
+    import jax
+
+    if os.environ.get("RAV1E_TPU_NO_SHARD"):
+        return None
+    devs = jax.devices()
+    if len(devs) <= 1:
+        return None
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(devs), ("tile",))
+
+
+def _shard_inputs(mesh, planes):
+    """device_put each (H, W) plane row-sharded over the mesh (falls back
+    to replication when H doesn't split)."""
+    import jax
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.devices.size
+    spec = P("tile", None) if planes[0].shape[0] % n == 0 else P()
+    sh = NamedSharding(mesh, spec)
+    return [jax.device_put(p, sh) for p in planes]
+
+
 def analyze_frame_async(
     luma_np: np.ndarray,
     ref0_np,
@@ -573,6 +619,10 @@ def analyze_frame_async(
     far-backward references, the reference's own lookahead-ME
     approximation, internal.rs:731-760); device ME runs inside the
     program, so no MV field is uploaded.
+
+    On a multi-device backend the inputs are row-sharded over the
+    ``tile`` mesh (see _analysis_mesh) and the same program runs SPMD
+    across all chips.
     """
     import jax.numpy as jnp
 
@@ -602,6 +652,11 @@ def analyze_frame_async(
 
     q = float(tables.ac_q(qindex, 0, bd))
     fn = frame_analysis_jit(bd, has_inter, has_bwd, has_bwd2)
+    mesh = _analysis_mesh()
+    if mesh is not None:
+        luma, ref0, ref1, ref2 = _shard_inputs(
+            mesh, [luma, ref0, ref1, ref2]
+        )
     out = fn(
         jnp.asarray(luma), jnp.asarray(ref0), jnp.asarray(ref1),
         jnp.asarray(ref2), jnp.float32(q), jnp.float32(lam),

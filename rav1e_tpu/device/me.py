@@ -99,16 +99,30 @@ def _grid_search(src_blocks, ref_pad, base_y, base_x, seeds, blk, R, step,
         tx = base_x + sx - R * step + pad_off
         win = _gather_windows(ref_pad, ty, tx, W)
         origins.append((sy, sx))
-        for oy in range(2 * R + 1):
-            for ox in range(2 * R + 1):
-                d = jnp.abs(
+        # tie-break: earlier seed first, then shorter offset
+        tie = np.array(
+            [abs(oy - R) + abs(ox - R)
+             for oy in range(2 * R + 1) for ox in range(2 * R + 1)],
+            dtype=np.int32,
+        )
+        from rav1e_tpu.device import pallas_kernels as _pk
+
+        if _pk.pallas_ok():
+            # VMEM-resident candidate grid: one HBM sweep over the windows
+            # instead of ncand fused slice-reductions
+            d = _pk.sad_grid(src_blocks, win, blk, R, step)
+        else:
+            cols = [
+                jnp.abs(
                     win[:, oy * step : oy * step + blk,
                         ox * step : ox * step + blk]
                     - src_blocks
                 ).sum(axis=(1, 2))
-                # tie-break: earlier seed first, then shorter offset
-                sads.append(d * 64 + (abs(oy - R) + abs(ox - R)) + si)
-    S = jnp.stack(sads, axis=1)  # (n, nseeds * ncand)
+                for oy in range(2 * R + 1) for ox in range(2 * R + 1)
+            ]
+            d = jnp.stack(cols, axis=1)
+        sads.append(d * 64 + jnp.asarray(tie)[None, :] + si)
+    S = jnp.concatenate(sads, axis=1)  # (n, nseeds * ncand)
     k = jnp.argmin(S, axis=1).astype(jnp.int32)
     kk = k % ncand
     oy = kk // (2 * R + 1) - R
@@ -150,7 +164,12 @@ def _subpel_variants():
 
 def _hadamard16_satd(diff):
     """SATD of (n, k, 16, 16) diffs via 8x8 Hadamard cells (ops/dist
-    get_satd normalization)."""
+    get_satd normalization).  Routed through the Pallas MXU kernel on TPU
+    (device/pallas_kernels.satd8)."""
+    from rav1e_tpu.device import pallas_kernels as _pk
+
+    if _pk.pallas_ok():
+        return _pk.satd8(diff)
     jnp = _jnp()
     n, k = diff.shape[0], diff.shape[1]
     d = diff.astype(jnp.float32).reshape(n, k, 2, 8, 2, 8)

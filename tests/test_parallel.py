@@ -195,3 +195,58 @@ def test_sharded_inter_analysis_halo_exchange():
         )
         total += float(np.asarray(rate)[hc : hc + nc].sum())
     assert abs(total - bits) / max(total, 1.0) < 1e-5, (total, bits)
+
+
+def test_auto_mesh_context_encode_matches_single_device():
+    """PRODUCT path: with >1 devices visible, Context.send_frame routes the
+    per-frame analysis through the auto mesh (device/analysis._analysis_mesh
+    row-shards the inputs and GSPMD partitions the same jitted program) and
+    the bitstream must be byte-identical to the single-device run.  No
+    monkeypatching — this is the code path a user with 8 chips gets."""
+    import os
+
+    from rav1e_tpu import Config, EncoderConfig, EncoderStatus, SpeedSettings
+    from rav1e_tpu.device import analysis as ana
+
+    def encode_clip():
+        ss = SpeedSettings.from_preset(8)
+        ss.device_chain = False  # the chain manages its own residency
+        cfg = Config(
+            enc=EncoderConfig(
+                width=128, height=128, quantizer=120, low_latency=True,
+                speed_settings=ss,
+            )
+        )
+        ctx = cfg.new_context()
+        rng = np.random.default_rng(11)
+        base = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+        for t in range(3):
+            f = ctx.new_frame()
+            for i, p in enumerate(f.planes):
+                arr = (
+                    np.roll(base, 2 * t, axis=1)
+                    if i == 0
+                    else np.full((p.cfg.height, p.cfg.width), 128, np.uint8)
+                )
+                p.copy_from(arr)
+            ctx.send_frame(f)
+        ctx.flush()
+        pkts = []
+        while True:
+            try:
+                pkts.append(ctx.receive_packet().data)
+            except EncoderStatus.LimitReached:
+                break
+        return pkts
+
+    ana._analysis_mesh.cache_clear()
+    assert ana._analysis_mesh() is not None  # 8 CPU devices from conftest
+    sharded = encode_clip()
+    os.environ["RAV1E_TPU_NO_SHARD"] = "1"
+    ana._analysis_mesh.cache_clear()
+    try:
+        single = encode_clip()
+    finally:
+        del os.environ["RAV1E_TPU_NO_SHARD"]
+        ana._analysis_mesh.cache_clear()
+    assert len(sharded) == 3 and sharded == single
