@@ -42,21 +42,14 @@ def _jnp():
 
 
 @functools.lru_cache(None)
-def pallas_ok() -> bool:
-    """Pallas (Mosaic) kernels are used only on real TPU backends."""
+def _mosaic_probe() -> bool:
+    """Cached Mosaic capability probe (backend-level, mesh-independent)."""
     if os.environ.get("RAV1E_TPU_NO_PALLAS"):
         return False
     try:
         import jax
 
         if jax.default_backend() in ("cpu",):
-            return False
-        # pallas_call has no GSPMD partitioning rule: on a multi-chip
-        # mesh the analysis program is row-sharded (analysis._analysis_mesh)
-        # and must stay pure-XLA
-        from rav1e_tpu.device.analysis import _analysis_mesh
-
-        if _analysis_mesh() is not None:
             return False
         # probe: some experimental TPU plugins tunnel XLA but not Mosaic.
         import jax.numpy as jnp
@@ -76,6 +69,38 @@ def pallas_ok() -> bool:
         return bool(np.asarray(y)[0, 0] == 1.0)
     except Exception:
         return False
+
+
+_mesh_fallback_logged = False
+
+
+def pallas_ok() -> bool:
+    """Pallas (Mosaic) kernels are used only on real TPU backends.
+
+    The mesh state is evaluated at CALL time (not cached): pallas_call has
+    no GSPMD partitioning rule, so when the analysis program is row-sharded
+    over a multi-chip mesh (analysis._analysis_mesh) it must stay pure-XLA.
+    Toggling RAV1E_TPU_NO_SHARD mid-process therefore needs no cache
+    invalidation here."""
+    if not _mosaic_probe():
+        return False
+    try:
+        from rav1e_tpu.device.analysis import _analysis_mesh
+
+        if _analysis_mesh() is not None:
+            global _mesh_fallback_logged
+            if not _mesh_fallback_logged:
+                _mesh_fallback_logged = True
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "multi-chip mesh active: Pallas kernels fall back to "
+                    "the sharded pure-XLA path"
+                )
+            return False
+    except Exception:
+        return False
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -99,9 +124,14 @@ def _kron_h8x2() -> np.ndarray:
 
 
 def _satd_kernel(d_ref, k_ref, o_ref):
+    import jax
     import jax.numpy as jnp
 
-    t = jnp.dot(d_ref[:], k_ref[:], preferred_element_type=jnp.float32)
+    # HIGHEST: the default TPU matmul precision uses bf16 passes, which
+    # rounds diffs beyond +-256 (10/12-bit content) and would break the
+    # documented bit-parity with the jnp einsum path
+    t = jnp.dot(d_ref[:], k_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     a = jnp.abs(t)
     # Mosaic has no rank-3 shape cast: reduce the two 64-lane cells with
     # static slices instead of a (T, 2, 64) reshape

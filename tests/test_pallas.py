@@ -90,3 +90,37 @@ def test_me_field_uses_pallas_path(monkeypatch):
     )
     mv_pallas = np.asarray(me.me_field(jnp.asarray(luma), jnp.asarray(ref), 8))
     np.testing.assert_array_equal(mv_pallas, mv_plain)
+
+
+def test_real_tpu_kernel_parity():
+    """TPU-gated: run the REAL (compiled Mosaic) kernels and assert
+    bit-parity with the jnp path, including large-magnitude diffs that
+    would round under default (bf16-pass) matmul precision (ADVICE r3).
+
+    Skipped on CPU runs (conftest pins JAX_PLATFORMS=cpu); run manually
+    with RAV1E_TPU_REAL_PALLAS=1 on TPU hardware."""
+    import os
+
+    import pytest
+
+    if os.environ.get("RAV1E_TPU_REAL_PALLAS") != "1":
+        pytest.skip("real-TPU pallas run not requested")
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu" or not pk._mosaic_probe():
+        pytest.skip("no Mosaic-capable TPU backend")
+    rng = np.random.default_rng(7)
+    # 12-bit-scale diffs: values beyond +-256 exercise the precision fix
+    diff = rng.integers(-4095, 4096, (64, 16, 16)).astype(np.int32)
+    ref = np.asarray(_jnp_satd8(jnp.asarray(diff)))
+    got = np.asarray(pk.satd8(jnp.asarray(diff)))
+    np.testing.assert_array_equal(got, ref)
+
+    src = rng.integers(0, 4096, (8, 16, 16)).astype(np.int32)
+    win = rng.integers(0, 4096, (8, 48, 48)).astype(np.int32)
+    got = np.asarray(pk.sad_grid(jnp.asarray(src), jnp.asarray(win), 16, 2, 4))
+    exp = np.asarray(
+        pk.sad_grid(jnp.asarray(src), jnp.asarray(win), 16, 2, 4,
+                    interpret=True))
+    np.testing.assert_array_equal(got, exp)
