@@ -385,7 +385,12 @@ class ChainGeom:
 
     @property
     def lcap(self):
-        return ((self.gh * self.gw * 3 // 2) // 8 + 1023) & ~1023
+        # levels budget: ~1/3 of the pixel count.  1/8 overflowed on ~40%
+        # of bench frames at q=120 (noisy content), and every overflow
+        # costs the full chain round-trip PLUS a host-tier re-encode; the
+        # larger download (~150 KiB at this bench geometry) is cheaper and
+        # overlaps the next frame's device compute once chains pipeline.
+        return ((self.gh * self.gw * 3 // 2) // 3 + 1023) & ~1023
 
 
 def geom_for(vis_w, vis_h, mi_cols, mi_rows, bd, tx_split, has_bwd,

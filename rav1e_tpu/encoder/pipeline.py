@@ -2250,6 +2250,8 @@ class FramePipeline:
         self._chain_slots: list = [None] * 8
         self._chain_pending_refs = None
         self._chain_dummy_rec = None
+        # chain dispatched one frame early (validated at consumption):
+        self._pending_chain = None
         self.rc = RCState(
             bit_depth=enc.bit_depth,
             quantizer=enc.quantizer,
@@ -2429,35 +2431,72 @@ class FramePipeline:
         self._chain_slots[slot] = tuple(planes)
         return self._chain_slots[slot]
 
-    def _encode_frame_chain(self, fi, frame, frame_type, plan, input_frameno,
-                            base_q_idx):
-        """Device-chain encode body for inter frames: ONE async XLA dispatch
-        does selection/MC/transform/quantize/recon/deblock/CDEF with
-        device-resident references (device/chain.py); the host runs only the
-        pixel-free native replay coder over the downloaded coefficient log.
-        Returns the host-body result tuple, or None to fall back."""
+    def _frame_seg_scales(self, frame, plan, frame_type, base_q_idx,
+                          ref_luma):
+        """(dist_scales, seg) for a frame: temporal-RDO importance scales +
+        psy activity masking, then the segmentation decision.  Extracted
+        from encode_frame so the chain predispatch can compute the NEXT
+        frame's segmentation against simulated reference state — the
+        result is a pure function of (frame, plan.importances, qi,
+        ref_luma), so an early computation with validated inputs is
+        bit-identical to the consume-time one."""
         enc = self.config.enc
-        sp = enc.speed_settings
-        if not self._chain_applicable() or not fi.is_inter_frame:
-            return None
-        maps = fi.device_maps
-        if maps is None or maps.mv0 is None:
-            return None
+        dist_scales = None
+        if getattr(plan, "importances", None) is not None:
+            from rav1e_tpu.encoder.lookahead import importances_to_scales
 
-        from rav1e_tpu.device import chain as _chain
-        from rav1e_tpu.ops.cdef import CDEF_SEC_STRENGTHS, cdef_strengths_fast
-        from rav1e_tpu.ops.deblock import deblock_levels_fast
-        from rav1e_tpu.utils.trace import span
+            dist_scales = importances_to_scales(plan.importances, plan.la_intra)
 
-        mi_cols, mi_rows = fi.mi_cols, fi.mi_rows
-        pr = sp.partition.partition_range
-        tx_split = sp.transform.enable_inter_tx_split
-        has_bwd = fi.ref_frame_bwd is not None and plan.ref_slot_bwd is not None
-        has_bwd2 = (
-            has_bwd
-            and fi.ref_frame_bwd2 is not None
-            and getattr(plan, "ref_slot_bwd2", None) is not None
-        )
+        from rav1e_tpu.config import Tune
+
+        if enc.tune == Tune.Psychovisual:
+            # activity masking (reference activity.rs ActivityMask +
+            # ssim_boost feeding distortion_scale_for, rdo.rs:506): flat
+            # areas are perceptually sensitive -> distortion there weighs
+            # more; busy areas mask error -> less.  Scales multiply the
+            # temporal-RDO scales on the same 8x8 grid.
+            from rav1e_tpu.encoder.segmentation import _seg_cell_stats
+
+            src_y8 = frame.planes[0].as_array()[: enc.height, : enc.width]
+            s8, q8, _ = _seg_cell_stats(src_y8, None)
+            sc = float(1 << (enc.bit_depth - 8))
+            act = (64.0 * q8 - s8.astype(np.float64) ** 2) / (
+                4096.0 * sc * sc
+            )
+            logs = 0.5 * np.log2(np.maximum(act, 1.0))
+            psy = np.clip(
+                2.0 ** (0.4 * (float(np.median(logs)) - logs)), 0.5, 2.0
+            )
+            if dist_scales is None:
+                dist_scales = psy
+            else:
+                ch = min(dist_scales.shape[0], psy.shape[0])
+                cw = min(dist_scales.shape[1], psy.shape[1])
+                dist_scales = dist_scales.copy()
+                dist_scales[:ch, :cw] *= psy[:ch, :cw]
+
+        seg = None
+        from rav1e_tpu.config.speed import SegmentationLevel
+
+        if enc.speed_settings.segmentation != SegmentationLevel.Disabled:
+            from rav1e_tpu.encoder.segmentation import segmentation_optimize
+
+            mi_cols = 2 * ((enc.width + 7) >> 3)
+            mi_rows = 2 * ((enc.height + 7) >> 3)
+            if not frame_type.has_inter():
+                ref_luma = None
+            seg = segmentation_optimize(
+                frame.planes[0].as_array(), base_q_idx, enc.bit_depth,
+                mi_cols, mi_rows, ref_luma=ref_luma, imp_scales=dist_scales,
+            )
+            if not seg.enabled:
+                seg = None
+        return dist_scales, seg
+
+    def _chain_live_refs(self, plan, has_bwd, has_bwd2):
+        """Resolve the device reference planes for a chain dispatch from
+        the LIVE slot state.  Returns ((r0, r1, r2), has_bwd, has_bwd2)
+        with the flags downgraded when a slot has no content, or None."""
         r0 = self._chain_slot_planes(plan.ref_slot_fwd)
         if r0 is None:
             return None
@@ -2469,9 +2508,31 @@ class FramePipeline:
         if r2 is None:
             has_bwd2 = False
             r2 = r0
+        return (r0, r1, r2), has_bwd, has_bwd2
+
+    def _chain_dispatch(self, maps, frame, plan, base_q_idx, seg, refs3,
+                        has_bwd, has_bwd2, fno):
+        """Build the chain plan for `frame` and enqueue the device program
+        asynchronously.  Pure function of its arguments plus the encoder
+        config, so the SAME dispatch can be issued one frame early (the
+        predispatch path) and consumed later.  Returns the dispatch record
+        {handle, geom, cplan, fields} the fetch side consumes."""
+        enc = self.config.enc
+        sp = enc.speed_settings
+        from rav1e_tpu.device import chain as _chain
+        from rav1e_tpu.ops.cdef import CDEF_SEC_STRENGTHS, cdef_strengths_fast
+        from rav1e_tpu.ops.deblock import deblock_levels_fast
+        from rav1e_tpu.quantize import chroma_q_deltas
+        from rav1e_tpu.utils.trace import span
+
+        bd = enc.bit_depth
+        mi_cols = 2 * ((enc.width + 7) >> 3)
+        mi_rows = 2 * ((enc.height + 7) >> 3)
+        pr = sp.partition.partition_range
+        tx_split = sp.transform.enable_inter_tx_split
 
         geom = _chain.geom_for(
-            enc.width, enc.height, mi_cols, mi_rows, enc.bit_depth,
+            enc.width, enc.height, mi_cols, mi_rows, bd,
             tx_split, has_bwd, has_bwd2, pr.min_log2, pr.max_log2,
         )
         cplan = _chain.build_plan(
@@ -2486,34 +2547,36 @@ class FramePipeline:
 
         # per-plane quantizers on the 8px grid (segmentation + chroma deltas,
         # same tables the native coder uses: native_tile.py seg_dcq/seg_acq)
+        dc_delta_q, ac_delta_q = chroma_q_deltas(
+            base_q_idx, bd, self.seq.chroma_sampling
+        )
         nby8, nbx8 = geom.gh // 8, geom.gw // 8
-        if fi.seg is not None:
+        if seg is not None:
             qidx = np.array(
-                [fi.seg.qidx(base_q_idx, s) for s in range(8)], dtype=np.int64
+                [seg.qidx(base_q_idx, s) for s in range(8)], dtype=np.int64
             )
             seg8 = np.zeros((nby8, nbx8), dtype=np.int64)
-            sm = fi.seg.seg_map[::2, ::2]
+            sm = seg.seg_map[::2, ::2]
             seg8[: sm.shape[0], : sm.shape[1]] = sm
         else:
             qidx = np.full(8, base_q_idx, dtype=np.int64)
             seg8 = np.zeros((nby8, nbx8), dtype=np.int64)
         dcq_tab = np.array(
-            [[tables.dc_q(int(q), fi.dc_delta_q[pl], fi.bit_depth)
+            [[tables.dc_q(int(q), dc_delta_q[pl], bd)
               for pl in range(3)] for q in qidx], dtype=np.int32
         )
         acq_tab = np.array(
-            [[tables.ac_q(int(q), fi.ac_delta_q[pl], fi.bit_depth)
+            [[tables.ac_q(int(q), ac_delta_q[pl], bd)
               for pl in range(3)] for q in qidx], dtype=np.int32
         )
         dcq8 = dcq_tab[seg8].transpose(2, 0, 1).copy()
         acq8 = acq_tab[seg8].transpose(2, 0, 1).copy()
 
         deblock_levels = deblock_levels_fast(
-            base_q_idx, fi.bit_depth, False,
-            tables.ac_q(base_q_idx, 0, fi.bit_depth),
+            base_q_idx, bd, False, tables.ac_q(base_q_idx, 0, bd),
         )
         cdef_y, cdef_uv = cdef_strengths_fast(
-            tables.ac_q(base_q_idx, 0, fi.bit_depth) >> (fi.bit_depth - 8)
+            tables.ac_q(base_q_idx, 0, bd) >> (bd - 8)
         )
         pri = cdef_y // CDEF_SEC_STRENGTHS
         sec = cdef_y % CDEF_SEC_STRENGTHS
@@ -2526,13 +2589,196 @@ class FramePipeline:
                    min(pri_uv * 2 + 1, 15) * CDEF_SEC_STRENGTHS + sec_uv]
 
         src_p = _chain.host_src_planes(frame, enc.width, enc.height)
-        with span("chain_dispatch", frame=input_frameno):
+        with span("chain_dispatch", frame=fno):
             handle = _chain.dispatch_chain(
-                geom, cplan, src_p, (r0, r1, r2), fields, dcq8, acq8,
+                geom, cplan, src_p, refs3, fields, dcq8, acq8,
                 deblock_levels, y_list, uv_list,
             )
+        return {
+            "handle": handle, "geom": geom, "cplan": cplan, "fields": fields,
+            "deblock_levels": deblock_levels, "cdef_y": cdef_y,
+            "cdef_uv": cdef_uv, "y_list": y_list, "uv_list": uv_list,
+        }
+
+    def _predispatch_chain(self, next_hints, cur_plan, cur_fno, cur_frame,
+                           cur_disp) -> None:
+        """Dispatch the NEXT planned inter frame's chain right behind this
+        frame's, before this frame's results are even fetched: its device
+        compute then overlaps this frame's tunnel fetch + host replay
+        coding + packetization (the chain analog of _predispatch_analyses).
+
+        The next frame's forward/backward references resolve against the
+        post-this-frame slot state — for the slot this frame refreshes
+        that is this dispatch's OWN device-recon futures (XLA queues the
+        dependency; no host sync).  The RC qi and segmentation are the
+        scheduler's current estimates; consumption re-validates every
+        input (qi, maps object, reference identities, segmentation) and
+        falls back to a fresh synchronous dispatch on any mismatch, so the
+        bitstream is identical whether or not the early dispatch is used."""
+        self._pending_chain = None
+        if not next_hints:
+            return
+        nplan, nframe = next_hints[0]
+        if nplan.kind != "inter" or getattr(nplan, "switch", False):
+            return
+        enc = self.config.enc
+        fno = nplan.input_frameno
+        ent = self._pending_analyses.get(fno)
+        if ent is None or not ent["is_inter"]:
+            return
+        # the analysis was dispatched >=1 frame ago; its device time is
+        # hidden behind this frame's chain compute, so a join is cheap
+        ent["thread"].join()
+        maps = ent["box"].get("maps")
+        if maps is None or maps.mv0 is None:
+            return
+
+        cur_slot = cur_plan.slot
+
+        def slot_fno(s):
+            return cur_fno if s == cur_slot else self.slot_src_frameno[s]
+
+        def slot_planes(s):
+            if s == cur_slot:
+                return cur_disp["handle"][2]  # this dispatch's recon futures
+            return self._chain_slot_planes(s)
+
+        def slot_live(s):
+            return s == cur_slot or self.rec_buffer[s] is not None
+
+        # the prefetched analysis must have seen the same references the
+        # consume-time validation will demand
+        if ent["ref_fno_fwd"] != slot_fno(nplan.ref_slot_fwd):
+            return
+        has_bwd = (
+            nplan.ref_slot_bwd is not None and slot_live(nplan.ref_slot_bwd)
+        )
+        has_bwd2 = (
+            has_bwd
+            and getattr(nplan, "ref_slot_bwd2", None) is not None
+            and enc.speed_settings.multiref
+            and slot_live(nplan.ref_slot_bwd2)
+        )
+        r0 = slot_planes(nplan.ref_slot_fwd)
+        if r0 is None:
+            return
+        r1 = slot_planes(nplan.ref_slot_bwd) if has_bwd else r0
+        if r1 is None:
+            has_bwd = has_bwd2 = False
+            r1 = r0
+        r2 = slot_planes(nplan.ref_slot_bwd2) if has_bwd2 else r0
+        if r2 is None:
+            has_bwd2 = False
+            r2 = r0
+
+        q_guess = self.rc.select_qi(
+            FrameType.INTER, enc.width, enc.height, nplan.level
+        )
+        ref_src = (
+            cur_frame.planes[0].as_array()[: enc.height, : enc.width]
+            if nplan.ref_slot_fwd == cur_slot
+            else self._ref_src_luma(nplan.ref_slot_fwd)
+        )
+        _, seg = self._frame_seg_scales(
+            nframe, nplan, FrameType.INTER, q_guess, ref_src
+        )
+        disp = self._chain_dispatch(
+            maps, nframe, nplan, q_guess, seg, (r0, r1, r2),
+            has_bwd, has_bwd2, fno,
+        )
+        self._pending_chain = {
+            "fno": fno, "plan": nplan, "q": q_guess, "maps_id": id(maps),
+            "seg": seg, "refs3": (r0, r1, r2), "has_bwd": has_bwd,
+            "has_bwd2": has_bwd2, "disp": disp,
+        }
+
+    @staticmethod
+    def _seg_equal(a, b) -> bool:
+        if (a is None) != (b is None):
+            return False
+        if a is None:
+            return True
+        return (
+            a.features == b.features
+            and a.data == b.data
+            and a.last_active_segid == b.last_active_segid
+            and a.preskip == b.preskip
+            and np.array_equal(a.seg_map, b.seg_map)
+        )
+
+    def _encode_frame_chain(self, fi, frame, frame_type, plan, input_frameno,
+                            base_q_idx, next_hints=None):
+        """Device-chain encode body for inter frames: ONE async XLA dispatch
+        does selection/MC/transform/quantize/recon/deblock/CDEF with
+        device-resident references (device/chain.py); the host runs only the
+        pixel-free native replay coder over the downloaded coefficient log.
+        Returns the host-body result tuple, or None to fall back.
+
+        Software pipeline: this frame's dispatch normally happened one
+        frame EARLY (_predispatch_chain), so by the time we fetch here the
+        device has been computing it behind the previous frame's host
+        work; before fetching, the NEXT frame's chain is dispatched against
+        this one's device-recon futures."""
+        enc = self.config.enc
+        sp = enc.speed_settings
+        if not self._chain_applicable() or not fi.is_inter_frame:
+            self._pending_chain = None
+            return None
+        maps = fi.device_maps
+        if maps is None or maps.mv0 is None:
+            self._pending_chain = None
+            return None
+
+        from rav1e_tpu.device import chain as _chain
+        from rav1e_tpu.utils.trace import span
+
+        mi_cols, mi_rows = fi.mi_cols, fi.mi_rows
+        has_bwd = fi.ref_frame_bwd is not None and plan.ref_slot_bwd is not None
+        has_bwd2 = (
+            has_bwd
+            and fi.ref_frame_bwd2 is not None
+            and getattr(plan, "ref_slot_bwd2", None) is not None
+        )
+        live = self._chain_live_refs(plan, has_bwd, has_bwd2)
+        if live is None:
+            self._pending_chain = None
+            return None
+        refs3, has_bwd, has_bwd2 = live
+
+        pend = self._pending_chain
+        self._pending_chain = None
+        disp = None
+        if (
+            pend is not None
+            and pend["fno"] == input_frameno
+            and pend["plan"] is plan
+            and pend["q"] == base_q_idx
+            and pend["maps_id"] == id(maps)
+            and pend["has_bwd"] == has_bwd
+            and pend["has_bwd2"] == has_bwd2
+            and all(a is b for a, b in zip(pend["refs3"], refs3))
+            and self._seg_equal(pend["seg"], fi.seg)
+        ):
+            disp = pend["disp"]
+        if disp is None:
+            disp = self._chain_dispatch(
+                maps, frame, plan, base_q_idx, fi.seg, refs3,
+                has_bwd, has_bwd2, input_frameno,
+            )
+        # the next frame's chain rides behind this one on the device queue
+        try:
+            self._predispatch_chain(
+                next_hints, plan, input_frameno, frame, disp
+            )
+        except Exception:
+            self._pending_chain = None
+
+        geom, cplan, fields = disp["geom"], disp["cplan"], disp["fields"]
+        deblock_levels = disp["deblock_levels"]
+        cdef_y, cdef_uv = disp["cdef_y"], disp["cdef_uv"]
+        y_list, uv_list = disp["y_list"], disp["uv_list"]
         with span("chain_fetch", frame=input_frameno):
-            res = _chain.fetch_chain(handle)
+            res = _chain.fetch_chain(disp["handle"])
         if res.overflow:
             return None
 
@@ -2897,63 +3143,21 @@ class FramePipeline:
         mi_rows = 2 * ((enc.height + 7) >> 3)
 
         base_q_idx = self.rc.select_qi(frame_type, enc.width, enc.height, plan.level)
-        dist_scales = None
-        if getattr(plan, "importances", None) is not None:
-            from rav1e_tpu.encoder.lookahead import importances_to_scales
 
-            dist_scales = importances_to_scales(plan.importances, plan.la_intra)
-
-        from rav1e_tpu.config import Tune
-
-        if enc.tune == Tune.Psychovisual:
-            # activity masking (reference activity.rs ActivityMask +
-            # ssim_boost feeding distortion_scale_for, rdo.rs:506): flat
-            # areas are perceptually sensitive -> distortion there weighs
-            # more; busy areas mask error -> less.  Scales multiply the
-            # temporal-RDO scales on the same 8x8 grid.
-            from rav1e_tpu.encoder.segmentation import _seg_cell_stats
-
-            src_y8 = frame.planes[0].as_array()[: enc.height, : enc.width]
-            s8, q8, _ = _seg_cell_stats(src_y8, None)
-            sc = float(1 << (enc.bit_depth - 8))
-            act = (64.0 * q8 - s8.astype(np.float64) ** 2) / (
-                4096.0 * sc * sc
-            )
-            logs = 0.5 * np.log2(np.maximum(act, 1.0))
-            psy = np.clip(
-                2.0 ** (0.4 * (float(np.median(logs)) - logs)), 0.5, 2.0
-            )
-            if dist_scales is None:
-                dist_scales = psy
+        ref_luma = None
+        if frame_type.has_inter():
+            if self._chain_applicable():
+                # chain tier: the recon lives on device; the SOURCE ref
+                # serves the (encoder-side-only) segmentation heuristic
+                # without forcing a device->host plane fetch
+                ref_luma = self._ref_src_luma(plan.ref_slot_fwd)
             else:
-                ch = min(dist_scales.shape[0], psy.shape[0])
-                cw = min(dist_scales.shape[1], psy.shape[1])
-                dist_scales = dist_scales.copy()
-                dist_scales[:ch, :cw] *= psy[:ch, :cw]
-
-        seg = None
-        from rav1e_tpu.config.speed import SegmentationLevel
-
-        if enc.speed_settings.segmentation != SegmentationLevel.Disabled:
-            from rav1e_tpu.encoder.segmentation import segmentation_optimize
-
-            ref_luma = None
-            if frame_type.has_inter():
-                if self._chain_applicable():
-                    # chain tier: the recon lives on device; the SOURCE ref
-                    # serves the (encoder-side-only) segmentation heuristic
-                    # without forcing a device->host plane fetch
-                    ref_luma = self._ref_src_luma(plan.ref_slot_fwd)
-                else:
-                    ref0 = self.rec_buffer[plan.ref_slot_fwd]
-                    if ref0 is not None:
-                        ref_luma = ref0.planes[0].as_array()
-            seg = segmentation_optimize(
-                frame.planes[0].as_array(), base_q_idx, enc.bit_depth,
-                mi_cols, mi_rows, ref_luma=ref_luma, imp_scales=dist_scales,
-            )
-            if not seg.enabled:
-                seg = None
+                ref0 = self.rec_buffer[plan.ref_slot_fwd]
+                if ref0 is not None:
+                    ref_luma = ref0.planes[0].as_array()
+        dist_scales, seg = self._frame_seg_scales(
+            frame, plan, frame_type, base_q_idx, ref_luma
+        )
 
         fi = FrameInvariantsLite(
             seq=self.seq,
@@ -3129,7 +3333,8 @@ class FramePipeline:
         self._chain_pending_refs = None
         if use_device and fi.is_inter_frame:
             chain_out = self._encode_frame_chain(
-                fi, frame, frame_type, plan, input_frameno, base_q_idx)
+                fi, frame, frame_type, plan, input_frameno, base_q_idx,
+                next_hints=next_hints)
         if chain_out is None:
             chain_out = self._encode_frame_host(
                 fi, frame, frame_type, mi_cols, mi_rows, input_frameno)
