@@ -652,8 +652,17 @@ def _txq_program(geom: ChainGeom):
             coeffs = dsp.fwd_tx_batched(res, t, TxType.DCT_DCT)
             scan = _scan_u16(min(tw, 32), min(th, 32), "default")
             nyt, nxt = ph // th, pw // tw
-            qy = (jnp.arange(nyt) * cell_px) // 8
-            qx = (jnp.arange(nxt) * cell_px) // 8
+            # segmentation qi is a PER-BLOCK property (the coder quantizes
+            # every tx cell with the block-origin seg id, tile_block.inc
+            # quantize_inter_blocks): with tx_split each luma block spans
+            # 2x2 tx cells, so floor the cell index to the block origin —
+            # sampling at cell origins desyncs recon whenever the 8px seg
+            # map varies inside a block
+            iy, ix = jnp.arange(nyt), jnp.arange(nxt)
+            if plane == 0 and g.tx_split:
+                iy, ix = (iy // 2) * 2, (ix // 2) * 2
+            qy = (iy * cell_px) // 8
+            qx = (ix * cell_px) // 8
             dcq = dcq8[plane][qy[:, None], qx[None, :]].reshape(-1)
             acq = acq8[plane][qy[:, None], qx[None, :]].reshape(-1)
             levels, eob = dsp.quantize_batched(coeffs, t, scan, dcq, acq,
@@ -989,7 +998,15 @@ def dispatch_chain(geom: ChainGeom, plan: ChainPlan, src_planes, ref_planes,
 def fetch_chain(handle) -> ChainResult:
     geom, plan, ref_out, flat = handle
     g = geom
-    arr = np.asarray(flat)
+    from rav1e_tpu.utils.trace import span, trace_enabled
+
+    if trace_enabled():
+        with span("chain_wait_ready"):
+            flat.block_until_ready()
+        with span("chain_download"):
+            arr = np.asarray(flat)
+    else:
+        arr = np.asarray(flat)
     off = 0
     overflow = bool(arr[0])
     off += 1

@@ -2618,6 +2618,14 @@ class FramePipeline:
         self._pending_chain = None
         if not next_hints:
             return
+        if not self.rc.cq_mode:
+            # bitrate mode: select_qi depends on this frame's still-pending
+            # rc.update_state, so a q guessed now would mismatch the
+            # consume-time qi nearly every frame and the speculative chain
+            # (a full-frame device encode) would execute uselessly ahead of
+            # its replacement — doubling device work exactly when RC is
+            # active.  Dispatch synchronously at consumption instead.
+            return
         nplan, nframe = next_hints[0]
         if nplan.kind != "inter" or getattr(nplan, "switch", False):
             return
@@ -2686,10 +2694,13 @@ class FramePipeline:
             maps, nframe, nplan, q_guess, seg, (r0, r1, r2),
             has_bwd, has_bwd2, fno,
         )
+        # hold the maps/frame OBJECTS (not id()) so the consume-time
+        # identity checks are sound: keeping the reference pins the object
+        # alive, so a freed-and-reallocated object can never alias
         self._pending_chain = {
-            "fno": fno, "plan": nplan, "q": q_guess, "maps_id": id(maps),
-            "seg": seg, "refs3": (r0, r1, r2), "has_bwd": has_bwd,
-            "has_bwd2": has_bwd2, "disp": disp,
+            "fno": fno, "plan": nplan, "q": q_guess, "maps": maps,
+            "frame": nframe, "seg": seg, "refs3": (r0, r1, r2),
+            "has_bwd": has_bwd, "has_bwd2": has_bwd2, "disp": disp,
         }
 
     @staticmethod
@@ -2753,7 +2764,8 @@ class FramePipeline:
             and pend["fno"] == input_frameno
             and pend["plan"] is plan
             and pend["q"] == base_q_idx
-            and pend["maps_id"] == id(maps)
+            and pend["maps"] is maps
+            and pend["frame"] is frame
             and pend["has_bwd"] == has_bwd
             and pend["has_bwd2"] == has_bwd2
             and all(a is b for a, b in zip(pend["refs3"], refs3))
@@ -3144,8 +3156,13 @@ class FramePipeline:
 
         base_q_idx = self.rc.select_qi(frame_type, enc.width, enc.height, plan.level)
 
+        from rav1e_tpu.config.speed import SegmentationLevel
+
         ref_luma = None
-        if frame_type.has_inter():
+        seg_enabled = (
+            enc.speed_settings.segmentation != SegmentationLevel.Disabled
+        )
+        if frame_type.has_inter() and seg_enabled:
             if self._chain_applicable():
                 # chain tier: the recon lives on device; the SOURCE ref
                 # serves the (encoder-side-only) segmentation heuristic
