@@ -153,20 +153,30 @@ class ContextInner:
         scene_cut = False
         from rav1e_tpu.config import SceneDetectionSpeed
 
-        def shifted_mad(c, prev):
+        def shifted_mad(c, prev, thr=None):
             import numpy as np
 
             # motion-robust: min difference over small global shifts (2x
-            # downsample, +-3 ds px = +-6 source px) so pans don't read as cuts
+            # downsample, +-3 ds px = +-6 source px) so pans don't read as
+            # cuts.  Every caller only compares the result against a
+            # threshold, so once any shift's MAD falls to `thr` or below the
+            # decision is fixed and the remaining shifts are skipped; shifts
+            # are visited center-outward so the common no-cut / steady-pan
+            # case exits after a few of the 49 candidates.
             best = None
             h, w = c.shape
             r = 3 if (h > 8 and w > 8) else 0
-            for dy in range(-r, r + 1):
-                for dx in range(-r, r + 1):
-                    a = c[max(dy, 0) : h + min(dy, 0), max(dx, 0) : w + min(dx, 0)]
-                    b = prev[max(-dy, 0) : h + min(-dy, 0), max(-dx, 0) : w + min(-dx, 0)]
-                    mad = float(np.abs(a - b).mean())
-                    best = mad if best is None else min(best, mad)
+            offs = sorted(
+                ((dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)),
+                key=lambda o: abs(o[0]) + abs(o[1]),
+            )
+            for dy, dx in offs:
+                a = c[max(dy, 0) : h + min(dy, 0), max(dx, 0) : w + min(dx, 0)]
+                b = prev[max(-dy, 0) : h + min(-dy, 0), max(-dx, 0) : w + min(-dx, 0)]
+                mad = float(np.abs(a - b).mean())
+                best = mad if best is None else min(best, mad)
+                if thr is not None and best <= thr:
+                    break
             return best
 
         if (
@@ -178,27 +188,29 @@ class ContextInner:
 
             prev = self._last_luma_ds.astype(np.int32)
             c = cur.astype(np.int32)
-            best = shifted_mad(c, prev)
             if e.speed_settings.scene_detection_mode == SceneDetectionSpeed.Standard:
                 # Standard mode: inter-vs-intra cost comparison (reference
                 # av-scenechange cost mode, doc/FRAME_TYPE_SELECTION.md):
                 # cut when the temporal prediction error approaches the
-                # spatial (intra) complexity of the frame.
+                # spatial (intra) complexity of the frame.  cut <=> best >
+                # max(0.9*intra, 6*scale), so that max is the early-exit
+                # threshold.
                 gx = np.abs(np.diff(c.astype(np.float64), axis=1)).mean()
                 gy = np.abs(np.diff(c.astype(np.float64), axis=0)).mean()
                 intra_cost = max((gx + gy) * 0.5, 1e-3)
-                scene_cut = best > 0.9 * intra_cost and best > 6.0 * (
-                    1 << (e.bit_depth - 8)
-                )
+                thr = max(0.9 * intra_cost, 6.0 * (1 << (e.bit_depth - 8)))
+                scene_cut = shifted_mad(c, prev, thr) > thr
             else:
-                scene_cut = best > 14.0 * (1 << (e.bit_depth - 8))
+                thr = 14.0 * (1 << (e.bit_depth - 8))
+                scene_cut = shifted_mad(c, prev, thr) > thr
             # flash suppression (av-scenechange behavior,
             # doc/FRAME_TYPE_SELECTION.md): when this frame returns to the
             # content from *two* frames ago, the previous frame was a flash —
             # suppress this cut and retract the flash's own keyframe if the
             # scheduler hasn't consumed it yet
             if scene_cut and getattr(self, "_prev2_luma_ds", None) is not None:
-                mad2 = shifted_mad(c, self._prev2_luma_ds.astype(np.int32))
+                thr2 = 7.0 * (1 << (e.bit_depth - 8))
+                mad2 = shifted_mad(c, self._prev2_luma_ds.astype(np.int32), thr2)
                 if mad2 <= 7.0 * (1 << (e.bit_depth - 8)):
                     scene_cut = False
                     flash = frameno - 1

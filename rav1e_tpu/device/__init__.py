@@ -68,9 +68,10 @@ from rav1e_tpu.device.analysis import (
     analyze_frame,
     analyze_frame_async,
     frame_analysis_jit,
+    upload_source_luma,
 )
 
 __all__ = [
     "DeviceMaps", "analyze_finish", "analyze_frame", "analyze_frame_async",
-    "frame_analysis_jit",
+    "frame_analysis_jit", "upload_source_luma",
 ]

@@ -603,6 +603,37 @@ def _shard_inputs(mesh, planes):
     return [jax.device_put(p, sh) for p in planes]
 
 
+def _is_device_array(x) -> bool:
+    import jax
+
+    return isinstance(x, jax.Array)
+
+
+def upload_source_luma(luma_np: np.ndarray):
+    """Pad a visible source-luma plane to 64-multiples and upload it once.
+
+    Returned device array is directly usable as any plane input of
+    :func:`analyze_frame_async`, so a frame that serves as its own analysis
+    subject and later as a reference of up to 3 future frames crosses the
+    host->device wire exactly once instead of up to 4 times (the per-frame
+    re-upload the round-2 review measured).  Under the production mesh the
+    upload is row-sharded exactly as _shard_inputs would."""
+    import jax
+
+    h, w = luma_np.shape
+    h64 = (h + 63) & ~63
+    w64 = (w + 63) & ~63
+    arr = (
+        np.pad(luma_np, ((0, h64 - h), (0, w64 - w)), mode="edge")
+        if (h64 != h or w64 != w)
+        else np.ascontiguousarray(luma_np)
+    )
+    mesh = _analysis_mesh()
+    if mesh is not None:
+        return _shard_inputs(mesh, [arr])[0]
+    return jax.device_put(arr)
+
+
 def analyze_frame_async(
     luma_np: np.ndarray,
     ref0_np,
@@ -618,45 +649,47 @@ def analyze_frame_async(
     (refs are the *source* planes of the forward / near-backward /
     far-backward references, the reference's own lookahead-ME
     approximation, internal.rs:731-760); device ME runs inside the
-    program, so no MV field is uploaded.
+    program, so no MV field is uploaded.  Any of them may instead be an
+    already-uploaded device plane from :func:`upload_source_luma` (padded
+    64-multiple shape), which skips the host pad + upload entirely.
 
-    On a multi-device backend the inputs are row-sharded over the
+    On a multi-device backend the numpy inputs are row-sharded over the
     ``tile`` mesh (see _analysis_mesh) and the same program runs SPMD
     across all chips.
     """
     import jax.numpy as jnp
 
-    h, w = luma_np.shape
-    h64 = (h + 63) & ~63
-    w64 = (w + 63) & ~63
-    # upload in the plane's natural dtype (uint8/uint16) — the jitted program
-    # widens on device.  Minimises host->device bytes.
-    luma = np.pad(luma_np, ((0, h64 - h), (0, w64 - w)), mode="edge")
+    if _is_device_array(luma_np):
+        h64, w64 = luma_np.shape
+    else:
+        h, w = luma_np.shape
+        h64 = (h + 63) & ~63
+        w64 = (w + 63) & ~63
+    mesh = _analysis_mesh()
+
+    def prep(p):
+        # upload in the plane's natural dtype (uint8/uint16) — the jitted
+        # program widens on device.  Minimises host->device bytes.
+        if _is_device_array(p):
+            assert p.shape == (h64, w64)
+            return p
+        arr = np.pad(
+            p, ((0, h64 - p.shape[0]), (0, w64 - p.shape[1])), mode="edge"
+        )
+        if mesh is not None:
+            return _shard_inputs(mesh, [arr])[0]
+        return arr
+
+    luma = prep(luma_np)
     has_inter = ref0_np is not None
     has_bwd = has_inter and ref1_np is not None
     has_bwd2 = has_bwd and ref2_np is not None
-    if has_inter:
-        ref0 = np.pad(ref0_np, ((0, h64 - h), (0, w64 - w)), mode="edge")
-    else:
-        ref0 = luma
-    ref1 = (
-        np.pad(ref1_np, ((0, h64 - h), (0, w64 - w)), mode="edge")
-        if has_bwd
-        else ref0
-    )
-    ref2 = (
-        np.pad(ref2_np, ((0, h64 - h), (0, w64 - w)), mode="edge")
-        if has_bwd2
-        else ref0
-    )
+    ref0 = prep(ref0_np) if has_inter else luma
+    ref1 = prep(ref1_np) if has_bwd else ref0
+    ref2 = prep(ref2_np) if has_bwd2 else ref0
 
     q = float(tables.ac_q(qindex, 0, bd))
     fn = frame_analysis_jit(bd, has_inter, has_bwd, has_bwd2)
-    mesh = _analysis_mesh()
-    if mesh is not None:
-        luma, ref0, ref1, ref2 = _shard_inputs(
-            mesh, [luma, ref0, ref1, ref2]
-        )
     out = fn(
         jnp.asarray(luma), jnp.asarray(ref0), jnp.asarray(ref1),
         jnp.asarray(ref2), jnp.float32(q), jnp.float32(lam),

@@ -495,6 +495,75 @@ def _active_by_size(geom: ChainGeom, ords):
     return out
 
 
+@functools.lru_cache(None)
+def _aux_layout(geom: ChainGeom):
+    """Static (offset, length) of each small per-frame input inside the
+    single packed i32 ``aux`` upload.  Per-transfer tunnel latency dwarfs
+    these arrays' sizes, so ~15 tiny device_puts per frame become one."""
+    g = geom
+    ny16, nx16 = g.gh // 16, g.gw // 16
+    nby8, nbx8 = g.gh // 8, g.gw // 8
+    offs = {}
+    off = 0
+
+    def add(name, n):
+        nonlocal off
+        offs[name] = (off, n)
+        off += n
+
+    add("fields", 3 * ny16 * nx16 * 2)
+    for i, (_p, _t, ghc, gwc) in enumerate(g.buckets):
+        add(("ord", i), ghc * gwc)
+    add("dcq8", 3 * nby8 * nbx8)
+    add("acq8", 3 * nby8 * nbx8)
+    add("dbl", 4)
+    add("cdefy", 4)
+    add("cdefuv", 4)
+    return offs, off
+
+
+def pack_aux(geom: ChainGeom, plan: "ChainPlan", fields, dcq8, acq8,
+             dbl_levels, cdef_y, cdef_uv) -> np.ndarray:
+    """Pack the per-frame small chain inputs into one i32 vector."""
+    g = geom
+    offs, total = _aux_layout(g)
+    out = np.empty(total, np.int32)
+
+    def put(name, arr):
+        o, n = offs[name]
+        out[o : o + n] = np.asarray(arr, dtype=np.int32).reshape(-1)
+
+    put("fields", fields)
+    for i, (p, t, ghc, gwc) in enumerate(g.buckets):
+        og = plan.ords.get((p, t))
+        if og is None:
+            og = np.full((ghc, gwc), -1, dtype=np.int32)
+        put(("ord", i), og)
+    put("dcq8", dcq8)
+    put("acq8", acq8)
+    put("dbl", dbl_levels)
+    put("cdefy", cdef_y)
+    put("cdefuv", cdef_uv)
+    return out
+
+
+def _aux_get(geom: ChainGeom, aux, name, shape):
+    o, n = _aux_layout(geom)[0][name]
+    return aux[o : o + n].reshape(shape)
+
+
+def _aux_fields(geom: ChainGeom, aux):
+    ny16, nx16 = geom.gh // 16, geom.gw // 16
+    return _aux_get(geom, aux, "fields", (3, ny16, nx16, 2))
+
+
+def _aux_ords(geom: ChainGeom, aux):
+    return tuple(
+        _aux_get(geom, aux, ("ord", i), (ghc, gwc))
+        for i, (_p, _t, ghc, gwc) in enumerate(geom.buckets)
+    )
+
+
 def _sel_luma_program(geom: ChainGeom):
     """Stage 1: candidate selection + luma MC.  Returns the composed luma
     prediction plane and the per-size selection grids."""
@@ -504,7 +573,9 @@ def _sel_luma_program(geom: ChainGeom):
     bd = g.bd
     big = jnp.int32(2 ** 30)
 
-    def fn(src_y_raw, refs_y, fields, ords):
+    def fn(src_y_raw, refs_y, aux):
+        fields = _aux_fields(g, aux)
+        ords = _aux_ords(g, aux)
         src_y = src_y_raw.astype(jnp.int32)
         # native-dtype stack: the window gathers widen to i32 themselves,
         # and 8-bit planes skip the high-byte one-hot matmul (dsp.py)
@@ -574,7 +645,9 @@ def _chroma_program(geom: ChainGeom):
     ch_h, ch_w = gh // 2, gw // 2
     bd = g.bd
 
-    def fn(refs_u, refs_v, fields, sels, ords):
+    def fn(refs_u, refs_v, aux, sels):
+        fields = _aux_fields(g, aux)
+        ords = _aux_ords(g, aux)
         ref_u = jnp.stack(refs_u)
         ref_v = jnp.stack(refs_v)
         active_by_size = _active_by_size(g, ords)
@@ -631,8 +704,13 @@ def _txq_program(geom: ChainGeom):
     ch_h, ch_w = gh // 2, gw // 2
     bd = g.bd
 
-    def fn(src, preds, ords, dcq8, acq8):
+    def fn(src, preds, aux):
         from rav1e_tpu.quantize import _scan_u16
+
+        nby8_q, nbx8_q = g.gh // 8, g.gw // 8
+        ords = _aux_ords(g, aux)
+        dcq8 = _aux_get(g, aux, "dcq8", (3, nby8_q, nbx8_q))
+        acq8 = _aux_get(g, aux, "acq8", (3, nby8_q, nbx8_q))
 
         srcs = {0: src[0].astype(jnp.int32), 1: src[1].astype(jnp.int32),
                 2: src[2].astype(jnp.int32)}
@@ -758,7 +836,10 @@ def _filters_program(geom: ChainGeom):
     ch_h, ch_w = gh // 2, gw // 2
     bd = g.bd
 
-    def fn(recons, src, skip8, tx8, bsize8, dbl_levels, cdef_y, cdef_uv):
+    def fn(recons, src, skip8, tx8, bsize8, aux):
+        dbl_levels = _aux_get(g, aux, "dbl", (4,))
+        cdef_y = _aux_get(g, aux, "cdefy", (4,))
+        cdef_uv = _aux_get(g, aux, "cdefuv", (4,))
         srcs = {0: src[0].astype(jnp.int32), 1: src[1].astype(jnp.int32),
                 2: src[2].astype(jnp.int32)}
         exts = {0: (gh, gw), 1: (ch_h, ch_w), 2: (ch_h, ch_w)}
@@ -848,7 +929,13 @@ def _filters_program(geom: ChainGeom):
 
 
 def _pack_program(geom: ChainGeom):
-    """Stage 5: assemble the flat int16 host payload."""
+    """Stage 5: assemble the host payload as (header, levels) int16 pair.
+
+    The header (overflow flag, walk-order eobs, selection grids, cdef
+    indices) is small and always downloaded whole; the levels buffer is
+    lcap-sized but only ``sum(eobs)`` entries are meaningful, so the fetch
+    side downloads just that prefix — the lcap slack never crosses the
+    tunnel."""
     jnp = _jnp()
     g = geom
 
@@ -858,8 +945,7 @@ def _pack_program(geom: ChainGeom):
         for sg in sels:
             parts.append(sg.reshape(-1).astype(jnp.int16))
         parts.append(cdef_idx.reshape(-1).astype(jnp.int16))
-        parts.append(levels_flat[: g.lcap].astype(jnp.int16))
-        return jnp.concatenate(parts)
+        return jnp.concatenate(parts), levels_flat[: g.lcap].astype(jnp.int16)
 
     return fn
 
@@ -961,56 +1047,76 @@ def dispatch_chain(geom: ChainGeom, plan: ChainPlan, src_planes, ref_planes,
     src_planes: 3 numpy SB-extent planes; ref_planes: ((y,u,v),)*3 device
     (or numpy) padded planes; fields: (3, ny16, nx16, 2) i32.
     Returns an opaque handle for fetch_chain."""
+    import jax
     import jax.numpy as jnp
 
     f_sel, f_chroma, f_txq, f_filters, f_pack = chain_stages_jit(geom)
-    ords = tuple(
-        jnp.asarray(
-            plan.ords.get((p, t), np.full((gh, gw), -1, dtype=np.int32))
-        )
-        for (p, t, gh, gw) in geom.buckets
+    # ONE host->device transfer for everything but the pixel planes
+    aux = jax.device_put(
+        pack_aux(geom, plan, fields, dcq8, acq8, dbl_levels, cdef_y, cdef_uv)
     )
     refs = tuple(
         tuple(jnp.asarray(pl) for pl in r) for r in ref_planes
     )
     src = tuple(jnp.asarray(p) for p in src_planes)
-    fields_j = jnp.asarray(fields)
 
-    pred_y, sels = f_sel(src[0], tuple(r[0] for r in refs), fields_j, ords)
+    pred_y, sels = f_sel(src[0], tuple(r[0] for r in refs), aux)
     pred_u, pred_v = f_chroma(
-        tuple(r[1] for r in refs), tuple(r[2] for r in refs),
-        fields_j, sels, ords,
+        tuple(r[1] for r in refs), tuple(r[2] for r in refs), aux, sels,
     )
     levels_flat, eob_ord, overflow, recons, skip8, tx8, bsize8 = f_txq(
-        src, (pred_y, pred_u, pred_v), ords,
-        jnp.asarray(dcq8), jnp.asarray(acq8),
+        src, (pred_y, pred_u, pred_v), aux,
     )
-    ref_out, cdef_idx = f_filters(
-        recons, src, skip8, tx8, bsize8,
-        jnp.asarray(np.asarray(dbl_levels, np.int32)),
-        jnp.asarray(np.asarray(cdef_y, np.int32)),
-        jnp.asarray(np.asarray(cdef_uv, np.int32)),
-    )
-    flat = f_pack(overflow, eob_ord, sels, cdef_idx, levels_flat)
-    return (geom, plan, ref_out, flat)
+    ref_out, cdef_idx = f_filters(recons, src, skip8, tx8, bsize8, aux)
+    hdr, levels = f_pack(overflow, eob_ord, sels, cdef_idx, levels_flat)
+    # start the header download as soon as the device reaches it; the
+    # levels prefix length is only known after the header arrives
+    try:
+        hdr.copy_to_host_async()
+    except Exception:
+        pass
+    return (geom, plan, ref_out, (hdr, levels))
+
+
+# previous frame's level count per geometry: sizes the optimistic levels
+# prefix download (frames are temporally coherent, so last frame's total
+# predicts this one's within the 1.5x slack nearly always)
+_LVL_TOTAL_HINT: Dict[ChainGeom, int] = {}
+
+
+def _lvl_bucket(n: int, cap: int) -> int:
+    """Round a levels prefix length up to an 8K bucket (bounds the number
+    of distinct device slice shapes — and thus compiles — per geometry)."""
+    return min((max(int(n), 1) + 8191) & ~8191, cap)
 
 
 def fetch_chain(handle) -> ChainResult:
-    geom, plan, ref_out, flat = handle
+    geom, plan, ref_out, (hdr_dev, lvl_dev) = handle
     g = geom
     from rav1e_tpu.utils.trace import span, trace_enabled
 
+    # start the optimistic levels-prefix download concurrently with the
+    # header download; only `sum(eobs)` of the lcap-sized buffer is
+    # meaningful and that total is typically far below the cap
+    pre_n = _lvl_bucket(_LVL_TOTAL_HINT.get(g, 8192) * 3 // 2, g.lcap)
+    pre_dev = lvl_dev[:pre_n]
+    try:
+        pre_dev.copy_to_host_async()
+    except Exception:
+        pass
+
     if trace_enabled():
         with span("chain_wait_ready"):
-            flat.block_until_ready()
+            hdr_dev.block_until_ready()
         with span("chain_download"):
-            arr = np.asarray(flat)
+            arr = np.asarray(hdr_dev)
     else:
-        arr = np.asarray(flat)
+        arr = np.asarray(hdr_dev)
     off = 0
     overflow = bool(arr[0])
     off += 1
-    eobs = arr[off : off + g.ntx_cap][: plan.n_tx].astype(np.int32)
+    eobs_all = arr[off : off + g.ntx_cap]
+    eobs = eobs_all[: plan.n_tx].astype(np.int32)
     off += g.ntx_cap
     sel = {}
     for s in g.sizes:
@@ -1021,8 +1127,22 @@ def fetch_chain(handle) -> ChainResult:
     sb_cols = (g.vis_w + 63) // 64
     cdef_idx = arr[off : off + sb_rows * sb_cols].reshape(
         sb_rows, sb_cols).astype(np.int32)
-    off += sb_rows * sb_cols
-    levels = arr[off : off + g.lcap].astype(np.int32)
+
+    total = int(eobs_all.astype(np.int64).sum())
+    _LVL_TOTAL_HINT[g] = total
+    need = min(total, g.lcap)
+    if trace_enabled():
+        with span("chain_download_levels"):
+            if need <= pre_n:
+                lv = np.asarray(pre_dev)[:need]
+            else:
+                lv = np.asarray(lvl_dev[: _lvl_bucket(need, g.lcap)])[:need]
+    else:
+        if need <= pre_n:
+            lv = np.asarray(pre_dev)[:need]
+        else:
+            lv = np.asarray(lvl_dev[: _lvl_bucket(need, g.lcap)])[:need]
+    levels = lv.astype(np.int32)
     return ChainResult(eobs, levels, sel, cdef_idx, overflow, ref_out)
 
 

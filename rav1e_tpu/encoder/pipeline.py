@@ -2234,6 +2234,11 @@ class FramePipeline:
         # input_frameno -> pending entry (handle + fetch thread).  Depth >1
         # keeps the tunneled-TPU round-trip fully hidden behind host coding.
         self._pending_analyses: dict = {}
+        # input_frameno -> device-resident padded source luma: each frame
+        # crosses the host->device wire once, then serves as the analysis
+        # subject AND as the reference plane of up to 3 future analyses
+        # (insertion-ordered; oldest evicted)
+        self._dev_luma_cache: dict = {}
         # input_frameno of the source occupying each reference slot (for
         # validating prefetched analyses against the slots' actual content)
         self.slot_src_frameno: list = [None] * 8
@@ -2273,6 +2278,25 @@ class FramePipeline:
             return None
         enc = self.config.enc
         return r.planes[0].as_array()[: enc.height, : enc.width]
+
+    def _dev_luma(self, fno, luma_np):
+        """Device handle for a source luma plane, uploaded at most once per
+        input_frameno (see _dev_luma_cache).  Falls back to the numpy plane
+        (per-dispatch upload) when the key is unknown or the upload fails."""
+        if luma_np is None or fno is None:
+            return luma_np
+        dev = self._dev_luma_cache.get(fno)
+        if dev is None:
+            try:
+                from rav1e_tpu.device import upload_source_luma
+
+                dev = upload_source_luma(luma_np)
+            except Exception:
+                return luma_np
+            self._dev_luma_cache[fno] = dev
+            while len(self._dev_luma_cache) > 12:
+                self._dev_luma_cache.pop(next(iter(self._dev_luma_cache)))
+        return dev
 
     def predispatch_idle(self, next_hints) -> None:
         """Predispatch from a non-coding point (e.g. while emitting a
@@ -2365,8 +2389,11 @@ class FramePipeline:
                 q_step = tables.ac_q(q_guess, 0, enc.bit_depth) / 8.0
                 lam = 0.12 * q_step * q_step
                 handle = analyze_frame_async(
-                    n_src, ref_y, ref_y_bwd, q_guess, lam, enc.bit_depth,
-                    ref2_np=ref_y_bwd2,
+                    self._dev_luma(fno, n_src),
+                    self._dev_luma(ref_fno_fwd, ref_y),
+                    self._dev_luma(ref_fno_bwd, ref_y_bwd),
+                    q_guess, lam, enc.bit_depth,
+                    ref2_np=self._dev_luma(ref_fno_bwd2, ref_y_bwd2),
                 )
                 # fetch on a worker thread: the device->host wait is IO
                 # (GIL released), overlapping this frame's host coding
@@ -2589,6 +2616,16 @@ class FramePipeline:
                    min(pri_uv * 2 + 1, 15) * CDEF_SEC_STRENGTHS + sec_uv]
 
         src_p = _chain.host_src_planes(frame, enc.width, enc.height)
+        # the luma already crossed the wire for this frame's device
+        # analysis (same ceil-64 padded layout); reuse the handle so only
+        # the chroma planes upload here.  Skip under a live analysis mesh:
+        # those handles are row-sharded, the chain program is single-device.
+        from rav1e_tpu.device.analysis import _analysis_mesh
+
+        if _analysis_mesh() is None:
+            dev_y = self._dev_luma_cache.get(fno)
+            if dev_y is not None and tuple(dev_y.shape) == src_p[0].shape:
+                src_p[0] = dev_y
         with span("chain_dispatch", frame=fno):
             handle = _chain.dispatch_chain(
                 geom, cplan, src_p, refs3, fields, dcq8, acq8,
@@ -2687,8 +2724,14 @@ class FramePipeline:
             if nplan.ref_slot_fwd == cur_slot
             else self._ref_src_luma(nplan.ref_slot_fwd)
         )
-        _, seg = self._frame_seg_scales(
+        ref_fno = slot_fno(nplan.ref_slot_fwd)
+        dist_scales, seg = self._frame_seg_scales(
             nframe, nplan, FrameType.INTER, q_guess, ref_src
+        )
+        # memo for encode_frame: the consume-time recompute of the same
+        # (frame, q, fwd-ref) segmentation is pure duplicate host work
+        self._seg_memo = (
+            fno, FrameType.INTER, q_guess, ref_fno, dist_scales, seg,
         )
         disp = self._chain_dispatch(
             maps, nframe, nplan, q_guess, seg, (r0, r1, r2),
@@ -3162,19 +3205,33 @@ class FramePipeline:
         seg_enabled = (
             enc.speed_settings.segmentation != SegmentationLevel.Disabled
         )
-        if frame_type.has_inter() and seg_enabled:
-            if self._chain_applicable():
-                # chain tier: the recon lives on device; the SOURCE ref
-                # serves the (encoder-side-only) segmentation heuristic
-                # without forcing a device->host plane fetch
-                ref_luma = self._ref_src_luma(plan.ref_slot_fwd)
-            else:
-                ref0 = self.rec_buffer[plan.ref_slot_fwd]
-                if ref0 is not None:
-                    ref_luma = ref0.planes[0].as_array()
-        dist_scales, seg = self._frame_seg_scales(
-            frame, plan, frame_type, base_q_idx, ref_luma
-        )
+        memo = getattr(self, "_seg_memo", None)
+        if (
+            memo is not None
+            and frame_type.has_inter()
+            and self._chain_applicable()
+            and memo[0] == plan.input_frameno
+            and memo[1] == frame_type
+            and memo[2] == base_q_idx
+            and memo[3] == self.slot_src_frameno[plan.ref_slot_fwd]
+        ):
+            # the chain predispatch already computed this frame's
+            # segmentation + dist scales against the same q and fwd ref
+            dist_scales, seg = memo[4], memo[5]
+        else:
+            if frame_type.has_inter() and seg_enabled:
+                if self._chain_applicable():
+                    # chain tier: the recon lives on device; the SOURCE ref
+                    # serves the (encoder-side-only) segmentation heuristic
+                    # without forcing a device->host plane fetch
+                    ref_luma = self._ref_src_luma(plan.ref_slot_fwd)
+                else:
+                    ref0 = self.rec_buffer[plan.ref_slot_fwd]
+                    if ref0 is not None:
+                        ref_luma = ref0.planes[0].as_array()
+            dist_scales, seg = self._frame_seg_scales(
+                frame, plan, frame_type, base_q_idx, ref_luma
+            )
 
         fi = FrameInvariantsLite(
             seq=self.seq,
@@ -3315,22 +3372,30 @@ class FramePipeline:
             else:
                 src_y = frame.planes[0].as_array()[: enc.height, : enc.width]
                 ref_y = ref_y_bwd = ref_y_bwd2 = None
+                fno_fwd = fno_bwd = fno_bwd2 = None
                 if fi.is_inter_frame:
+                    fno_fwd = self.slot_src_frameno[plan.ref_slot_fwd]
                     ref_y = self._ref_src_luma(plan.ref_slot_fwd)
                     if fi.ref_frame_bwd is not None and plan.ref_slot_bwd is not None:
+                        fno_bwd = self.slot_src_frameno[plan.ref_slot_bwd]
                         ref_y_bwd = self._ref_src_luma(plan.ref_slot_bwd)
                     if (
                         ref_y_bwd is not None
                         and fi.ref_frame_bwd2 is not None
                         and getattr(plan, "ref_slot_bwd2", None) is not None
                     ):
+                        fno_bwd2 = self.slot_src_frameno[plan.ref_slot_bwd2]
                         ref_y_bwd2 = self._ref_src_luma(plan.ref_slot_bwd2)
                 q_step = tables.ac_q(base_q_idx, 0, enc.bit_depth) / 8.0
                 lam = 0.12 * q_step * q_step
                 with _span("device_analysis"):
                     fi.device_maps = analyze_finish(analyze_frame_async(
-                        src_y, ref_y, ref_y_bwd, base_q_idx, lam,
-                        enc.bit_depth, ref2_np=ref_y_bwd2,
+                        self._dev_luma(input_frameno, src_y),
+                        self._dev_luma(fno_fwd, ref_y),
+                        self._dev_luma(fno_bwd, ref_y_bwd),
+                        base_q_idx, lam,
+                        enc.bit_depth,
+                        ref2_np=self._dev_luma(fno_bwd2, ref_y_bwd2),
                     ))
                 self._retry_maps = (
                     input_frameno, base_q_idx, fi.device_maps

@@ -90,12 +90,6 @@ def main():
     import jax.numpy as jnp
 
     f_sel, f_chroma, f_txq, f_filters, f_pack = chm.chain_stages_jit(geom)
-    ords = tuple(
-        jnp.asarray(
-            cplan.ords.get((p, t), np.full((gh, gw), -1, dtype=np.int32))
-        )
-        for (p, t, gh, gw) in geom.buckets
-    )
     refs = tuple(
         tuple(jnp.asarray(pl) for pl in r) for r in cap["refs3"]
     )
@@ -106,7 +100,6 @@ def main():
         fields[1] = 0
     if not cap["hb2"]:
         fields[2] = 0
-    fields_j = jnp.asarray(fields)
 
     # rebuild dcq/acq exactly as dispatch did
     from rav1e_tpu import tables
@@ -131,13 +124,21 @@ def main():
     dcq8 = dcq_tab[seg8].transpose(2, 0, 1).copy()
     acq8 = acq_tab[seg8].transpose(2, 0, 1).copy()
 
-    pred_y, sels = f_sel(src[0], tuple(r[0] for r in refs), fields_j, ords)
+    import jax
+
+    from rav1e_tpu.ops.cdef import CDEF_SEC_STRENGTHS, cdef_strengths_fast
+    from rav1e_tpu.ops.deblock import deblock_levels_fast
+
+    dbl = deblock_levels_fast(cap["q"], bd, False, tables.ac_q(cap["q"], 0, bd))
+    cy_s, cuv_s = cdef_strengths_fast(tables.ac_q(cap["q"], 0, bd) >> (bd - 8))
+    aux = jax.device_put(chm.pack_aux(
+        geom, cplan, fields, dcq8, acq8, dbl,
+        [0, cy_s, cy_s, cy_s], [0, cuv_s, cuv_s, cuv_s]))
+    pred_y, sels = f_sel(src[0], tuple(r[0] for r in refs), aux)
     pred_u, pred_v = f_chroma(
-        tuple(r[1] for r in refs), tuple(r[2] for r in refs),
-        fields_j, sels, ords)
+        tuple(r[1] for r in refs), tuple(r[2] for r in refs), aux, sels)
     levels_flat, eob_ord, overflow, recons, skip8, tx8, bsize8 = f_txq(
-        src, (pred_y, pred_u, pred_v), ords, jnp.asarray(dcq8),
-        jnp.asarray(acq8))
+        src, (pred_y, pred_u, pred_v), aux)
     pred_y = np.asarray(pred_y)
     recon_y = np.asarray(recons[0])
     print("overflow:", bool(np.asarray(overflow)))

@@ -35,15 +35,10 @@ def main():
         import jax.numpy as jnp
 
         f_sel, f_chroma, f_txq, f_filters, f_pack = ch.chain_stages_jit(geom)
-        ords = tuple(
-            jnp.asarray(
-                plan.ords.get((p, t), np.full((gh, gw), -1, dtype=np.int32))
-            )
-            for (p, t, gh, gw) in geom.buckets
-        )
+        aux = jax.device_put(ch.pack_aux(
+            geom, plan, fields, dcq8, acq8, dbl_levels, cdef_y, cdef_uv))
         refs = tuple(tuple(jnp.asarray(pl) for pl in r) for r in ref_planes)
         src = tuple(jnp.asarray(p) for p in src_planes)
-        fields_j = jnp.asarray(fields)
 
         def tick(name, out):
             t0 = time.monotonic()
@@ -52,30 +47,27 @@ def main():
             return out
 
         t_up0 = time.monotonic()
-        jax.block_until_ready((refs, src, fields_j, ords))
+        jax.block_until_ready((refs, src, aux))
         stats.setdefault("upload", []).append(time.monotonic() - t_up0)
 
         pred_y, sels = tick("sel", f_sel(
-            src[0], tuple(r[0] for r in refs), fields_j, ords))
+            src[0], tuple(r[0] for r in refs), aux))
         pred_u, pred_v = tick("chroma", f_chroma(
             tuple(r[1] for r in refs), tuple(r[2] for r in refs),
-            fields_j, sels, ords))
-        out = tick("txq", f_txq(
-            src, (pred_y, pred_u, pred_v), ords,
-            jnp.asarray(dcq8), jnp.asarray(acq8)))
+            aux, sels))
+        out = tick("txq", f_txq(src, (pred_y, pred_u, pred_v), aux))
         levels_flat, eob_ord, overflow, recons, skip8, tx8, bsize8 = out
         ref_out, cdef_idx = tick("filters", f_filters(
-            recons, src, skip8, tx8, bsize8,
-            jnp.asarray(np.asarray(dbl_levels, np.int32)),
-            jnp.asarray(np.asarray(cdef_y, np.int32)),
-            jnp.asarray(np.asarray(cdef_uv, np.int32))))
-        flat = tick("pack", f_pack(overflow, eob_ord, sels, cdef_idx,
-                                   levels_flat))
+            recons, src, skip8, tx8, bsize8, aux))
+        hdr, levels = tick("pack", f_pack(overflow, eob_ord, sels, cdef_idx,
+                                          levels_flat))
         t0 = time.monotonic()
-        arr = np.asarray(flat)
+        arr = np.asarray(hdr)
+        n = int(arr[1 : 1 + geom.ntx_cap].astype(np.int64).sum())
+        lv = np.asarray(levels[: ch._lvl_bucket(n, geom.lcap)])
         stats.setdefault("download", []).append(time.monotonic() - t0)
-        stats.setdefault("dl_bytes", []).append(arr.nbytes)
-        return (geom, plan, ref_out, flat)
+        stats.setdefault("dl_bytes", []).append(arr.nbytes + lv.nbytes)
+        return (geom, plan, ref_out, (hdr, levels))
 
     for rep in range(2):
         if rep == 1:
