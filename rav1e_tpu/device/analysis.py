@@ -62,65 +62,139 @@ def _jnp():
 
 
 @functools.lru_cache(None)
-def _directional_plan(p_angle: int, s: int):
-    """Precompute gather indices / blend weights for a directional predictor
-    at angle_delta=0 without edge filtering (decision-path approximation of
-    ops/intra._pred_directional; reference predict.rs spec 7.11.2.4).
+def _ief_static(s: int, p_angle: int):
+    """Static intra-edge-filter config of a square s-block directional mode
+    at angle_delta=0, smooth_filter=False (spec 7.11.2.9/.10; the same
+    selectors the coder uses, ops/intra.select_ief_strength/..._upsample).
 
-    Buffers: above_buf = [top_left, above_ext(2s)], left_buf likewise.
-    Returns numpy int32 arrays shaped (s, s).
+    Returns (st_above, st_left, ups_above, ups_left, num_above, num_left)
+    where num_* counts edge SAMPLES (excl. the top-left at buffer index 0).
     """
+    from rav1e_tpu.ops.intra import select_ief_strength, select_ief_upsample
+
+    st_a = select_ief_strength(s, s, False, p_angle - 90)
+    st_l = select_ief_strength(s, s, False, p_angle - 180)
+    ups_a = select_ief_upsample(s, s, False, p_angle - 90)
+    ups_l = select_ief_upsample(s, s, False, p_angle - 180)
+    num_a = s + (s if p_angle < 90 else 0)
+    num_l = s + (s if p_angle > 180 else 0)
+    return st_a, st_l, ups_a, ups_l, num_a, num_l
+
+
+_EDGE_KERNELS = ((0, 4, 8, 4, 0), (0, 5, 6, 5, 0), (2, 4, 4, 4, 2))
+
+
+@functools.lru_cache(None)
+def _filter_idx(L: int, num: int):
+    idx = np.arange(L)
+    mats = tuple(
+        np.clip(idx - 2 + j, 0, num - 1).astype(np.int32) for j in range(5)
+    )
+    valid = (idx >= 1) & (idx < num)
+    return mats, valid
+
+
+def _filter_edge_dev(buf, num: int, strength: int):
+    """Batched spec 7.11.2.12 edge filter over (n, L) buffers: positions
+    1..num-1 filtered with taps clamped to [0, num-1], rest untouched
+    (ops/intra.filter_edge semantics; buffer index 0 = top-left)."""
+    if strength == 0:
+        return buf
+    jnp = _jnp()
+    L = buf.shape[1]
+    mats, valid = _filter_idx(L, num)
+    k = _EDGE_KERNELS[strength - 1]
+    acc = None
+    for j in range(5):
+        if k[j] == 0:
+            continue
+        t = k[j] * jnp.take(buf, jnp.asarray(mats[j]), axis=1)
+        acc = t if acc is None else acc + t
+    out = (acc + 8) >> 4
+    return jnp.where(jnp.asarray(valid)[None, :], out, buf)
+
+
+def _upsample_edge_dev(buf, num_px: int, bd: int):
+    """Batched spec 7.11.2.11 edge upsample: (n, >=num_px+1) buffer with
+    index 0 = top-left -> (n, 2*num_px+1) where index m = upsampled spec
+    position m-2 (ops/intra.upsample_edge semantics, incl. the C-style
+    truncating /16)."""
+    jnp = _jnp()
+    dup = jnp.concatenate(
+        [buf[:, :1], buf[:, : num_px + 1], buf[:, num_px : num_px + 1]],
+        axis=1,
+    )
+    t = (
+        -dup[:, 0:num_px] + 9 * dup[:, 1 : num_px + 1]
+        + 9 * dup[:, 2 : num_px + 2] - dup[:, 3 : num_px + 3]
+    )
+    q = t + 8
+    q = jnp.sign(q) * (jnp.abs(q) // 16)
+    odd = jnp.clip(q, 0, (1 << bd) - 1)
+    even = dup[:, 2 : num_px + 2]
+    inter = jnp.stack([odd, even], axis=2).reshape(buf.shape[0], 2 * num_px)
+    return jnp.concatenate([dup[:, 0:1], inter], axis=1)
+
+
+@functools.lru_cache(None)
+def _dir_plan(s: int, p_angle: int, ua: int, ul: int, La: int, Ll: int):
+    """Static gather indices / blend shifts of the directional predictor
+    (spec 7.11.2.4 steps 4-9) over filtered/upsampled edge buffers of
+    lengths La/Ll, exactly mirroring ops/intra._pred_directional."""
     ii, jj = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+    off_a, off_l = 1 << ua, 1 << ul
     if p_angle < 90:
         dx = DR_INTRA_DERIVATIVE[p_angle]
         idx = (ii + 1) * dx
-        base = (idx >> 6) + jj
-        shift = (idx >> 1) & 31
-        max_base = 2 * s - 1
+        base = (idx >> (6 - ua)) + (jj << ua)
+        shift = ((idx << ua) >> 1) & 31
+        max_base = (2 * s - 1) << ua
         basec = np.minimum(base, max_base)
         return (
             "above",
-            (1 + basec).astype(np.int32),
-            (1 + np.minimum(basec + 1, max_base)).astype(np.int32),
+            (off_a + basec).astype(np.int32),
+            (off_a + np.minimum(basec + 1, max_base)).astype(np.int32),
             shift.astype(np.int32),
             (base < max_base),
+            off_a + max_base,
         )
     if p_angle > 180:
         dy = DR_INTRA_DERIVATIVE[270 - p_angle]
         idx = (jj + 1) * dy
-        base = (idx >> 6) + ii
-        shift = (idx >> 1) & 31
-        max_base = 2 * s - 1
+        base = (idx >> (6 - ul)) + (ii << ul)
+        shift = ((idx << ul) >> 1) & 31
+        max_base = (2 * s - 1) << ul
         basec = np.minimum(base, max_base)
         return (
             "left",
-            (1 + basec).astype(np.int32),
-            (1 + np.minimum(basec + 1, max_base)).astype(np.int32),
+            (off_l + basec).astype(np.int32),
+            (off_l + np.minimum(basec + 1, max_base)).astype(np.int32),
             shift.astype(np.int32),
+            None,
             None,
         )
     # 90 < angle < 180: mix of above and left
     dx = DR_INTRA_DERIVATIVE[180 - p_angle]
     dy = DR_INTRA_DERIVATIVE[p_angle - 90]
     idx_a = (jj << 6) - (ii + 1) * dx
-    base_a = idx_a >> 6
-    shift_a = (idx_a >> 1) & 31
-    use_above = base_a >= -1
-    ba = np.clip(base_a, -1, s)
+    base_a = idx_a >> (6 - ua)
+    shift_a = ((idx_a << ua) >> 1) & 31
+    use_above = base_a >= -(1 << ua)
+    ba = np.clip(base_a, -off_a, s << ua)
     idx_l = (ii << 6) - (jj + 1) * dy
-    base_l = idx_l >> 6
-    shift_l = (idx_l >> 1) & 31
-    bl = np.clip(base_l, -1, 2 * s - 1)
+    base_l = idx_l >> (6 - ul)
+    shift_l = ((idx_l << ul) >> 1) & 31
+    bl = np.clip(base_l, -off_l, (2 * s - 1) << ul)
     return (
         "mix",
         (
-            np.clip(1 + ba, 0, 2 * s).astype(np.int32),
-            np.clip(2 + ba, 0, 2 * s).astype(np.int32),
+            np.clip(off_a + ba, 0, La - 1).astype(np.int32),
+            np.clip(off_a + ba + 1, 0, La - 1).astype(np.int32),
             shift_a.astype(np.int32),
         ),
         (
-            np.clip(1 + bl, 0, 2 * s).astype(np.int32),
-            np.clip(2 + bl, 0, 2 * s).astype(np.int32),
+            np.clip(off_l + bl, 0, Ll - 1).astype(np.int32),
+            np.clip(off_l + bl + 1, 0, Ll - 1).astype(np.int32),
             shift_l.astype(np.int32),
         ),
         use_above,
@@ -137,6 +211,47 @@ def _take_blend(buf, i0, i1, shift):
     v = (a * (32 - sh) + b * sh + 16) >> 5
     n = buf.shape[0]
     return v.reshape(n, *i0.shape)
+
+
+def _dir_pred_exact(above_buf, left_buf, tl, mode, s: int, bd: int):
+    """One directional mode's prediction with the NORMATIVE edge pipeline:
+    top-left corner filter -> edge filter -> edge upsample -> gather/blend
+    (spec 7.11.2.7-.12), batched over n blocks.  Bit-identical to the
+    coder's ops/intra.predict_intra(ief_params, smooth=False) given the
+    same edges — ranking by unfiltered edges misranked directional modes
+    badly (the f326471 host-tier fix; this is its device-tier analog)."""
+    jnp = _jnp()
+    p_angle = intra_mode_to_angle(mode)
+    st_a, st_l, ups_a, ups_l, num_a, num_l = _ief_static(s, p_angle)
+    abuf, lbuf = above_buf, left_buf
+    if 90 < p_angle < 180 and 2 * s >= 24:
+        # corner smoothing (ops/intra_edges.build_intra_edge:142-150)
+        tlf = (lbuf[:, s] * 5 + tl * 6 + abuf[:, 1] * 5 + 8) >> 4
+        abuf = jnp.concatenate([tlf[:, None], abuf[:, 1:]], axis=1)
+        lbuf = jnp.concatenate([tlf[:, None], lbuf[:, 1:]], axis=1)
+    abuf = _filter_edge_dev(abuf, num_a + 1, st_a)
+    lbuf = _filter_edge_dev(lbuf, num_l + 1, st_l)
+    ua = ul = 0
+    if ups_a:
+        abuf = _upsample_edge_dev(abuf, num_a, bd)
+        ua = 1
+    if ups_l:
+        lbuf = _upsample_edge_dev(lbuf, num_l, bd)
+        ul = 1
+    plan = _dir_plan(s, p_angle, ua, ul, abuf.shape[1], lbuf.shape[1])
+    if plan[0] == "above":
+        _, i0, i1, sh, in_range, last_i = plan
+        v = _take_blend(abuf, i0, i1, sh)
+        v = jnp.where(jnp.asarray(in_range), v, abuf[:, last_i][:, None, None])
+    elif plan[0] == "left":
+        _, i0, i1, sh, _, _ = plan
+        v = _take_blend(lbuf, i0, i1, sh)
+    else:
+        _, pa, pl_, use_above, _ = plan
+        va = _take_blend(abuf, *pa)
+        vl = _take_blend(lbuf, *pl_)
+        v = jnp.where(jnp.asarray(use_above), va, vl)
+    return jnp.clip(v, 0, (1 << bd) - 1)
 
 
 def predict_all_modes(above2, left2, tl, s: int, bd: int):
@@ -182,7 +297,10 @@ def predict_all_modes(above2, left2, tl, s: int, bd: int):
     smooth_v = (wv * a[:, None, :] + (256 - wv) * below + 128) >> 8
     smooth_h = (ww * l[:, :, None] + (256 - ww) * right + 128) >> 8
 
-    # Directional (angle_delta = 0, no edge filter: decision approximation)
+    # Directional at angle_delta = 0 with the NORMATIVE intra-edge pipeline
+    # (corner filter + edge filter + upsample, spec 7.11.2.7-.12) so the
+    # scored prediction is the one the coder will emit — scoring raw-edge
+    # approximations misranked directional modes badly (f326471)
     above_buf = jnp.concatenate([tl[:, None], above2], axis=1)
     left_buf = jnp.concatenate([tl[:, None], left2], axis=1)
     dir_preds = {}
@@ -194,22 +312,9 @@ def predict_all_modes(above2, left2, tl, s: int, bd: int):
         PredictionMode.D203_PRED,
         PredictionMode.D67_PRED,
     ):
-        p_angle = intra_mode_to_angle(mode)
-        plan = _directional_plan(p_angle, s)
-        if plan[0] == "above":
-            _, i0, i1, sh, in_range = plan
-            v_d = _take_blend(above_buf, i0, i1, sh)
-            last = above_buf[:, 2 * s][:, None, None]
-            v_d = jnp.where(jnp.asarray(in_range), v_d, last)
-        elif plan[0] == "left":
-            _, i0, i1, sh, _ = plan
-            v_d = _take_blend(left_buf, i0, i1, sh)
-        else:
-            _, pa, pl_, use_above, _ = plan
-            va = _take_blend(above_buf, *pa)
-            vl = _take_blend(left_buf, *pl_)
-            v_d = jnp.where(jnp.asarray(use_above), va, vl)
-        dir_preds[int(mode)] = jnp.clip(v_d, 0, maxv)
+        dir_preds[int(mode)] = _dir_pred_exact(
+            above_buf, left_buf, tl, mode, s, bd
+        )
 
     # order must match PredictionMode 0..12
     return jnp.stack(

@@ -2631,10 +2631,30 @@ class FramePipeline:
                 geom, cplan, src_p, refs3, fields, dcq8, acq8,
                 deblock_levels, y_list, uv_list,
             )
+        # fetch on a worker thread STARTED AT DISPATCH TIME: the tunnel
+        # serves the device stream in order, so enqueueing the result
+        # downloads now places them ahead of the next frame's analyses and
+        # chain compute — the consume-time join then waits only for THIS
+        # frame's compute + transfer, all of it overlapped with the
+        # previous frame's host coding (measured: the synchronous fetch
+        # stalled ~78 ms/frame behind next-frame device work)
+        import threading
+
+        box: dict = {}
+
+        def _bg_fetch():
+            try:
+                box["res"] = _chain.fetch_chain(handle)
+            except BaseException as e:  # noqa: BLE001 - surfaced at consume
+                box["err"] = e
+
+        th = threading.Thread(target=_bg_fetch, daemon=True)
+        th.start()
         return {
             "handle": handle, "geom": geom, "cplan": cplan, "fields": fields,
             "deblock_levels": deblock_levels, "cdef_y": cdef_y,
             "cdef_uv": cdef_uv, "y_list": y_list, "uv_list": uv_list,
+            "fetch_thread": th, "fetch_box": box,
         }
 
     def _predispatch_chain(self, next_hints, cur_plan, cur_fno, cur_frame,
@@ -2833,7 +2853,14 @@ class FramePipeline:
         cdef_y, cdef_uv = disp["cdef_y"], disp["cdef_uv"]
         y_list, uv_list = disp["y_list"], disp["uv_list"]
         with span("chain_fetch", frame=input_frameno):
-            res = _chain.fetch_chain(disp["handle"])
+            th = disp.get("fetch_thread")
+            if th is not None:
+                th.join()
+                res = disp["fetch_box"].get("res")
+                if res is None:  # background fetch failed: retry inline
+                    res = _chain.fetch_chain(disp["handle"])
+            else:
+                res = _chain.fetch_chain(disp["handle"])
         if res.overflow:
             return None
 

@@ -14,7 +14,13 @@ from rav1e_tpu.partition import PredictionMode
 @pytest.mark.parametrize("s", [8, 16, 32])
 def test_device_predictions_match_host(s):
     """All 13 device mode predictions must bit-match ops/intra.predict_intra
-    (angle_delta=0, no IEF) — the same numbers the host would code."""
+    (angle_delta=0; directional modes through the normative IEF pipeline
+    with non-smooth neighbors, the coder's common case) — the same numbers
+    the host codes.  Full directional IEF coverage incl. corner filter:
+    tests/test_device_ief.py."""
+    from rav1e_tpu.ops.intra import IefParams
+    from rav1e_tpu.partition import intra_mode_to_angle
+
     rng = np.random.default_rng(s)
     n = 4
     above2 = rng.integers(0, 256, (n, 2 * s)).astype(np.int32)
@@ -25,17 +31,32 @@ def test_device_predictions_match_host(s):
             jnp.asarray(above2), jnp.asarray(left2), jnp.asarray(tl), s, 8
         )
     )
+    ief = IefParams(above_mode=PredictionMode.DC_PRED,
+                    left_mode=PredictionMode.DC_PRED)
     for i in range(n):
-        edge = IntraEdge(
-            above=above2[i].astype(np.int64),
-            left=left2[i].astype(np.int64),
-            top_left=int(tl[i]),
-            have_above=True,
-            have_left=True,
-        )
         for m in range(13):
-            host = predict_intra(PredictionMode(m), edge, s, s, 8, 0)
-            assert np.array_equal(dev[i, m], host), (s, PredictionMode(m).name)
+            mode = PredictionMode(m)
+            tl_h = int(tl[i])
+            if mode.is_directional():
+                p_angle = intra_mode_to_angle(mode)
+                if 90 < p_angle < 180 and 2 * s >= 24:
+                    # build_intra_edge's corner filter, applied by the coder
+                    tl_h = (
+                        int(left2[i, s - 1]) * 5 + tl_h * 6
+                        + int(above2[i, 0]) * 5 + 8
+                    ) >> 4
+            edge = IntraEdge(
+                above=above2[i].astype(np.int64),
+                left=left2[i].astype(np.int64),
+                top_left=tl_h,
+                have_above=True,
+                have_left=True,
+            )
+            host = predict_intra(
+                mode, edge, s, s, 8, 0,
+                ief_params=ief if mode.is_directional() else None,
+            )
+            assert np.array_equal(dev[i, m], host), (s, mode.name)
 
 
 def test_device_satd_close_to_host():
